@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** JVM-static vector kernels over `array<float>` embedding columns
+  * (the `embeddings.embedding` fixture column). Double accumulation
+  * for stable, order-deterministic results. */
+object VecOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Random-hyperplane LSH bits: bit j = sign of <r_j, v> where the
+    * hyperplane components are deterministic ±1 (Achlioptas-style
+    * sparse random projection, seeded by (j, i) through splitmix64 —
+    * no stored plane matrix, so executors need no broadcast). */
+  def rpBits(v: ArrayData, nBits: Int, seed: Long): Long = {
+    var bits = 0L
+    val n = v.numElements()
+    var j = 0
+    while (j < nBits) {
+      var s = 0.0
+      var i = 0
+      val rowSeed = HashOps.mix64(seed ^ (j.toLong * 0x9e3779b97f4a7c15L))
+      while (i < n) {
+        val r = HashOps.mix64(rowSeed ^ i.toLong)
+        val sign = if ((r & 1L) == 1L) 1.0 else -1.0
+        s += sign * v.getFloat(i).toDouble
+        i += 1
+      }
+      if (s >= 0) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+}

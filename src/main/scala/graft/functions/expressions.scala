@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions. Every expression code-generates a call
+  * to a JVM-static kernel (JsonOps / HashOps / VecOps), so they stay
+  * inside whole-stage codegen rather than breaking the stage the way
+  * interpreted fallbacks do. */
+
+/** Recursive uppercase of all JSON string values (reference T4,
+  * `/root/reference/internal/pipeline/pipeline.go:282-340`). */
+case class JsonUpper(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    JsonOps.upperJson(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.JsonOps.upperJson($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    code
+  }
+  override protected def withNewChildInternal(c: Expression): JsonUpper = copy(child = c)
+  override def prettyName: String = "json_upper"
+}
+
+/** FNV-1a 64 over the UTF-8 bytes of a string (reference P2,
+  * `/root/reference/internal/partitioner/hash.go:19-31`). */
+case class Fnv64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.fnv64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fnv64($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv64 = copy(child = c)
+  override def prettyName: String = "fnv64"
+}
+
+/** Polynomial rolling-hash fingerprint of a string (mod 2^61-1). */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.polyHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
+/** MinHash signature (k 64-bit minimums) over an array<string> of
+  * tokens/shingles. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.minHash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minHash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** SimHash-64 fingerprint over an array<string> of tokens. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.simHash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simHash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Hamming distance between two 64-bit fingerprints. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}
+
+/** Cosine similarity between two array<float> embeddings (double
+  * accumulation, deterministic element order). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Dot product between two array<float> embeddings. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Random-hyperplane LSH bucket bits for an array<float> embedding. */
+case class RpBits(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.rpBits(v.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.rpBits($c, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): RpBits = copy(child = c)
+  override def prettyName: String = "rp_bits"
+}

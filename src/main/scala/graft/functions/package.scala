@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.GraftSql
+
+/** Public column API over the custom Catalyst expressions, plus SQL
+  * function registration. Usage mirrors `org.apache.spark.sql.functions`:
+  *
+  * {{{
+  *   import graft.functions._
+  *   df.select(json_upper($"payload"), fnv64($"key"))
+  * }}}
+  */
+package object functions {
+  private def expr(c: Column): Expression = GraftSql.expression(c)
+  private def col(e: Expression): Column = GraftSql.column(e)
+
+  /** Recursively uppercase every string value in a JSON document. */
+  def json_upper(c: Column): Column = col(JsonUpper(expr(c)))
+
+  /** FNV-1a 64-bit hash of a string's UTF-8 bytes. */
+  def fnv64(c: Column): Column = col(Fnv64(expr(c)))
+
+  /** Polynomial rolling-hash fingerprint (mod 2^61-1). */
+  def poly_hash(c: Column): Column = col(PolyHash(expr(c)))
+
+  /** MinHash signature: array of k 64-bit minimums over a token array. */
+  def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
+
+  /** SimHash-64 fingerprint over a token array. */
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = col(Hamming64(expr(a), expr(b)))
+
+  /** Cosine similarity between two array<float> vectors. */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+
+  /** Dot product between two array<float> vectors. */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** Random-hyperplane LSH bits for an array<float> vector. */
+  def rp_bits(c: Column, nBits: Int, seed: Long): Column =
+    col(RpBits(expr(c), nBits, seed))
+
+  /** Register the scalar functions for SQL use (`SELECT fnv64(x) ...`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("json_upper", es => JsonUpper(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fnv64", es => Fnv64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("poly_hash", es => PolyHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+  }
+}
