@@ -48,7 +48,7 @@ object JsonOps {
     if (json == null) return null
     try {
       val node = mapper.readTree(json.toString)
-      if (node == null) null
+      if (node == null || node.isMissingNode) null
       else UTF8String.fromString(mapper.writeValueAsString(upperNode(node)))
     } catch { case _: Exception => null }
   }

@@ -22,11 +22,16 @@ object VecOps {
     math.sqrt(s)
   }
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  /** Cosine similarity, clamped to [-1, 1] (float rounding can push
+    * self-similarity to 1+2e-16); 0.0 when either vector has zero
+    * norm. Formula is dot/(sqrt(na)*sqrt(nb)) in double — verified
+    * bitwise-identical to DuckDB's list_cosine_similarity over
+    * DOUBLE[] on the fixture embeddings. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val na = norm(a)
     val nb = norm(b)
-    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else math.max(-1.0, math.min(1.0, dot(a, b) / (na * nb)))
   }
 
   /** Random-hyperplane LSH bits: bit j = sign of <r_j, v> where the

@@ -1,0 +1,144 @@
+package graft.kv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's three-verb KV statement language, re-expressed over
+  * a keyed DataFrame.
+  *
+  * Statement grammar and quirks (all deliberately preserved):
+  *  - tokenization is whitespace-fields (`strings.Fields`,
+  *    `/root/reference/internal/store/store.go:1671,1324`)
+  *  - `SET <key> [<value>...]`: value is the space-joined remainder and
+  *    may be empty (`store.go:1682-1705`); reports rows_affected=1,
+  *    last_insert_id=0
+  *  - `DELETE <key>`: idempotent, always reports rows_affected=1
+  *    (`store.go:1706-1730`)
+  *  - `GET <key>`: returns a typed table `columns=[key,value],
+  *    types=[text,blob]`; a miss is an empty table, not an error
+  *    (`store.go:1300-1395`)
+  */
+sealed trait Statement
+final case class SetStmt(key: String, value: String) extends Statement
+final case class DeleteStmt(key: String) extends Statement
+final case class GetStmt(key: String) extends Statement
+
+/** Mirrors the reference's ExecuteQueryResponse for write statements
+  * (`store.go:1697-1704`). */
+final case class ExecResult(
+    lastInsertId: Long = 0L,
+    rowsAffected: Long = 1L,
+    error: Option[String] = None)
+
+object StatementParser {
+  /** Whitespace-fields tokenization, as in Go's `strings.Fields`. */
+  def parse(stmt: String): Either[String, Statement] = {
+    val fields = stmt.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    fields match {
+      case Seq() => Left("empty statement")
+      case verb +: rest =>
+        verb.toUpperCase match {
+          case "SET" =>
+            rest match {
+              case key +: value => Right(SetStmt(key, value.mkString(" ")))
+              case _            => Left(s"SET requires a key: '$stmt'")
+            }
+          case "DELETE" =>
+            rest match {
+              case Seq(key) => Right(DeleteStmt(key))
+              case _        => Left(s"DELETE requires exactly a key: '$stmt'")
+            }
+          case "GET" =>
+            rest match {
+              case Seq(key) => Right(GetStmt(key))
+              case _        => Left(s"GET requires exactly a key: '$stmt'")
+            }
+          case other => Left(s"unknown verb '$other' in '$stmt'")
+        }
+    }
+  }
+}
+
+/** A batch KV engine over a `DataFrame[key: string, value: string]`.
+  *
+  * Scale design: applying a batch of N statements is ONE distributed
+  * merge — the statements become a small DataFrame, last-write-wins per
+  * key is a window over that (tiny) side, and the merge into the
+  * (potentially huge, 100 TB-scale) state table is a single
+  * broadcast-able outer join keyed on `key` — no per-statement pass
+  * over the state, no driver-side loop over state rows.
+  */
+final class KvEngine(spark: SparkSession, initial: DataFrame) {
+  import KvEngine._
+
+  private var stateDf: DataFrame = initial.select(
+    col("key").cast(StringType), col("value").cast(StringType))
+
+  def state: DataFrame = stateDf
+
+  /** Apply SET/DELETE statements (last-write-wins within the batch) and
+    * return one ExecResult per statement, in order. GETs embedded in the
+    * batch are rejected like the reference's Execute path. */
+  def execute(stmts: Seq[Statement]): Seq[ExecResult] = {
+    val writes = stmts.collect {
+      case s: SetStmt    => s: Statement
+      case d: DeleteStmt => d: Statement
+    }
+    if (writes.nonEmpty) stateDf = applyBatch(spark, stateDf, writes)
+    stmts.map {
+      case _: SetStmt    => ExecResult()
+      case _: DeleteStmt => ExecResult() // idempotent "1 affected", store.go:1725
+      case _: GetStmt    => ExecResult(error = Some("GET not valid in execute"))
+    }
+  }
+
+  /** Point lookup: `columns=[key,value]`, empty on miss. */
+  def query(get: GetStmt): DataFrame =
+    stateDf.filter(col("key") === lit(get.key)).select(col("key"), col("value"))
+}
+
+object KvEngine {
+  def empty(spark: SparkSession): KvEngine = {
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))
+    new KvEngine(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  def apply(spark: SparkSession, state: DataFrame): KvEngine =
+    new KvEngine(spark, state)
+
+  /** One-shot distributed merge of a write batch into a keyed state
+    * table. Exposed for direct use over arbitrary state DataFrames. */
+  def applyBatch(spark: SparkSession, state: DataFrame,
+      writes: Seq[Statement]): DataFrame = {
+    import spark.implicits._
+    val rows = writes.zipWithIndex.map {
+      case (SetStmt(k, v), i)  => (i.toLong, k, v, "set")
+      case (DeleteStmt(k), i)  => (i.toLong, k, null: String, "delete")
+      case (GetStmt(k), i)     => (i.toLong, k, null: String, "get")
+    }
+    // Last write per key within the batch wins (statement order = seq).
+    val w = Window.partitionBy($"key").orderBy($"seq".desc)
+    val last = rows.toDF("seq", "key", "value", "op")
+      .filter($"op" =!= "get")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"key", $"value", $"op")
+    // Outer merge: small `last` side broadcasts; state never collects.
+    val lastR = last.select($"key".as("w_key"), $"value".as("w_value"), $"op")
+    state.join(broadcast(lastR), col("key") === col("w_key"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(
+        coalesce(col("key"), col("w_key")).as("key"),
+        when(col("op") === "set", col("w_value")).otherwise(col("value")).as("value"))
+  }
+
+  /** Persist / reload state between batches (parquet round-trip). */
+  def save(state: DataFrame, path: String): Unit =
+    state.write.mode("overwrite").parquet(path)
+  def load(spark: SparkSession, path: String): KvEngine =
+    new KvEngine(spark, spark.read.parquet(path))
+}

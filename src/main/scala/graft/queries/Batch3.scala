@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_sim, fnv64, minhash_sig, poly_hash, simhash64, hamming64, rp_bits}
+import graft.queries.Catalog.{Q, table, events}
+
+/** Query batch 3: the training-data-pipeline plane — text analysis,
+  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding), and similarity search over embeddings.
+  *
+  * Scale notes (these run at 100 TB, not just the fixtures):
+  *  - n-gram Jaccard pairs use an inverted-index join (explode distinct
+  *    shingles → equi-join on shingle → count per pair), never a cross
+  *    join; cost is Σ df(shingle)², controllable via a stop-shingle DF
+  *    cap at scale.
+  *  - MinHash-LSH prunes with banded signatures so only same-bucket
+  *    pairs are verified; the band join is an equi-join on (band,
+  *    band_hash) — shuffle-partitionable, no driver state.
+  *  - ANN brute-force is a single scan + top-k (TakeOrdered), no
+  *    shuffle of the full table; the LSH-bucketed variant prunes the
+  *    scan to matching buckets first.
+  */
+object Batch3 {
+
+  /** Whitespace tokens. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word k-shingles via built-in higher-order functions
+    * (stays in codegen; no UDF). */
+  private def shingles(tokens: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(tokens) - (k - 1), lit(0))),
+      i => concat_ws(" ", slice(tokens, i, lit(k)))))
+
+  /** DuckDB twin of [[shingles]]. */
+  private def shinglesSql(toksExpr: String, k: Int): String =
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len($toksExpr) - ${k - 1}, 0) + 1),
+       |  i -> array_to_string(list_slice($toksExpr, i, i + ${k - 1}), ' ')))""".stripMargin
+
+  /** Occurrence count of a marker in padded text — identical SQL in
+    * both dialects, double-valued. */
+  private def cnt(m: String): String =
+    s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+
+  private val langScores = Map(
+    "en" -> Seq(" the ", " and ", " data "),
+    "de" -> Seq(" der ", " und ", " nicht "),
+    "es" -> Seq(" el ", " la ", " los "),
+    "fr" -> Seq(" le ", " les ", " des "))
+  private def scoreExpr(lang: String): String =
+    langScores(lang).map(cnt).mkString(" + ")
+
+  private val langCase =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      |     WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      |     WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      |     WHEN s_fr > 0 THEN 'fr'
+      |     ELSE 'und' END""".stripMargin
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- text statistics
+    "text_stats" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .withColumn("toks", toks(col("text")))
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n_chars_calc"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct"),
+            (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+              .as("ttr"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double") /
+              size(col("toks"))).as("avg_tok_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, length(text) AS n_chars_calc,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+             |    len(string_split(text, ' ')) AS ttr,
+             |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+             |    len(string_split(text, ' ')) AS avg_tok_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "token/char/type-token-ratio text statistics"),
+
+    // ---- token counting (whitespace + BPE-ish regex)
+    "token_count" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("ws_tokens"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpeish_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "whitespace + BPE-ish regex token counts"),
+
+    // ---- language ID (stopword-marker heuristic)
+    "lang_id" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+          .withColumn("s_en", expr(scoreExpr("en")))
+          .withColumn("s_de", expr(scoreExpr("de")))
+          .withColumn("s_es", expr(scoreExpr("es")))
+          .withColumn("s_fr", expr(scoreExpr("fr")))
+          .select(col("doc_id"), expr(langCase).as("lang_pred"),
+            col("s_en"), col("s_de"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |    ${scoreExpr("en")} AS s_en, ${scoreExpr("de")} AS s_de,
+              |    ${scoreExpr("es")} AS s_es, ${scoreExpr("fr")} AS s_fr
+              |  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))
+              |SELECT doc_id, $langCase AS lang_pred, s_en, s_de
+              |FROM scored ORDER BY doc_id""".stripMargin),
+      "marker-word language identification heuristic"),
+
+    // ---- quality scoring
+    "quality_score" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), col("text"), lit(" ")))
+          .withColumn("n_tok", size(split(col("text"), " ")))
+          .withColumn("stop_cnt",
+            expr(Seq(" the ", " a ", " of ", " and ").map(cnt).mkString(" + ")))
+          .withColumn("alpha_chars", length(regexp_replace(col("text"), " ", "")))
+          .select(col("doc_id"),
+            // NB: `D` suffixes force DOUBLE literals — Spark parses bare
+            // `0.4` as DECIMAL (DuckDB as DOUBLE), which diverges by 1 ulp.
+            expr("""0.4D * least(1.0D, n_tok / 100.0D)
+                   | + 0.3D * least(1.0D, (stop_cnt / n_tok) * 4.0D)
+                   | + 0.3D * least(1.0D, (alpha_chars / n_tok) / 8.0D)""".stripMargin)
+              .as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |    len(string_split(text, ' ')) AS n_tok,
+              |    ${Seq(" the ", " a ", " of ", " and ").map(cnt).mkString(" + ")} AS stop_cnt,
+              |    length(replace(text, ' ', '')) AS alpha_chars
+              |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
+              |SELECT doc_id,
+              |  0.4 * least(1.0, n_tok / 100.0)
+              |  + 0.3 * least(1.0, (stop_cnt / n_tok) * 4.0)
+              |  + 0.3 * least(1.0, (alpha_chars / n_tok) / 8.0) AS quality
+              |FROM f ORDER BY doc_id""".stripMargin),
+      "length/stopword/word-shape quality score"),
+
+    // ---- document fingerprints (md5 oracle-matched; poly rolling hash
+    //      is covered by unit tests — not DuckDB-expressible)
+    "fingerprint" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+            substring(md5(col("text")), 1, 16).as("fp_md5_64"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS fp_md5,
+             |  substring(md5(text), 1, 16) AS fp_md5_64
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "content fingerprinting"),
+
+    // ---- exact n-gram Jaccard near-dup pairs via inverted-index join
+    "dedup_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+          .withColumn("n_sh", size(col("sh")))
+        val inv = docs.select(col("doc_id"), col("n_sh"),
+          explode(col("sh")).as("shingle"))
+        val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+          col("shingle"))
+        val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+          col("shingle"))
+        a.join(b, "shingle")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+      "exact 3-gram Jaccard near-dup pairs (inverted index, no cross join)"),
+
+    // ---- dedup'd corpus: drop the higher-id member of each near-dup pair
+    "dedup_corpus" -> Q(
+      (s, dir) => {
+        val pairs = Catalog.queries("dedup_ngram_jaccard")(s, dir)
+        table(s, dir, "documents")
+          .join(pairs.select(col("doc_b")).distinct(),
+            col("doc_id") === col("doc_b"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |  WHERE jaccard >= 0.5)
+              |SELECT doc_id, lang FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+              |ORDER BY doc_id""".stripMargin),
+      "near-dup-filtered corpus (anti-join on pair losers)"),
+
+    // ---- ANN: brute-force cosine top-k (single scan + TakeOrdered)
+    "ann_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosine_sim(col("embedding"), col("qvec")).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "brute-force cosine top-k (ANN baseline; custom codegen'd CosineSim)"),
+
+    // ---- ANN: range search (all vectors within a similarity band)
+    "ann_range" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosine_sim(col("embedding"), col("qvec")).as("score"))
+          .filter(col("score") >= 0.2 && col("vec_id") =!= 0)
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, score FROM (
+             |  SELECT vec_id,
+             |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |      AS score
+             |  FROM embeddings)
+             |WHERE score >= 0.2 AND vec_id <> 0 ORDER BY vec_id""".stripMargin),
+      "cosine range search"),
+
+    // ---- multimodal columns: opaque binary + typed metadata extraction
+    "mm_meta" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .withColumn("blob", col("text").cast("binary"))
+          .select(col("doc_id"),
+            length(col("blob")).as("n_bytes"),
+            ascii(substring(col("text"), 1, 1)).as("first_byte"),
+            (length(col("blob")) % 640).as("fake_width"),
+            (length(col("blob")) % 480).as("fake_height"),
+            lit(3).as("channels"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+             |  ascii(substring(text, 1, 1)) AS first_byte,
+             |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+             |  octet_length(CAST(text AS BLOB)) % 480 AS fake_height,
+             |  3 AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "opaque-binary multimodal column + metadata (decode stubbed in graft.ops.Multimodal)"),
+
+    // ---- rows-only (non-SQL-expressible) dedup/partition paths below:
+    //      verified by ScalaTest instead (see spec files).
+
+    // P1/P2: FNV-1a 64 partition assignment distribution
+    "p2_fnv_partition" -> Q(
+      (s, dir) => {
+        events(s, dir)
+          .select(pmod(fnv64(col("props")), lit(8)).as("partition"))
+          .groupBy("partition").agg(count(lit(1)).as("n"))
+          .orderBy("partition")
+      },
+      None,
+      "FNV-1a 64 hash-partition fan-out (reference partition.go:28-56; unit-tested vs known vectors)"),
+
+    // MinHash-LSH near-dup pairs (banded signatures → verify)
+    "dedup_minhash_lsh" -> Q(
+      (s, dir) => {
+        val k = 128
+        val bands = 32 // 4 rows per band → catches J>=0.8 w.p. ~1-(1-J^4)^32
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+          .withColumn("n_sh", size(col("sh")))
+          .withColumn("sig", minhash_sig(col("sh"), k))
+        val bandCols = (0 until bands).map(b =>
+          xxhash64(concat_ws("_", slice(col("sig"), b * (k / bands) + 1, k / bands))))
+        val banded = docs.select(col("doc_id"), col("n_sh"), col("sh"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+        val l = banded.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+          col("sh").as("sh_a"), col("band"), col("band_hash"))
+        val r = banded.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+          col("sh").as("sh_b"), col("band"), col("band_hash"))
+        l.join(r, Seq("band", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+          .distinct()
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None,
+      "MinHash + banded LSH candidate pruning + exact verify (spec: matches exact Jaccard pairs at 0.8)"),
+
+    // SimHash near-dup pairs (4x16-bit band join, hamming verify)
+    "dedup_simhash" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), simhash64(toks(col("text"))).as("fp"))
+        val fpBands = (0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)))
+        val banded = docs.select(col("doc_id"), col("fp"),
+          posexplode(array(fpBands: _*)).as(Seq("band", "band_val")))
+        val l = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+          col("band"), col("band_val"))
+        val r = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+          col("band"), col("band_val"))
+        l.join(r, Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 4)
+          .orderBy("doc_a", "doc_b")
+      },
+      None,
+      "SimHash64 + 4x16-bit band join + Hamming<=4 verify (guaranteed recall at hamming<=3; spec-verified)"),
+
+    // Embedding near-dup via random-hyperplane LSH buckets
+    "dedup_embedding" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            rp_bits(col("embedding"), 16, 42L).as("bucket"))
+        val l = emb.select(col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("bucket"))
+        val r = emb.select(col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("bucket"))
+        l.join(r, "bucket")
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            cosine_sim(col("emb_a"), col("emb_b")).as("cos"))
+          .filter(col("cos") >= 0.9)
+          .orderBy("vec_a", "vec_b")
+      },
+      None,
+      "embedding near-dup: RP-LSH bucket join + cosine verify (spec-verified)"),
+  )
+}

@@ -252,9 +252,11 @@ object Catalog {
       "dot-path JSON extraction (reference getSubJSON, internal/http/service.go:1715-1751)"),
   )
 
+  def full: Seq[(String, Q)] = all ++ Batch2.entries ++ Batch3.entries
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (n, q) => n -> q.build }.toMap
+    full.map { case (n, q) => n -> q.build }.toMap
 
   def oracleSql: Map[String, String] =
-    all.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
+    full.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
 }
