@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{fnv64, json_upper}
+
+/** The per-record transform plane (reference §2.3), as composable
+  * `DataFrame => DataFrame` ops chained with `Dataset.transform` — the
+  * reference's linear Operation chain (`internal/pipeline/pipeline.go:
+  * 19-34,221-240`) becomes the Catalyst plan itself.
+  */
+object Ops {
+  type Op = DataFrame => DataFrame
+
+  /** T4: recursively uppercase all string values of the JSON payload
+    * (intended semantics of pipeline.go:282-340 — the reference applies
+    * it to `[]byte` making it a no-op; we implement the documented
+    * intent, on both the snapshot and the live channel). */
+  def uppercasePayload(payloadCol: String = "payload"): Op =
+    df => df.withColumn(payloadCol, json_upper(col(payloadCol)))
+
+  /** T6: parse `payload.eventTime` (RFC3339) into an event_time column;
+    * unparseable → null (job.go:76-80 swallows the error). */
+  def extractEventTime(payloadCol: String = "payload",
+      out: String = "event_time"): Op =
+    df => df.withColumn(out,
+      to_timestamp(get_json_object(col(payloadCol), "$.eventTime"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** T1: generic 1:1 column map. */
+  def mapColumns(cols: (String, Column)*): Op =
+    df => cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  /** P1+P2: hash fan-out. Parity mode uses the reference's FNV-1a 64 of
+    * the payload (`partitioner/hash.go:19-31` hashes the formatted job
+    * data); default mode lets Spark's Murmur3 partition directly —
+    * preferred at scale (no extra column, codegen'd). */
+  def repartitionByPayload(n: Int, payloadCol: String = "payload",
+      fnvParity: Boolean = false): Op =
+    df =>
+      if (fnvParity)
+        df.withColumn("__part", pmod(fnv64(col(payloadCol)), lit(n)))
+          .repartition(n, col("__part")).drop("__part")
+      else df.repartition(n, col(payloadCol))
+
+  /** Wrap raw records into the Job envelope (models.New,
+    * job.go:48-91): UUID id, processing-time timestamps, priority 0. */
+  def toJobEnvelope(payloadCol: String = "payload"): Op =
+    df => df.select(
+      expr("uuid()").as("id"),
+      col(payloadCol).cast("string").as("payload"),
+      current_timestamp().as("node_created_at"),
+      current_timestamp().as("node_updated_at"),
+      to_timestamp(get_json_object(col(payloadCol), "$.eventTime"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("event_time"),
+      lit(0).as("priority"))
+
+  /** S1 materialization: latest change per key from a CDC feed. */
+  def cdcLatestPerKey(keyCol: String = "document_key",
+      orderCol: String = "cluster_time"): Op = df => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Registry for config-driven transform chains
+    * (`"transforms": "uppercase,extract_event_time"`). */
+  val registry: Map[String, Op] = Map(
+    "identity" -> identity[DataFrame] _,
+    "uppercase" -> uppercasePayload(),
+    "extract_event_time" -> extractEventTime(),
+    "to_job" -> toJobEnvelope(),
+    "cdc_latest" -> cdcLatestPerKey())
+
+  def chain(names: Seq[String]): Op = {
+    val ops = names.map(n => registry.getOrElse(n.trim,
+      throw new IllegalArgumentException(s"unknown transform '$n'")))
+    df => ops.foldLeft(df)((d, op) => op(d))
+  }
+}

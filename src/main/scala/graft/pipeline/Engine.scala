@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.{ConfigParser, EndpointConfig, PipelineSpec}
+import graft.ops.Ops
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** The control plane (reference C1-C5, `internal/http/service.go`):
+  * create/stop/status of pipelines — here thin orchestration over
+  * Structured Streaming queries (streaming mode) or immediate jobs
+  * (batch mode). Spark's driver/executor model + checkpointing replace
+  * the reference's entire Raft/cluster plane (SURVEY §0).
+  *
+  * A pipeline is source → transform chain → (optional repartition) →
+  * sink, the reference's fixed channel graph
+  * (`internal/pipeline/pipeline.go:93-181`) — except here it's a
+  * declarative plan Catalyst can optimize end-to-end.
+  */
+final class Engine(spark: SparkSession) {
+  private val running = TrieMap.empty[String, StreamingQuery]
+
+  private def transforms(spec: PipelineSpec): Ops.Op = {
+    val names = spec.source.config.get("transforms")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    val chain = Ops.chain(names)
+    val parts = spec.source.config.get("partitions").map(_.toInt)
+    df => {
+      val t = chain(df)
+      parts.fold(t)(n => Ops.repartitionByPayload(n)(t))
+    }
+  }
+
+  /** C1 batch flavor: run the pipeline to completion now. */
+  def runBatch(spec: PipelineSpec): Unit = {
+    val df = Sources.resolveBatch(spec.source)(spark, spec.source)
+    Sinks.batch.getOrElse(spec.sink.connectionType,
+      throw new IllegalArgumentException(
+        s"invalid sink type: ${spec.sink.connectionType}"))(
+      transforms(spec)(df), spec.sink)
+  }
+
+  /** C1: create + start a streaming pipeline, registered under its key
+    * (service.go:1801-1875; `go pipeline.Run` → `query.start`). */
+  def createPipeline(spec: PipelineSpec): StreamingQuery = {
+    require(spec.source.key.nonEmpty, "pipeline key required")
+    val df = Sources.resolveStream(spec.source)(spark, spec.source)
+    val q = Sinks.configureStream(transforms(spec)(df), spec.sink).start()
+    running.put(spec.source.key, q)
+    q
+  }
+
+  def createPipeline(json: String): StreamingQuery =
+    createPipeline(ConfigParser.parsePipelineSpec(json))
+
+  /** C2: stop by key (service.go:583-600). */
+  def deletePipeline(key: String): Boolean =
+    running.remove(key) match {
+      case Some(q) => q.stop(); true
+      case None    => false
+    }
+
+  /** C4: status of one / all pipelines (service.go:841-973). */
+  def status(): Map[String, String] =
+    running.map { case (k, q) =>
+      k -> (if (q.isActive) s"active batch=${Option(q.lastProgress).map(_.batchId).getOrElse(-1L)}"
+            else "stopped")
+    }.toMap
+
+  /** C5 readyz: the session is alive and able to schedule work. */
+  def ready: Boolean = !spark.sparkContext.isStopped
+
+  def activeKeys: Seq[String] = running.keys.toSeq
+
+  def stopAll(): Unit = { running.keys.foreach(deletePipeline); }
+}

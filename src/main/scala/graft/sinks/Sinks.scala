@@ -1,0 +1,108 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink registry (reference K4, `internal/pipeline/config.go:271-290`).
+  *
+  * - K1 file sink: one JSON doc per line (NDJSON append) —
+  *   `sinks/file.go:75-123`. Spark's file sink is exactly-once per
+  *   query via the commit log (an intentional upgrade over the
+  *   reference's raw O_APPEND, SURVEY §7 risks).
+  * - K2 kafka sink: `sinks/kafka.go:79-147` → built-in kafka format.
+  * - K3 elasticsearch sink semantics (upsert-by-_id into an index,
+  *   `sinks/elasticsearch.go:61-135` — orphaned in the reference) →
+  *   [[EsLikeSink]]: foreachBatch idempotent upsert by id into a
+  *   parquet "index" directory.
+  */
+object Sinks {
+  import graft.model.EndpointConfig
+
+  private def path(c: EndpointConfig): String =
+    c.config.getOrElse("file_path",
+      c.config.getOrElse("path", sys.error(s"sink '${c.name}': missing path")))
+
+  /** Batch writers: DataFrame → side effect. */
+  type BatchSink = (DataFrame, EndpointConfig) => Unit
+
+  val batch: Map[String, BatchSink] = Map(
+    "file" -> ((df, c) => // NDJSON, one doc per line (file.go:104-118)
+      df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+        .write.mode("append").text(path(c))),
+    "parquet" -> ((df, c) => df.write.mode(
+      c.config.getOrElse("mode", "append")).parquet(path(c))),
+    "kafka" -> ((df, c) =>
+      df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
+        .option("topic", c.config.getOrElse("topic", "")).save()),
+    "es" -> ((df, c) => EsLikeSink.upsertBatch(df, path(c),
+      c.config.getOrElse("id_field", "_id"))))
+
+  /** Streaming writers: configure a DataStreamWriter (caller starts it). */
+  def configureStream(df: DataFrame, c: EndpointConfig): DataStreamWriter[Row] = {
+    val base = df.writeStream
+      .trigger(Trigger.ProcessingTime(
+        // Q10 queue flush cadence (service.go:373-375: 50-100ms default)
+        c.config.getOrElse("trigger_ms", "100").toInt, java.util.concurrent.TimeUnit.MILLISECONDS))
+    c.connectionType match {
+      case "file" =>
+        base.format("json").option("path", path(c))
+          .option("checkpointLocation", checkpoint(c))
+      case "parquet" =>
+        base.format("parquet").option("path", path(c))
+          .option("checkpointLocation", checkpoint(c))
+      case "kafka" =>
+        base.format("kafka")
+          .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
+          .option("topic", c.config.getOrElse("topic", ""))
+          .option("checkpointLocation", checkpoint(c))
+      case "memory" =>
+        base.format("memory").queryName(c.config.getOrElse("query_name", c.key))
+      case "console" => base.format("console")
+      case "es" =>
+        base.option("checkpointLocation", checkpoint(c))
+          .foreachBatch((batchDf: DataFrame, _: Long) =>
+            EsLikeSink.upsertBatch(batchDf, path(c),
+              c.config.getOrElse("id_field", "_id")))
+      case other =>
+        throw new IllegalArgumentException(s"invalid sink type: $other")
+    }
+  }
+
+  private def checkpoint(c: EndpointConfig): String =
+    c.config.getOrElse("checkpoint",
+      s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${c.key}")
+}
+
+/** K3 semantics: idempotent upsert-by-id into a keyed parquet "index"
+  * (stand-in for an Elasticsearch index; the ES REST call is the only
+  * part stubbed — the dedup/merge plumbing is real). Latest write per
+  * id wins, matching ES document replacement. */
+object EsLikeSink {
+  def upsertBatch(df: DataFrame, indexPath: String, idField: String): Unit = {
+    val spark = df.sparkSession
+    val withId = df.withColumn("__id",
+      coalesce(get_json_object(col(df.columns.head), s"$$.$idField"),
+        col(df.columns.head)))
+    val existing =
+      try spark.read.parquet(indexPath)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val merged =
+      if (existing.isEmpty || !existing.columns.contains("__id")) withId
+      else existing.join(withId.select(col("__id").as("__new_id")),
+        col("__id") === col("__new_id"), "left_anti")
+        .drop("__new_id")
+        .unionByName(withId, allowMissingColumns = true)
+    // overwrite via staging dir to keep the "index" readable mid-write
+    val staging = indexPath + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EndpointConfig, Schemas}
+
+/** Source registry (reference S5, `internal/pipeline/config.go:250-268`
+  * — a `type → impl` factory). The reference wires mongodb + kafka;
+  * we register those plus the README-declared file/rate sources, each
+  * in batch and streaming flavors.
+  *
+  * MongoDB CDC (S1/S2) is modeled as a CDC-envelope feed: any
+  * file/kafka stream of change-event JSON with the [[Schemas.cdc]]
+  * shape. `load_initial_data=true` (mongo.go:71-76) maps to
+  * snapshot-then-tail: a batch read unioned ahead of the stream.
+  */
+object Sources {
+  type BatchSource = (SparkSession, EndpointConfig) => DataFrame
+  type StreamSource = (SparkSession, EndpointConfig) => DataFrame
+
+  private def path(c: EndpointConfig): String =
+    c.config.getOrElse("path", sys.error(s"source '${c.name}': missing 'path'"))
+
+  /** Parse a CDC-envelope JSON feed into typed columns; only
+    * full_document flows downstream by default (mongo.go:274). */
+  private def cdcProject(df: DataFrame): DataFrame =
+    df.select(from_json(col("value"), Schemas.cdc).as("cdc"))
+      .select(col("cdc.*"))
+
+  val batch: Map[String, BatchSource] = Map(
+    "parquet" -> ((s, c) => s.read.parquet(path(c))),
+    "file" -> ((s, c) => // NDJSON lines, schemaless payload
+      s.read.text(path(c)).withColumnRenamed("value", "payload")),
+    "json" -> ((s, c) => s.read.json(path(c))),
+    "csv" -> ((s, c) => s.read.option("header", "true").csv(path(c))),
+    "mongodb" -> ((s, c) => // CDC envelope feed from files (see scaladoc)
+      cdcProject(s.read.text(path(c)))),
+    "kafka" -> ((s, c) => s.read.format("kafka")
+      .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
+      .option("subscribe", c.config.getOrElse("topic", ""))
+      .load().selectExpr("CAST(value AS STRING) AS payload")))
+
+  val stream: Map[String, StreamSource] = Map(
+    "file" -> ((s, c) => s.readStream.text(path(c))
+      .withColumnRenamed("value", "payload")),
+    "parquet" -> ((s, c) => {
+      val schema = s.read.parquet(path(c)).schema // infer once, batch-side
+      s.readStream.schema(schema).parquet(path(c))
+    }),
+    "mongodb" -> ((s, c) => cdcProject(s.readStream.text(path(c)))),
+    "kafka" -> ((s, c) => s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
+      .option("subscribe", c.config.getOrElse("topic", ""))
+      .option("startingOffsets",
+        // S4: "initial load" = consume from the beginning (kafka.go:185-193)
+        if (c.config.get("load_initial_data").contains("true")) "earliest"
+        else c.config.getOrElse("starting_offsets", "latest"))
+      .load().selectExpr("CAST(value AS STRING) AS payload")),
+    "rate" -> ((s, c) => s.readStream.format("rate")
+      .option("rowsPerSecond", c.config.getOrElse("rows_per_second", "10"))
+      .load().selectExpr("CAST(value AS STRING) AS payload")))
+
+  def resolveBatch(c: EndpointConfig): BatchSource =
+    batch.getOrElse(c.connectionType,
+      throw new IllegalArgumentException(
+        s"invalid source type: ${c.connectionType}")) // config.go:265-267
+
+  def resolveStream(c: EndpointConfig): StreamSource =
+    stream.getOrElse(c.connectionType,
+      throw new IllegalArgumentException(
+        s"invalid source type: ${c.connectionType}"))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Catalog
+
+/** Dedup/similarity plane spec: the rows-only (non-oracle) queries are
+  * verified here against exact recomputation + planted duplicates. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("minhash-LSH pairs == exact jaccard>=0.8 pairs on the fixtures") {
+    val exact = Catalog.queries("dedup_ngram_jaccard")(spark, dir)
+      .filter($"jaccard" >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Catalog.queries("dedup_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // fixtures contain planted near-dups
+  }
+
+  test("simhash finds planted near-dups with bounded false-positive rate") {
+    import graft.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", simhash64(split($"text", " ")).as("fp"))
+    val fps = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truePairs = Catalog.queries("dedup_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Catalog.queries("dedup_simhash")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 4x16-bit band join GUARANTEES recall at hamming <= 3 — every
+    // true pair that close must be found; pairs at hamming >= 4 may
+    // legitimately slip (documented LSH trade-off)
+    val withinGuarantee = truePairs.filter { case (a, b) =>
+      graft.functions.HashOps.hamming64(fps(a), fps(b)) <= 3 }
+    assert(withinGuarantee.subsetOf(sim))
+    assert(withinGuarantee.nonEmpty)
+    // precision is fuzzy by nature but must not explode
+    assert(sim.size <= truePairs.size * 5 + 50)
+  }
+
+  test("embedding near-dup on planted duplicates via RP-LSH buckets") {
+    // plant: duplicate + tiny-perturbation vectors appended to fixtures
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val planted = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", x => x + lit(0.0001f)).as("embedding"),
+        $"label")
+    val all = emb.unionByName(planted)
+    import graft.functions._
+    val b = all.select($"vec_id", $"embedding",
+      rp_bits($"embedding", 16, 42L).as("bucket"))
+    val l = b.select($"vec_id".as("a"), $"embedding".as("ea"), $"bucket")
+    val r = b.select($"vec_id".as("bid"), $"embedding".as("eb"), $"bucket")
+    val pairs = l.join(r, "bucket").filter($"a" < $"bid")
+      .select($"a", $"bid", cosine_sim($"ea", $"eb").as("cos"))
+      .filter($"cos" >= 0.999)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(pairs === Set((0L, 10000L), (1L, 10001L), (2L, 10002L)))
+  }
+
+  test("ann_topk: rank-1 is the query vector itself with score 1.0") {
+    val top = Catalog.queries("ann_topk")(spark, dir).collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(top.head.getDouble(1) === 1.0)
+    // scores are non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("exact dedup keeps the lowest event_id per payload") {
+    val d = Catalog.queries("dedup_exact")(spark, dir)
+    val total = d.agg(sum("n_dupes")).as[Long].head()
+    assert(total === 1000) // partition of all events
+    val keepers = d.select("keeper_id").as[Long].collect()
+    assert(keepers.distinct.length === keepers.length)
+  }
+}

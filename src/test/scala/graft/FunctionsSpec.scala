@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions._
+
+class FunctionsSpec extends SparkTestBase {
+  /** Minimal property runner over scalacheck Gen (scalatestplus isn't
+    * a declared dep). */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 50)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+  import spark.implicits._
+
+  // -- FNV-1a 64: published test vectors --------------------------------
+  test("fnv64 matches the FNV-1a 64 reference vectors") {
+    assert(HashOps.fnv64("".getBytes("UTF-8")) === 0xcbf29ce484222325L)
+    assert(HashOps.fnv64("a".getBytes("UTF-8")) === 0xaf63dc4c8601ec8cL)
+    assert(HashOps.fnv64("foobar".getBytes("UTF-8")) === 0x85944171f73967e8L)
+  }
+
+  test("fnv64 column matches kernel and distributes across partitions") {
+    val df = Seq("a", "b", "c", "foobar").toDF("s")
+      .select($"s", fnv64($"s").as("h"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("foobar") === 0x85944171f73967e8L)
+    assert(got("a") === HashOps.fnv64("a".getBytes("UTF-8")))
+  }
+
+  // -- recursive JSON uppercase (FIXTURES.md A5) ------------------------
+  test("json_upper uppercases string values only, recursively") {
+    val in = """{"a":"x","n":1,"o":{"b":"y","arr":["z",{"c":"w"}]},"t":true,"nul":null}"""
+    val out = Seq(in).toDF("j").select(json_upper($"j")).as[String].head()
+    assert(out ===
+      """{"a":"X","n":1,"o":{"b":"Y","arr":["Z",{"c":"W"}]},"t":true,"nul":null}""")
+  }
+
+  test("json_upper tolerates malformed/empty input as null") {
+    val rows = Seq("not json", "", "{broken").toDF("j")
+      .select(json_upper($"j")).as[String].collect()
+    assert(rows.forall(_ == null))
+  }
+
+  test("json_upper is idempotent and preserves structure (property)") {
+    val keyGen = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5))
+    val strGen = Gen.alphaStr.map(_.take(10))
+    val jsonGen = for {
+      k1 <- keyGen; k2 <- keyGen.suchThat(_ != k1); v1 <- strGen; n <- Gen.chooseNum(-5, 5)
+    } yield s"""{"$k1":"$v1","$k2":$n,"arr":["$v1",$n]}"""
+    forAllSampled(jsonGen) { js =>
+      val once = JsonOps.upperJson(
+        org.apache.spark.unsafe.types.UTF8String.fromString(js))
+      val twice = JsonOps.upperJson(once)
+      assert(once != null)
+      assert(once.toString === twice.toString) // idempotent
+      // keys preserved (lowercase keys survive value-uppercasing)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val a = mapper.readTree(js); val b = mapper.readTree(once.toString)
+      assert(a.properties().size === b.properties().size)
+    }
+  }
+
+  // -- poly hash --------------------------------------------------------
+  test("poly_hash is stable and collision-free on the fixture docs") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val n = docs.count()
+    val distinctHashes = docs.select(poly_hash($"text")).distinct().count()
+    assert(distinctHashes === n) // all 500 distinct texts → distinct fingerprints
+    val h1 = docs.orderBy("doc_id").select(poly_hash($"text")).as[Long].head()
+    val h2 = docs.orderBy("doc_id").select(poly_hash($"text")).as[Long].head()
+    assert(h1 === h2)
+  }
+
+  // -- minhash ----------------------------------------------------------
+  test("minhash signature estimates jaccard within tolerance (property-ish)") {
+    def sig(tokens: Seq[String], k: Int): Array[Long] = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      HashOps.minHash(new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t)).toArray), k)
+        .toLongArray()
+    }
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (21 to 120).map(i => s"tok$i") // true jaccard = 80/120 = 0.667
+    val (sa, sb) = (sig(a, 256), sig(b, 256))
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.667) < 0.1)
+    // identical sets → identical signatures
+    assert(sig(a, 64).toSeq === sig(a, 64).toSeq)
+  }
+
+  // -- simhash ----------------------------------------------------------
+  test("simhash: near-identical token sets have small hamming distance") {
+    def fp(tokens: Seq[String]): Long = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      HashOps.simHash64(new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t)).toArray))
+    }
+    val base = (1 to 200).map(i => s"w$i")
+    val near = base.updated(0, "CHANGED").updated(1, "ALSO")
+    val far = (1000 to 1200).map(i => s"w$i")
+    assert(HashOps.hamming64(fp(base), fp(near)) <= 8)
+    assert(HashOps.hamming64(fp(base), fp(far)) > 10)
+  }
+
+  // -- vector ops -------------------------------------------------------
+  test("cosine_sim: self-similarity is clamped to 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("a", "b")
+    val got = df.select(cosine_sim($"a", $"b")).as[Double].collect()
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(got(2) === -1.0)
+    assert(got(3) === 0.0) // zero-norm guard
+  }
+
+  test("rp_bits is deterministic and preserves locality") {
+    val v = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val near = v.clone(); near(0) = near(0) + 0.001f
+    val df = Seq(v, near).toDF("v").select(rp_bits($"v", 16, 42L)).as[Long].collect()
+    assert(df(0) === df(1)) // tiny perturbation keeps the same bucket
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.kv._
+
+/** KV semantics spec, mirroring the reference's FSM tests
+  * (`/root/reference/internal/store/store_test.go:114-507` — the
+  * de-facto semantics spec per SURVEY §5). */
+class KvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parser: SET value is the space-joined remainder, may be empty") {
+    assert(StatementParser.parse("SET k v") === Right(SetStmt("k", "v")))
+    assert(StatementParser.parse("SET k a b  c") === Right(SetStmt("k", "a b c")))
+    assert(StatementParser.parse("SET k") === Right(SetStmt("k", "")))
+    assert(StatementParser.parse("  set k v ") === Right(SetStmt("k", "v")))
+  }
+
+  test("parser: DELETE/GET take exactly one key; garbage rejected") {
+    assert(StatementParser.parse("DELETE k") === Right(DeleteStmt("k")))
+    assert(StatementParser.parse("GET k") === Right(GetStmt("k")))
+    assert(StatementParser.parse("DELETE").isLeft)
+    assert(StatementParser.parse("GET a b").isLeft)
+    assert(StatementParser.parse("FROB x").isLeft) // store_test.go:214 invalid stmt
+    assert(StatementParser.parse("").isLeft)
+  }
+
+  test("engine: SET upserts, DELETE is idempotent, GET miss is empty") {
+    val eng = KvEngine(spark, Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value"))
+    val results = eng.execute(Seq(
+      SetStmt("k1", "v1b"),   // overwrite
+      SetStmt("k3", "new"),   // insert
+      DeleteStmt("k2"),       // delete existing
+      DeleteStmt("ghost")))   // delete missing — still rows_affected=1
+    assert(results.forall(r => r.rowsAffected == 1 && r.lastInsertId == 0))
+    val state = eng.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k1" -> "v1b", "k3" -> "new"))
+    // GET hit: typed table [key,value], one row (store_test.go:459)
+    val hit = eng.query(GetStmt("k1")).collect()
+    assert(hit.length === 1 && hit(0).getString(1) === "v1b")
+    // GET miss: empty table, not an error (store_test.go:496)
+    assert(eng.query(GetStmt("nope")).count() === 0)
+  }
+
+  test("engine: last write wins within one batch; empty value allowed") {
+    val eng = KvEngine.empty(spark)
+    eng.execute(Seq(SetStmt("k", "first"), SetStmt("k", "second"), SetStmt("e", "")))
+    val state = eng.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("k" -> "second", "e" -> ""))
+  }
+
+  test("engine: set-then-delete-then-set in one batch resolves to final set") {
+    val eng = KvEngine.empty(spark)
+    eng.execute(Seq(SetStmt("k", "a"), DeleteStmt("k"), SetStmt("k", "b")))
+    assert(eng.state.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("k", "b")))
+  }
+
+  test("state round-trips through parquet persistence") {
+    val eng = KvEngine.empty(spark)
+    eng.execute(Seq(SetStmt("a", "1"), SetStmt("b", "2")))
+    val path = java.nio.file.Files.createTempDirectory("kv").toString + "/state"
+    KvEngine.save(eng.state, path)
+    val loaded = KvEngine.load(spark, path)
+    assert(loaded.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      === Map("a" -> "1", "b" -> "2"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.ConfigParser
+import graft.pipeline.Engine
+import graft.sinks.EsLikeSink
+
+/** Pipeline assembly + batch dataflow spec (reference C1/C2 +
+  * pipeline_test.go's lifecycle cases). */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graftpipe").toString
+
+  test("config: parses the reference's {source, sink} create body (A1)") {
+    val spec = ConfigParser.parsePipelineSpec(
+      """{"source": {"name": "MongoDb User Data", "type": "mongodb",
+        |  "key": "mongo_user_pipeline",
+        |  "config": {"uri": "mongodb://x", "load_initial_data": "true"}},
+        | "sink": {"name": "File out", "type": "file",
+        |  "key": "mongo_user_pipeline", "config": {"file_path": "/tmp/o"}}}""".stripMargin)
+    assert(spec.source.connectionType === "mongodb")
+    assert(spec.source.config("load_initial_data") === "true")
+    assert(spec.sink.config("file_path") === "/tmp/o")
+    assert(spec.source.key === spec.sink.key)
+  }
+
+  test("config: file-level sources/sinks pair by key (config.go:90-149)") {
+    val specs = ConfigParser.parseConfigFile(
+      """{"sources": [{"name":"a","type":"file","key":"k1","config":{"path":"/a"}},
+        |             {"name":"b","type":"file","key":"k2","config":{"path":"/b"}}],
+        | "sinks":   [{"name":"out","type":"file","key":"k1","config":{"file_path":"/o"}}]}"""
+        .stripMargin)
+    assert(specs.map(_.source.name) === Seq("a")) // k2 has no sink partner
+  }
+
+  test("batch pipeline: file source → uppercase transform → NDJSON sink") {
+    val in = tmp(); val out = tmp() + "/out"
+    // two NDJSON payload lines (the wire Job payload shape)
+    Files.write(java.nio.file.Paths.get(in, "data.jsonl"),
+      java.util.List.of(
+        """{"user":"ada","n":1}""",
+        """{"user":"grace","tags":["x","y"]}"""))
+    val engine = new Engine(spark)
+    engine.runBatch(ConfigParser.parsePipelineSpec(
+      s"""{"source": {"name":"in","type":"file","key":"p1",
+         |  "config": {"path": "$in", "transforms": "uppercase"}},
+         | "sink": {"name":"out","type":"file","key":"p1",
+         |  "config": {"file_path": "$out"}}}""".stripMargin))
+    val lines = spark.read.text(out).as[String].collect().sorted
+    assert(lines.length === 2)
+    // sink wraps the payload column as JSON; string values uppercased
+    assert(lines.exists(_.contains("ADA")))
+    assert(lines.exists(l => l.contains("GRACE") && l.contains("X")))
+  }
+
+  test("invalid source/sink types fail like the reference factory") {
+    val engine = new Engine(spark)
+    val bad = ConfigParser.parsePipelineSpec(
+      """{"source": {"name":"x","type":"mysql","key":"k","config":{}},
+        | "sink": {"name":"y","type":"file","key":"k","config":{"file_path":"/o"}}}""".stripMargin)
+    val e = intercept[IllegalArgumentException](engine.runBatch(bad))
+    assert(e.getMessage.contains("invalid source type")) // config.go:265-267
+  }
+
+  test("es-like sink: upsert by _id is idempotent, latest wins") {
+    val index = tmp() + "/index"
+    val b1 = Seq("""{"_id":"1","v":"a"}""", """{"_id":"2","v":"b"}""").toDF("payload")
+    val b2 = Seq("""{"_id":"2","v":"b2"}""", """{"_id":"3","v":"c"}""").toDF("payload")
+    EsLikeSink.upsertBatch(b1, index, "_id")
+    EsLikeSink.upsertBatch(b2, index, "_id")
+    val docs = spark.read.parquet(index)
+      .select(col("__id"), get_json_object(col("payload"), "$.v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs === Map("1" -> "a", "2" -> "b2", "3" -> "c"))
+  }
+
+  test("engine status/readyz surface (C4/C5)") {
+    val engine = new Engine(spark)
+    assert(engine.ready)
+    assert(engine.status().isEmpty)
+    assert(!engine.deletePipeline("nope"))
+  }
+}
