@@ -32,6 +32,18 @@ final case class ExecResult(
     rowsAffected: Long = 1L,
     error: Option[String] = None)
 
+/** Q9: read-consistency options (`internal/http/query_params.go:152-166`,
+  * `store.go:2096-2118`). Spark has a single source of truth, so these
+  * are accepted and recorded but have no effect — documented parity
+  * per SURVEY §2.5 Q9. */
+final case class ReadConsistency(
+    level: String = "none", // none | weak | strong | auto
+    freshness: Option[java.time.Duration] = None,
+    freshnessStrict: Boolean = false) {
+  require(Set("none", "weak", "strong", "auto").contains(level),
+    s"invalid consistency level '$level'")
+}
+
 object StatementParser {
   /** Whitespace-fields tokenization, as in Go's `strings.Fields`. */
   def parse(stmt: String): Either[String, Statement] = {
@@ -94,8 +106,11 @@ final class KvEngine(spark: SparkSession, initial: DataFrame) {
     }
   }
 
-  /** Point lookup: `columns=[key,value]`, empty on miss. */
-  def query(get: GetStmt): DataFrame =
+  /** Point lookup: `columns=[key,value]`, empty on miss. The
+    * consistency option is accepted-and-ignored (Q9; Spark is the
+    * single source of truth). */
+  def query(get: GetStmt,
+      consistency: ReadConsistency = ReadConsistency()): DataFrame =
     stateDf.filter(col("key") === lit(get.key)).select(col("key"), col("value"))
 }
 

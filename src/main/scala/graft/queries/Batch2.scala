@@ -348,5 +348,21 @@ object Batch2 {
              |      ORDER BY ts, event_id) AS rn
              |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
       "keep-first dedup (dropDuplicatesWithinWatermark batch twin)"),
+
+    // ---- Q8: parameterized statements (request_parser.go:28-229) via
+    //      Spark's named-parameter SQL
+    "param_sql" -> Q(
+      (s, dir) => {
+        events(s, dir).createOrReplaceTempView("events_v")
+        s.sql(
+          """SELECT event_id, event_type, value FROM events_v
+            |WHERE value >= :lo AND value < :hi AND event_type = :t
+            |ORDER BY event_id""".stripMargin,
+          Map("lo" -> Int.box(50), "hi" -> Int.box(150), "t" -> "purchase"))
+      },
+      Some("""SELECT event_id, event_type, value FROM events
+             |WHERE value >= 50 AND value < 150 AND event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin),
+      "named-parameter SQL (reference Q8, typed params int/float/bool/bytes/string/null)"),
   )
 }

@@ -314,19 +314,30 @@ object Batch3 {
           .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
           .withColumn("sig", minhash_sig(col("sh"), k))
+        // Stage 1 — candidate generation: band join over (band, hash)
+        // carrying ONLY ids. Shingle arrays must not ride through the
+        // band join: a pair colliding in b bands would otherwise be
+        // verified b times, each dragging two fat arrays through the
+        // shuffle (profiled: single-task ArrayIntersect grind at sf0.1).
         val bandCols = (0 until bands).map(b =>
           xxhash64(concat_ws("_", slice(col("sig"), b * (k / bands) + 1, k / bands))))
-        val banded = docs.select(col("doc_id"), col("n_sh"), col("sh"),
+        val banded = docs.select(col("doc_id"),
           posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-        val l = banded.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
-          col("sh").as("sh_a"), col("band"), col("band_hash"))
-        val r = banded.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
-          col("sh").as("sh_b"), col("band"), col("band_hash"))
-        l.join(r, Seq("band", "band_hash"))
+        val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
+            Seq("band", "band_hash"))
           .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+        // Stage 2 — verify each unique candidate pair exactly once.
+        val byId = docs.select(col("doc_id"), col("n_sh"), col("sh"))
+        candidates
+          .join(byId.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+            col("sh").as("sh_a")), "doc_a")
+          .join(byId.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+            col("sh").as("sh_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
             size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
-          .distinct()
           .withColumn("jaccard",
             col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= 0.8)
@@ -341,19 +352,22 @@ object Batch3 {
       (s, dir) => {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), simhash64(toks(col("text"))).as("fp"))
+        // ids-only band join → distinct pairs → verify once (same
+        // two-stage shape as minhash-LSH)
         val fpBands = (0 until 4).map(b =>
           shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)))
-        val banded = docs.select(col("doc_id"), col("fp"),
+        val banded = docs.select(col("doc_id"),
           posexplode(array(fpBands: _*)).as(Seq("band", "band_val")))
-        val l = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-          col("band"), col("band_val"))
-        val r = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-          col("band"), col("band_val"))
-        l.join(r, Seq("band", "band_val"))
+        val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_val"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_val")),
+            Seq("band", "band_val"))
           .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        candidates
+          .join(docs.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 4)
           .orderBy("doc_a", "doc_b")
       },

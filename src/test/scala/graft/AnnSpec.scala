@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Ann
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+  private lazy val query: Array[Float] = emb.filter($"vec_id" === 7)
+    .select("embedding").as[Array[Float]].head()
+
+  test("brute-force top-k: self first, scores non-increasing") {
+    val top = Ann.bruteForce(emb, "embedding", query, 10).collect()
+    assert(top.head.getAs[Long]("vec_id") === 7L)
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("IVF search recalls most of the exact top-k with nprobe << k") {
+    val exact = Ann.bruteForce(emb, "embedding", query, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val index = Ann.buildIvf(emb, "embedding", k = 16)
+    // all rows assigned, clusters cover the table
+    assert(index.assigned.count() === emb.count())
+    assert(index.centers.length === 16)
+    val approx = Ann.searchIvf(index, "embedding", query, topK = 10, nprobe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & approx).size >= 5) // >=50% recall probing 1/4 of clusters
+    assert(approx.contains(7L)) // the query's own cluster is always probed
+  }
+
+  test("IVF scan prunes to the probed clusters only") {
+    val index = Ann.buildIvf(emb, "embedding", k = 8)
+    val probedOne = Ann.searchIvf(index, "embedding", query, topK = 5, nprobe = 1)
+    val cnt = index.assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // result rows all come from a single cluster
+    val clusters = probedOne.select("cluster").distinct().collect().map(_.getInt(0))
+    assert(clusters.length === 1)
+    assert(cnt(clusters.head) >= 5 || probedOne.count() === cnt(clusters.head))
+  }
+}
