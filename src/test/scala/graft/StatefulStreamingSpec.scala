@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StatefulKv
+import graft.streaming.StatefulKv.KvOp
+
+class StatefulStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graftsks").toString
+
+  test("stateful KV: statement stream materializes per-key state across batches") {
+    val dir = tmp()
+    // batch 0
+    Files.write(Paths.get(dir, "b0.jsonl"), java.util.List.of(
+      """{"key":"a","op":"set","value":"1","seq":1}""",
+      """{"key":"b","op":"set","value":"x","seq":2}""",
+      """{"key":"a","op":"set","value":"2","seq":3}"""))
+    val ops = spark.readStream.text(dir).select(
+      get_json_object($"value", "$.key").as("key"),
+      get_json_object($"value", "$.op").as("op"),
+      get_json_object($"value", "$.value").as("value"),
+      get_json_object($"value", "$.seq").cast("long").as("seq")).as[KvOp]
+    val updates = StatefulKv.materialize(spark, ops)
+    val q = updates.writeStream.format("memory").queryName("kv_updates")
+      .outputMode("append").option("checkpointLocation", tmp() + "/ck").start()
+    q.processAllAvailable()
+    val afterB0 = spark.table("kv_updates").as[(String, String, Boolean)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(afterB0 === Map("a" -> (("2", true)), "b" -> (("x", true))))
+    // batch 1: overwrite b, delete a — state carries across batches
+    Files.write(Paths.get(dir, "b1.jsonl"), java.util.List.of(
+      """{"key":"b","op":"set","value":"y","seq":4}""",
+      """{"key":"a","op":"delete","value":"","seq":5}"""))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("kv_updates").as[(String, String, Boolean)].collect()
+    val lastPerKey = all.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, vs) => k -> vs.maxBy(_._2)._1 }
+    assert(lastPerKey("b") === (("b", "y", true)))
+    assert(lastPerKey("a")._3 === false) // retraction emitted for DELETE
+  }
+
+  test("stream-stream join with watermarks (roadmap 'JOIN across streams')") {
+    val dirL = tmp(); val dirR = tmp()
+    Files.write(Paths.get(dirL, "l.jsonl"), java.util.List.of(
+      """{"id":"1","t":"2024-01-01T00:00:10Z","side":"l1"}""",
+      """{"id":"2","t":"2024-01-01T00:00:20Z","side":"l2"}"""))
+    Files.write(Paths.get(dirR, "r.jsonl"), java.util.List.of(
+      """{"id":"1","t":"2024-01-01T00:00:15Z","side":"r1"}""",
+      """{"id":"3","t":"2024-01-01T00:00:25Z","side":"r3"}"""))
+    def side(dir: String, idc: String, tc: String, vc: String) =
+      spark.readStream.text(dir).select(
+        get_json_object($"value", "$.id").as(idc),
+        to_timestamp(get_json_object($"value", "$.t"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as(tc),
+        get_json_object($"value", "$.side").as(vc))
+        .withWatermark(tc, "1 minute")
+    val joined = side(dirL, "lid", "lt", "lv").join(
+      side(dirR, "rid", "rt", "rv"),
+      expr("lid = rid AND rt BETWEEN lt - INTERVAL 30 SECONDS AND lt + INTERVAL 30 SECONDS"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").select("lid", "lv", "rv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(("1", "l1", "r1"))) // only key 1 matches in-window
+  }
+}
