@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.cosine_sim
+import graft.queries.Catalog.{Q, table, events}
+
+/** Query batch 4: wider SQL surface (cube, pivot, more window
+  * functions, scalar subqueries) and more training-data ops (k-NN
+  * join, token frequencies, per-language stats, embedding norms). */
+object Batch4 {
+
+  private val d4 = DecimalType(18, 4)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(d4)
+  private def decSql(c: String) = s"CAST($c AS DECIMAL(18,4))"
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- CUBE grouping sets
+    "cube_agg" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  CAST(sum(${decSql("l_quantity")}) AS DOUBLE) AS sum_qty
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "CUBE grouping sets"),
+
+    // ---- manual pivot (conditional aggregation — engine-portable)
+    "pivot_events" -> Q(
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"n_$t"))
+        events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+             |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+             |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "pivot via conditional aggregation"),
+
+    // ---- ntile / first_value / last_value windows (explicit ROWS frame)
+    "win_ntile_bounds" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            ntile(4).over(w).as("quartile"),
+            first(col("c_custkey")).over(frame).as("richest"),
+            last(col("c_custkey")).over(frame).as("poorest"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+             |  ntile(4) OVER w AS quartile,
+             |  first_value(c_custkey) OVER
+             |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+             |  last_value(c_custkey) OVER
+             |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin),
+      "ntile + unbounded-frame first/last value"),
+
+    // ---- correlated scalar subquery (customers above their nation's avg)
+    "scalar_subquery" -> Q(
+      (s, dir) => {
+        val cust = table(s, dir, "customer")
+        val avgByNation = cust.groupBy(col("c_nationkey").as("nk"))
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("nation_avg"))
+        cust.join(broadcast(avgByNation), col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+              |WHERE c_acctbal > (
+              |  SELECT CAST(sum(${decSql("c_acctbal")}) AS DOUBLE) / count(*)
+              |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+              |ORDER BY c_custkey""".stripMargin),
+      "correlated scalar subquery = broadcast agg join (Catalyst would decorrelate identically)"),
+
+    // ---- k-NN join: top-3 neighbors for each of a query set
+    "ann_knn_join" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine_sim(col("embedding"), col("qvec")).as("score"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("qid", "rk")
+      },
+      Some("""SELECT qid, vec_id, score, rk FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])) AS score,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
+             |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+      "k-NN join: per-query top-k neighbors (broadcast query set, window rank)"),
+
+    // ---- corpus token frequencies (top 50)
+    "top_tokens" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin),
+      "corpus token frequency (explode + count + top-k)"),
+
+    // ---- per-language corpus stats
+    "doc_stats_by_lang" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+             |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+             |  count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "per-language corpus statistics"),
+
+    // ---- embedding L2 norms (higher-order functions, double math)
+    "embedding_norms" -> Q(
+      (s, dir) => {
+        table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            sqrt(aggregate(col("embedding").cast("array<double>"),
+              lit(0.0), (acc, x) => acc + x * x)).as("l2_norm"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> x * x))) AS l2_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      "L2 norms via higher-order aggregate (codegen'd, no UDF)"),
+  )
+}

@@ -252,7 +252,8 @@ object Catalog {
       "dot-path JSON extraction (reference getSubJSON, internal/http/service.go:1715-1751)"),
   )
 
-  def full: Seq[(String, Q)] = all ++ Batch2.entries ++ Batch3.entries
+  def full: Seq[(String, Q)] =
+    all ++ Batch2.entries ++ Batch3.entries ++ Batch4.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     full.map { case (n, q) => n -> q.build }.toMap
