@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale levers for skew and co-location — the knobs a 100 TB
+  * deployment turns when AQE's automatic handling isn't enough.
+  *
+  * - Salted two-phase aggregation: a hot key (one user producing 10% of
+  *   all events) makes one reducer the straggler. Salting splits each
+  *   key across `buckets` partial groups, then merges — shuffle #1
+  *   carries (key, salt) groups, shuffle #2 only `buckets` rows per hot
+  *   key.
+  * - Salted join: replicate the SMALL side across salts so the big
+  *   side's hot key spreads over `buckets` tasks. (AQE skew-join splits
+  *   oversized partitions at runtime; explicit salting is for when the
+  *   skew is in a single key, which AQE cannot split.)
+  * - Bucketed co-located join: pre-bucket both tables on the join key →
+  *   the join needs no Exchange at read time (verified in spec).
+  */
+object Scale {
+
+  /** Two-phase (salted) sum/count aggregation over possibly-skewed keys.
+    * Result equals a direct groupBy(keys).agg(sum/count) exactly for
+    * these decomposable aggregates. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], sumCol: String,
+      buckets: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(sum(col(sumCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__psum")).as(s"sum_$sumCol"), sum(col("__pcnt")).as("n"))
+  }
+
+  /** Salted equi-join: `big` (skewed) joined to `small` on `key`.
+    * The small side is replicated `buckets` times; the big side gets a
+    * deterministic-per-row salt, so one hot key spreads across
+    * `buckets` reducers. Inner join semantics preserved. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Persist a DataFrame bucketed by `key` as a managed table (the
+    * co-location primitive: two tables bucketed the same way join
+    * without any Exchange). */
+  def writeBucketed(df: DataFrame, key: String, numBuckets: Int,
+      tableName: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

@@ -344,8 +344,21 @@ object Batch3 {
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
-      None,
-      "MinHash + banded LSH candidate pruning + exact verify (spec: matches exact Jaccard pairs at 0.8)"),
+      // Oracle = ALL pairs with true Jaccard >= 0.8. LSH candidates are a
+      // superset detection problem: with 32 bands x 4 rows, a j=0.8 pair
+      // is missed w.p. (1-0.8^4)^32 ~ 5e-8 (j=0.9: ~1e-13); the verify
+      // step removes false positives exactly. Equality with the exact
+      // pair set is also asserted by DedupSpec at two scale factors.
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
+      "MinHash + banded LSH candidate pruning + exact verify (matches exact Jaccard pairs at 0.8)"),
 
     // SimHash near-dup pairs (4x16-bit band join, hamming verify)
     "dedup_simhash" -> Q(
@@ -374,24 +387,44 @@ object Batch3 {
       None,
       "SimHash64 + 4x16-bit band join + Hamming<=4 verify (guaranteed recall at hamming<=3; spec-verified)"),
 
-    // Embedding near-dup via random-hyperplane LSH buckets
+    // Embedding near-dup via multi-table random-hyperplane LSH.
+    // 8 tables x 6 bits: P(detect | cos>=0.9) = 1-(1-(1-acos(.9)/pi)^6)^8
+    // ~ 0.98 — a single wide bucket would have ~8.5% recall.
     "dedup_embedding" -> Q(
       (s, dir) => {
+        val tables = 8
         val emb = table(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            rp_bits(col("embedding"), 16, 42L).as("bucket"))
-        val l = emb.select(col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"), col("bucket"))
-        val r = emb.select(col("vec_id").as("vec_b"),
-          col("embedding").as("emb_b"), col("bucket"))
-        l.join(r, "bucket")
+        val bucketCols = (0 until tables).map(t =>
+          rp_bits(col("embedding"), 6, 1000L + t))
+        val banded = emb.select(col("vec_id"),
+          posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+        val candidates = banded.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+          .join(banded.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
           .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+        candidates
+          .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+          .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
           .select(col("vec_a"), col("vec_b"),
             cosine_sim(col("emb_a"), col("emb_b")).as("cos"))
           .filter(col("cos") >= 0.9)
           .orderBy("vec_a", "vec_b")
       },
       None,
-      "embedding near-dup: RP-LSH bucket join + cosine verify (spec-verified)"),
+      "embedding near-dup: 8-table RP-LSH candidates + cosine verify (~98% recall at cos>=0.9; spec-verified)"),
+
+    // exact dedup on the documents table (hash-groupBy flavor)
+    "dedup_exact_docs" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keeper_id")
+      },
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin),
+      "exact dedup by content hash over documents"),
   )
 }

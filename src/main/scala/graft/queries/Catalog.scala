@@ -252,8 +252,12 @@ object Catalog {
       "dot-path JSON extraction (reference getSubJSON, internal/http/service.go:1715-1751)"),
   )
 
-  def full: Seq[(String, Q)] =
-    all ++ Batch2.entries ++ Batch3.entries ++ Batch4.entries
+  def full: Seq[(String, Q)] = {
+    val entries = all ++ Batch2.entries ++ Batch3.entries ++ Batch4.entries
+    val dupes = entries.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
+    entries
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     full.map { case (n, q) => n -> q.build }.toMap
