@@ -175,19 +175,26 @@ object Batch3 {
     // ---- exact n-gram Jaccard near-dup pairs via inverted-index join
     "dedup_ngram_jaccard" -> Q(
       (s, dir) => {
+        // Inverted index on xxhash64(shingle): the join shuffles 8-byte
+        // keys instead of ~25-byte strings, and doc sizes are joined
+        // AFTER the pair-count aggregation (a tiny dimension join)
+        // instead of widening every one of the Σdf² join rows. A hash
+        // collision could inflate an intersection count, with
+        // probability ~(distinct shingles)²/2⁶⁴ — ignorable.
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
-        val inv = docs.select(col("doc_id"), col("n_sh"),
+        val inv = docs.select(col("doc_id"),
           explode(col("sh")).as("shingle"))
-        val a = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
-          col("shingle"))
-        val b = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
-          col("shingle"))
-        a.join(b, "shingle")
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+        val sizes = docs.select(col("doc_id"), col("n_sh"))
+        inv.select(col("doc_id").as("doc_a"), col("shash"))
+          .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
           .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+          .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
           .withColumn("jaccard",
             col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= 0.5)
@@ -302,8 +309,26 @@ object Batch3 {
           .groupBy("partition").agg(count(lit(1)).as("n"))
           .orderBy("partition")
       },
-      None,
-      "FNV-1a 64 hash-partition fan-out (reference partition.go:28-56; unit-tested vs known vectors)"),
+      // FNV-1a 64 re-derived in DuckDB: recursive CTE over the distinct
+      // payloads, HUGEINT arithmetic mod 2^64, xor emulated on the low
+      // byte (FNV only xors the incoming byte). pmod(signed,8) ==
+      // unsigned%8 == low 3 bits. Verified equal to the Python
+      // reference implementation.
+      Some("""WITH RECURSIVE fnv(props, i, h) AS (
+             |  SELECT props, 1, CAST(14695981039346656037 AS HUGEINT)
+             |  FROM (SELECT DISTINCT props FROM events)
+             |  UNION ALL
+             |  SELECT props, i+1,
+             |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+             |        CAST(unicode(substr(props, i, 1)) AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616
+             |  FROM fnv WHERE i <= length(props)
+             |),
+             |final AS (SELECT props, h FROM fnv WHERE i = length(props) + 1)
+             |SELECT CAST(f.h % 8 AS BIGINT) AS partition, count(*) AS n
+             |FROM events e JOIN final f USING (props)
+             |GROUP BY 1 ORDER BY partition""".stripMargin),
+      "FNV-1a 64 hash-partition fan-out (reference partition.go:28-56; byte-exact in both engines)"),
 
     // MinHash-LSH near-dup pairs (banded signatures → verify)
     "dedup_minhash_lsh" -> Q(
