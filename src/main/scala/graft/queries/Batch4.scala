@@ -154,6 +154,24 @@ object Batch4 {
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       "per-language corpus statistics"),
 
+    // ---- heavy hitters via custom TypedImperativeAggregate. k=64
+    //      exceeds the corpus vocabulary (31), so Misra-Gries counts
+    //      are exact and the full token histogram is the oracle.
+    "heavy_hitter_tokens" -> Q(
+      (s, dir) => {
+        import graft.functions.HeavyHitters.heavy_hitters
+        table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .agg(heavy_hitters(col("token"), 64).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("token"), col("e.count").as("n"))
+          .orderBy(col("n").desc, col("token"))
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token""".stripMargin),
+      "Misra-Gries heavy hitters (custom TypedImperativeAggregate; exact when k >= |vocab|)"),
+
     // ---- embedding L2 norms (higher-order functions, double math)
     "embedding_norms" -> Q(
       (s, dir) => {
