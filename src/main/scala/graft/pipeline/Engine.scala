@@ -75,6 +75,18 @@ final class Engine(spark: SparkSession) {
   /** C5 readyz: the session is alive and able to schedule work. */
   def ready: Boolean = !spark.sparkContext.isStopped
 
+  /** C6 `/boot` (a 503 stub in the reference, service.go:802-819):
+    * boot every key-paired pipeline from a config file
+    * (`{"sources": [...], "sinks": [...]}`) — batch pipelines run now,
+    * streaming ones start and register. */
+  def bootFromConfigFile(json: String, streaming: Boolean = true): Seq[String] = {
+    val specs = ConfigParser.parseConfigFile(json)
+    specs.map { spec =>
+      if (streaming) { createPipeline(spec); spec.source.key }
+      else { runBatch(spec); spec.source.key }
+    }
+  }
+
   def activeKeys: Seq[String] = running.keys.toSeq
 
   def stopAll(): Unit = { running.keys.foreach(deletePipeline); }

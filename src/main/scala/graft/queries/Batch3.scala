@@ -439,6 +439,86 @@ object Batch3 {
       None,
       "embedding near-dup: 8-table RP-LSH candidates + cosine verify (~98% recall at cos>=0.9; spec-verified)"),
 
+    // Near-dup clustering: connected components over the >=0.5-Jaccard
+    // pair graph by iterative min-label propagation (6 rounds >> the
+    // fixture clusters' diameter; at scale run to convergence with a
+    // changed-count check — O(log n) rounds for path graphs, and real
+    // near-dup clusters are dense, so 2-3 rounds typical). Every doc
+    // reports its cluster representative (its own id when unique).
+    "dedup_clusters" -> Q(
+      (s, dir) => {
+        val pairs = Catalog.queries("dedup_ngram_jaccard")(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        // materialize the (small) edge set once — otherwise the whole
+        // pair-mining subtree re-executes in every propagation round
+        val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("u", "v")
+          .localCheckpoint(true)
+        // min-label propagation to a FIXPOINT: per round, truncate
+        // lineage (localCheckpoint) so round N+1 doesn't replay rounds
+        // 1..N, and stop when no label changes — the standard
+        // distributed connected-components loop (O(diameter) rounds).
+        val docs = table(s, dir, "documents").select(col("doc_id"))
+        var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val nmin = broadcast(edges)
+            .join(labels.select(col("doc_id").as("v"), col("rep").as("vrep")), "v")
+            .groupBy(col("u")).agg(min(col("vrep")).as("nrep"))
+          val next = labels
+            .join(nmin.select(col("u").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+            .localCheckpoint(true)
+          changed = next
+            .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
+            .filter(col("rep") =!= col("old")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |  WHERE jaccard >= 0.5),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+              |SELECT d.doc_id,
+              |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
+              |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+      "near-dup connected components (min-label propagation vs recursive-CTE oracle)"),
+
+    // IVF similarity search (KMeans coarse quantizer; not SQL-expressible
+    // -> rows-only here, recall-verified in AnnSpec)
+    "ann_ivf_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val index = graft.ops.Ann.buildIvf(emb, "embedding", k = 16)
+        graft.ops.Ann.searchIvf(index, "embedding", q, topK = 20, nprobe = 4)
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      None,
+      "IVF ANN: KMeans coarse quantizer + nprobe cluster-pruned scan (AnnSpec-verified)"),
+
     // exact dedup on the documents table (hash-groupBy flavor)
     "dedup_exact_docs" -> Q(
       (s, dir) => {

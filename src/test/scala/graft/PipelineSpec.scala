@@ -78,6 +78,21 @@ class PipelineSpec extends SparkTestBase {
     assert(docs === Map("1" -> "a", "2" -> "b2", "3" -> "c"))
   }
 
+  test("boot from config file runs every key-paired pipeline (C6)") {
+    val in = tmp(); val out = tmp() + "/boot_out"
+    Files.write(java.nio.file.Paths.get(in, "d.jsonl"),
+      java.util.List.of("""{"x":"boot me"}"""))
+    val engine = new Engine(spark)
+    val keys = engine.bootFromConfigFile(
+      s"""{"sources": [{"name":"s","type":"file","key":"bk",
+         |    "config":{"path":"$in","transforms":"uppercase"}}],
+         | "sinks":   [{"name":"o","type":"file","key":"bk",
+         |    "config":{"file_path":"$out"}}]}""".stripMargin,
+      streaming = false)
+    assert(keys === Seq("bk"))
+    assert(spark.read.text(out).as[String].head().contains("BOOT ME"))
+  }
+
   test("engine status/readyz surface (C4/C5)") {
     val engine = new Engine(spark)
     assert(engine.ready)
