@@ -55,6 +55,17 @@ object Multimodal {
       })
   }
 
+  /** STUB resize: recompute target dimensions preserving aspect ratio
+    * (the arithmetic a real resizer performs before touching pixels;
+    * the pixel resample itself would live in the decode kernel). */
+  def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("fake_width"),
+      lit(maxH.toDouble) / col("fake_height"), lit(1.0))
+    df.withColumn("out_width", floor(col("fake_width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("fake_height") * scale).cast("int"))
+  }
+
   /** STUB frame sampling: a video becomes `n` evenly-spaced "frames"
     * (byte slices stand in for decoded frames). Output explodes rows —
     * the shape a real frame sampler has. */

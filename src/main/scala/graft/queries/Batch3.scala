@@ -184,9 +184,15 @@ object Batch3 {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
+        // Materialize the inverted index once (it's consumed by both
+        // self-join sides; without this the shingle-generation HOFs run
+        // twice). The index is ~16 bytes/row — far smaller than the
+        // corpus — so the executor-storage cost is the cheap side of
+        // the tradeoff at any scale.
         val inv = docs.select(col("doc_id"),
           explode(col("sh")).as("shingle"))
           .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+          .localCheckpoint(true)
         val sizes = docs.select(col("doc_id"), col("n_sh"))
         inv.select(col("doc_id").as("doc_a"), col("shash"))
           .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")

@@ -27,6 +27,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("resizeMeta preserves aspect ratio and never upscales") {
+    val df = Seq((1920, 1080), (100, 50), (640, 4800)).toDF("fake_width", "fake_height")
+    val got = Multimodal.resizeMeta(df, 640, 480).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got(0) === ((1920, 1080, 640, 360)))   // downscale by width
+    assert(got(1) === ((100, 50, 100, 50)))       // no upscale
+    assert(got(2) === ((640, 4800, 64, 480)))     // downscale by height
+  }
+
   test("sampleFrames explodes n frames per video row") {
     val frames = Multimodal.sampleFrames(media().filter($"media_id" < 3), 4)
     assert(frames.count() === 8)
