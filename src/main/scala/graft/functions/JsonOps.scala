@@ -28,7 +28,7 @@ object JsonOps {
   private def upperNode(node: JsonNode): JsonNode = node match {
     case t: TextNode => TextNode.valueOf(t.textValue().toUpperCase)
     case o: ObjectNode =>
-      val it = o.fields()
+      val it = o.properties().iterator()
       while (it.hasNext) {
         val e = it.next()
         e.setValue(upperNode(e.getValue))

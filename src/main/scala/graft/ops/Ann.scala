@@ -68,7 +68,7 @@ object Ann {
       .sortBy { case (c, _) => -cos(c, query) }
       .take(nprobe).map(_._2)
     bruteForce(
-      index.assigned.filter(col("cluster").isin(probed.map(Integer.valueOf): _*)),
+      index.assigned.filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)),
       embCol, query, topK)
   }
 }

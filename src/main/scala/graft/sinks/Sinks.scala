@@ -29,12 +29,12 @@ object Sinks {
 
   val batch: Map[String, BatchSink] = Map(
     "file" -> ((df, c) => // NDJSON, one doc per line (file.go:104-118)
-      df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
         .write.mode("append").text(path(c))),
     "parquet" -> ((df, c) => df.write.mode(
       c.config.getOrElse("mode", "append")).parquet(path(c))),
     "kafka" -> ((df, c) =>
-      df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
         .write.format("kafka")
         .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
         .option("topic", c.config.getOrElse("topic", "")).save()),
