@@ -60,6 +60,27 @@ object Batch3 {
       |     WHEN s_fr > 0 THEN 'fr'
       |     ELSE 'und' END""".stripMargin
 
+  /** Reusable oracle fragments (no ORDER BY) — shared with composed
+    * pipeline oracles in Batch4. */
+  val langOracle: String =
+    s"""SELECT doc_id, $langCase AS lang_pred, s_en, s_de FROM (
+       |  SELECT doc_id,
+       |    ${scoreExpr("en")} AS s_en, ${scoreExpr("de")} AS s_de,
+       |    ${scoreExpr("es")} AS s_es, ${scoreExpr("fr")} AS s_fr
+       |  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))""".stripMargin
+
+  val qualityOracle: String =
+    s"""SELECT doc_id,
+       |  0.4 * least(1.0, n_tok / 100.0)
+       |  + 0.3 * least(1.0, (stop_cnt / n_tok) * 4.0)
+       |  + 0.3 * least(1.0, (alpha_chars / n_tok) / 8.0) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    ${Seq(" the ", " a ", " of ", " and ").map(cnt).mkString(" + ")} AS stop_cnt,
+       |    length(replace(text, ' ', '')) AS alpha_chars
+       |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))""".stripMargin
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- text statistics
@@ -118,13 +139,7 @@ object Batch3 {
             col("s_en"), col("s_de"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH scored AS (
-              |  SELECT doc_id,
-              |    ${scoreExpr("en")} AS s_en, ${scoreExpr("de")} AS s_de,
-              |    ${scoreExpr("es")} AS s_es, ${scoreExpr("fr")} AS s_fr
-              |  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))
-              |SELECT doc_id, $langCase AS lang_pred, s_en, s_de
-              |FROM scored ORDER BY doc_id""".stripMargin),
+      Some(s"$langOracle\nORDER BY doc_id"),
       "marker-word language identification heuristic"),
 
     // ---- quality scoring
@@ -145,17 +160,7 @@ object Batch3 {
               .as("quality"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH f AS (
-              |  SELECT doc_id,
-              |    len(string_split(text, ' ')) AS n_tok,
-              |    ${Seq(" the ", " a ", " of ", " and ").map(cnt).mkString(" + ")} AS stop_cnt,
-              |    length(replace(text, ' ', '')) AS alpha_chars
-              |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))
-              |SELECT doc_id,
-              |  0.4 * least(1.0, n_tok / 100.0)
-              |  + 0.3 * least(1.0, (stop_cnt / n_tok) * 4.0)
-              |  + 0.3 * least(1.0, (alpha_chars / n_tok) / 8.0) AS quality
-              |FROM f ORDER BY doc_id""".stripMargin),
+      Some(s"$qualityOracle\nORDER BY doc_id"),
       "length/stopword/word-shape quality score"),
 
     // ---- document fingerprints (md5 oracle-matched; poly rolling hash

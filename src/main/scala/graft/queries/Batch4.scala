@@ -172,6 +172,112 @@ object Batch4 {
              |GROUP BY token ORDER BY n DESC, token""".stripMargin),
       "Misra-Gries heavy hitters (custom TypedImperativeAggregate; exact when k >= |vocab|)"),
 
+    // ---- asymmetric containment (near-dup literature's second metric:
+    //      inter/min(|A|,|B|) — catches subset-style duplication that
+    //      Jaccard under-scores). Same inverted-index shape as
+    //      dedup_ngram_jaccard.
+    "dedup_containment" -> Q(
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val sh = array_distinct(transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        val docs = Catalog.table(s, dir, "documents")
+          .select(col("doc_id"), sh.as("sh"))
+          .withColumn("n_sh", size(col("sh")))
+        val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+        val sizes = docs.select(col("doc_id"), col("n_sh"))
+        inv.select(col("doc_id").as("doc_a"), col("shash"))
+          .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .withColumn("containment",
+            col("inter").cast("double") / least(col("na"), col("nb")))
+          .filter(col("containment") >= 0.7)
+          .select(col("doc_a"), col("doc_b"), col("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+             |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+             |  FROM documents)
+             |SELECT doc_a, doc_b, containment FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |      least(len(a.sh), len(b.sh)) AS containment
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |WHERE containment >= 0.7 ORDER BY doc_a, doc_b""".stripMargin),
+      "shingle containment pairs (asymmetric near-dup metric)"),
+
+    // ---- per-day top event per user (windowed top-k over time buckets)
+    "win_topk_per_day" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("value").desc, col("event_id"))
+        events(s, dir)
+          .withColumn("day", date_trunc("day", col("ts")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("day"), col("event_id"), col("value"))
+          .orderBy("user_id", "day")
+      },
+      Some("""SELECT user_id, day, event_id, value FROM (
+             |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |    event_id, value,
+             |    row_number() OVER (PARTITION BY user_id,
+             |      date_trunc('day', CAST(ts AS TIMESTAMP))
+             |      ORDER BY value DESC, event_id) AS rk
+             |  FROM events)
+             |WHERE rk = 1 ORDER BY user_id, day""".stripMargin),
+      "per-group-per-bucket top-k (windowed rank over time buckets)"),
+
+    // ---- the composed training-corpus pipeline: quality filter ->
+    //      language filter -> near-dup removal -> corpus stats
+    "pipeline_training_corpus" -> Q(
+      (s, dir) => {
+        val quality = Catalog.queries("quality_score")(s, dir)
+        val langs = Catalog.queries("lang_id")(s, dir).select(col("doc_id"), col("lang_pred"))
+        val dupLosers = Catalog.queries("dedup_ngram_jaccard")(s, dir)
+          .select(col("doc_b")).distinct()
+        Catalog.table(s, dir, "documents")
+          .join(quality, "doc_id")
+          .join(langs, "doc_id")
+          .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+          .join(dupLosers, col("doc_id") === col("doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some(s"""WITH q AS (${Batch3.qualityOracle}),
+              |l AS (${Batch3.langOracle}),
+              |s AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+              |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+              |  FROM documents),
+              |losers AS (
+              |  SELECT DISTINCT doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |  WHERE jaccard >= 0.5)
+              |SELECT count(*) AS n_docs, sum(d.n_chars) AS total_chars,
+              |  min(d.doc_id) AS first_doc
+              |FROM documents d
+              |JOIN q ON q.doc_id = d.doc_id
+              |JOIN l ON l.doc_id = d.doc_id
+              |WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
+              |  AND d.doc_id NOT IN (SELECT doc_b FROM losers)""".stripMargin),
+      "composed training-data pipeline: quality + language + near-dup filters -> corpus stats"),
+
+    // ---- embedding L2 norms (higher-order functions, double math)
+
     // ---- embedding L2 norms (higher-order functions, double math)
     "embedding_norms" -> Q(
       (s, dir) => {
