@@ -313,17 +313,24 @@ object Batch2 {
           .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
           .orderBy("user_id", "session_id")
       },
+      // Version-proof oracle: CAST(ts AS TIMESTAMP) truncates the
+      // parquet ns timestamps to the same us values Spark computes
+      // with; the gap test uses plain INTERVAL arithmetic instead of
+      // epoch_us (dialect-moving); and the window sum is CAST to
+      // BIGINT because DuckDB's sum(INTEGER) returns HUGEINT while
+      // Spark returns BIGINT (driver hash divergence otherwise).
       Some("""WITH flagged AS (
-             |  SELECT user_id, event_id, ts,
-             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
-             |      OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800 * 1000000
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+             |    CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER w IS NULL
+             |      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1) OVER w
+             |        > INTERVAL 1800 SECOND
              |      THEN 1 ELSE 0 END AS new_session
              |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
              |sessioned AS (
              |  SELECT user_id, event_id,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  min(event_id) AS first_event

@@ -69,17 +69,36 @@ object Batch3 {
        |    ${scoreExpr("es")} AS s_es, ${scoreExpr("fr")} AS s_fr
        |  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))""".stripMargin
 
+  // All literals explicitly CAST to DOUBLE: DuckDB parses bare `0.4`
+  // as DECIMAL and the decimal-vs-double arithmetic path has moved
+  // across DuckDB versions; pure-double ops mirror the Spark side's
+  // `0.4D` literals bit-for-bit on any version.
   val qualityOracle: String =
     s"""SELECT doc_id,
-       |  0.4 * least(1.0, n_tok / 100.0)
-       |  + 0.3 * least(1.0, (stop_cnt / n_tok) * 4.0)
-       |  + 0.3 * least(1.0, (alpha_chars / n_tok) / 8.0) AS quality
+       |  CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tok / CAST(100.0 AS DOUBLE))
+       |  + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), (stop_cnt / n_tok) * CAST(4.0 AS DOUBLE))
+       |  + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), (alpha_chars / n_tok) / CAST(8.0 AS DOUBLE)) AS quality
        |FROM (
        |  SELECT doc_id,
        |    len(string_split(text, ' ')) AS n_tok,
        |    ${Seq(" the ", " a ", " of ", " and ").map(cnt).mkString(" + ")} AS stop_cnt,
        |    length(replace(text, ' ', '')) AS alpha_chars
        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))""".stripMargin
+
+  /** The >=0.5-Jaccard near-dup pair set, memoized per (session, sf
+    * dir). Three downstream catalog queries (dedup_corpus,
+    * dedup_clusters, pipeline_training_corpus) consume the same pair
+    * graph; within one Verify/Bench run the mining subtree should
+    * execute once, not once per consumer. The checkpoint is LAZY —
+    * nothing runs at plan-construction time; the first consumer's
+    * action materializes it and later consumers read the truncated
+    * lineage. (dedup_ngram_jaccard itself stays un-memoized so its
+    * bench time reflects the real mining cost.) */
+  private val pairMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    pairMemo.computeIfAbsent((s, dir), _ =>
+      Catalog.queries("dedup_ngram_jaccard")(s, dir).localCheckpoint(false))
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -193,11 +212,13 @@ object Batch3 {
         // self-join sides; without this the shingle-generation HOFs run
         // twice). The index is ~16 bytes/row — far smaller than the
         // corpus — so the executor-storage cost is the cheap side of
-        // the tradeoff at any scale.
+        // the tradeoff at any scale. LAZY checkpoint: an eager one
+        // fires a Spark job at every plan CONSTRUCTION (even for
+        // .explain), which the round-1 bench paid repeatedly.
         val inv = docs.select(col("doc_id"),
           explode(col("sh")).as("shingle"))
           .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sizes = docs.select(col("doc_id"), col("n_sh"))
         inv.select(col("doc_id").as("doc_a"), col("shash"))
           .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
@@ -226,7 +247,7 @@ object Batch3 {
     // ---- dedup'd corpus: drop the higher-id member of each near-dup pair
     "dedup_corpus" -> Q(
       (s, dir) => {
-        val pairs = Catalog.queries("dedup_ngram_jaccard")(s, dir)
+        val pairs = ngramPairs(s, dir)
         table(s, dir, "documents")
           .join(pairs.select(col("doc_b")).distinct(),
             col("doc_id") === col("doc_b"), "left_anti")
@@ -451,31 +472,34 @@ object Batch3 {
       "embedding near-dup: 8-table RP-LSH candidates + cosine verify (~98% recall at cos>=0.9; spec-verified)"),
 
     // Near-dup clustering: connected components over the >=0.5-Jaccard
-    // pair graph by iterative min-label propagation (6 rounds >> the
-    // fixture clusters' diameter; at scale run to convergence with a
-    // changed-count check — O(log n) rounds for path graphs, and real
-    // near-dup clusters are dense, so 2-3 rounds typical). Every doc
-    // reports its cluster representative (its own id when unique).
+    // pair graph by iterative min-label propagation, run to a FIXPOINT
+    // (O(diameter) rounds; real near-dup clusters are dense, so 2-3
+    // rounds typical). Every doc reports its cluster representative
+    // (its own id when unique).
     "dedup_clusters" -> Q(
       (s, dir) => {
-        val pairs = Catalog.queries("dedup_ngram_jaccard")(s, dir)
-          .select(col("doc_a"), col("doc_b"))
+        val pairs = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
         // materialize the (small) edge set once — otherwise the whole
-        // pair-mining subtree re-executes in every propagation round
+        // pair-mining subtree re-executes in every propagation round.
+        // Plain shuffled join below, NOT broadcast: at 100 TB the
+        // near-dup pair graph is billions of edges and a broadcast
+        // (relayed through the driver) dies; the shuffle partitions on
+        // v/doc_id and AQE still turns it into a broadcast join when
+        // the edge set happens to be tiny.
         val edges = pairs.union(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("u", "v")
-          .localCheckpoint(true)
-        // min-label propagation to a FIXPOINT: per round, truncate
-        // lineage (localCheckpoint) so round N+1 doesn't replay rounds
-        // 1..N, and stop when no label changes — the standard
-        // distributed connected-components loop (O(diameter) rounds).
+          .localCheckpoint(false)
+        // per round, truncate lineage (localCheckpoint) so round N+1
+        // doesn't replay rounds 1..N, and stop when no label changes —
+        // the standard distributed connected-components loop.
         val docs = table(s, dir, "documents").select(col("doc_id"))
         var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
-          val nmin = broadcast(edges)
+        val maxRounds = 50
+        while (changed > 0 && rounds < maxRounds) {
+          val nmin = edges
             .join(labels.select(col("doc_id").as("v"), col("rep").as("vrep")), "v")
             .groupBy(col("u")).agg(min(col("vrep")).as("nrep"))
           val next = labels
@@ -489,6 +513,10 @@ object Batch3 {
           labels = next
           rounds += 1
         }
+        // never emit silently-wrong components: a diameter > maxRounds
+        // graph must fail loudly, not return half-propagated labels
+        require(changed == 0,
+          s"dedup_clusters: not converged after $maxRounds rounds ($changed labels still changing)")
         labels.select(col("doc_id"), col("rep").as("cluster_rep"))
           .orderBy("doc_id")
       },

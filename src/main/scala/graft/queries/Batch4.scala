@@ -148,7 +148,11 @@ object Batch4 {
             countDistinct(col("source")).as("n_sources"))
           .orderBy("lang")
       },
-      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      // NB: CAST(sum(...) AS BIGINT) — DuckDB's sum(INTEGER/BIGINT)
+      // returns HUGEINT while Spark returns BIGINT; the driver's hash
+      // canonicalizes them differently even when values are equal.
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
              |  count(DISTINCT source) AS n_sources
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
@@ -242,7 +246,7 @@ object Batch4 {
       (s, dir) => {
         val quality = Catalog.queries("quality_score")(s, dir)
         val langs = Catalog.queries("lang_id")(s, dir).select(col("doc_id"), col("lang_pred"))
-        val dupLosers = Catalog.queries("dedup_ngram_jaccard")(s, dir)
+        val dupLosers = Batch3.ngramPairs(s, dir)
           .select(col("doc_b")).distinct()
         Catalog.table(s, dir, "documents")
           .join(quality, "doc_id")
@@ -267,7 +271,8 @@ object Batch4 {
               |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
               |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
               |  WHERE jaccard >= 0.5)
-              |SELECT count(*) AS n_docs, sum(d.n_chars) AS total_chars,
+              |SELECT count(*) AS n_docs,
+              |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
               |  min(d.doc_id) AS first_doc
               |FROM documents d
               |JOIN q ON q.doc_id = d.doc_id
