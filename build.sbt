@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through RAW. The default
+// LoggedOutput strategy prefixes every stdout line with "[info] ",
+// which breaks consumers that parse Bench's single JSON line (the
+// round-2 bench emitted `[info] {...}` and the driver recorded
+// parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,17 +6,27 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, one warmup pass (JIT + codegen + file-listing
   * caches) then GRAFT_BENCH_PASSES timed passes (default 1),
   * materializing through the noop sink so the full plan executes
-  * without count()-style column pruning. A wall-clock deadline
-  * (GRAFT_BENCH_DEADLINE_SEC, default 900) stops remaining timed
-  * work early — the JSON line is ALWAYS emitted, falling back to
-  * warmup times for queries the deadline cut off. Prints ONE JSON
-  * line on stdout.
+  * without count()-style column pruning. Prints ONE JSON line on raw
+  * stdout (build.sbt routes forked output through un-prefixed).
   *
-  * Why min-per-query over passes: this host shows multi-minute
-  * CPU-steal bursts (shared infra); min over interleaved passes
-  * approximates the uncontended runtime. With the default single
-  * timed pass the total budget is ~2x one full catalog sweep, which
-  * fits the driver's timeout even under one noise burst.
+  * Robustness against this host's multi-minute CPU-steal bursts —
+  * the round-2 bench spent 1726 s in warmup alone:
+  *  - a wall-clock deadline (GRAFT_BENCH_DEADLINE_SEC, default 900)
+  *    is checked before EVERY query, warmup included;
+  *  - each query runs on a watchdogged thread: past
+  *    GRAFT_BENCH_QUERY_CAP_SEC (default 90) its Spark job group is
+  *    cancelled and the query is recorded in `capped` instead of
+  *    fabricating a time;
+  *  - the JSON line is ALWAYS emitted, with flags so consumers can
+  *    tell a clean run from a degraded one: `cut` (deadline hit),
+  *    `warmup_only` (queries whose value is the cold warmup time),
+  *    `capped` / `missing` (watchdogged / never ran), and
+  *    `amortized` (queries reading the shared memoized ngram-pair
+  *    subtree, so their warm times exclude the mining cost that
+  *    `dedup_ngram_jaccard` pays in full).
+  *
+  * Why min-per-query over passes: min over interleaved passes
+  * approximates the uncontended runtime under noise bursts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,6 +34,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "1").toInt
     val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "900").toLong
+    val capSec = sys.env.getOrElse("GRAFT_BENCH_QUERY_CAP_SEC", "90").toLong
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val spark = SparkSession.builder()
@@ -35,48 +46,88 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sc = spark.sparkContext
 
-    def runOnce(name: String, phase: String): Double = {
+    val capped = collection.mutable.LinkedHashSet.empty[String]
+
+    /** Run one query on a watchdogged thread. Returns Some(seconds) on
+      * success; None if the cap expired (job group cancelled + thread
+      * interrupted — covers multi-job queries like the CC loop) or the
+      * query failed. The cap shrinks near the deadline so one last
+      * slow query can't push the run past the driver's budget. */
+    def runCapped(name: String, phase: String): Option[Double] = {
+      val effCap = math.max(5L, math.min(capSec, deadlineSec - elapsed.toLong + 5))
+      val group = s"bench-$name-$phase"
+      val result = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
       val q0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - q0) / 1e9
-      System.err.println(f"[bench][$phase] $name $sec%.2f s (t=$elapsed%.0f s)")
-      sec
+      val worker = new Thread(() => {
+        try {
+          sc.setJobGroup(group, name, interruptOnCancel = true)
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          result.set(Some((System.nanoTime() - q0) / 1e9))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench][$phase] $name failed: ${e.getMessage}")
+        }
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(effCap * 1000)
+      if (worker.isAlive) {
+        System.err.println(
+          f"[bench][$phase] $name exceeded ${effCap}s cap — cancelling (t=$elapsed%.0f s)")
+        sc.cancelJobGroup(group)
+        worker.interrupt()
+        worker.join(30000)
+        capped += name
+        None
+      } else {
+        result.get().map { sec =>
+          System.err.println(f"[bench][$phase] $name $sec%.2f s (t=$elapsed%.0f s)")
+          sec
+        }
+      }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Phase 1: warm up EVERYTHING first (JIT compilation of Spark's own
     // hot paths dominates the first ~30s of a fresh JVM; interleaving
     // warmup and timing attributes that storm to whichever queries run
-    // early). Warmup times are recorded as a fallback in case the
-    // deadline cuts a query's timed pass.
-    val best = collection.mutable.LinkedHashMap.empty[String, Double]
+    // early). Warmup times are the fallback for queries the deadline
+    // later cuts off. Warmup itself obeys the deadline: past it,
+    // remaining queries go straight to the timed phase un-warmed.
+    var cut = false
+    val warm = collection.mutable.LinkedHashMap.empty[String, Double]
+    val timed = collection.mutable.LinkedHashMap.empty[String, Double]
     for (name <- names) {
-      try best(name) = runOnce(name, "warmup")
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      if (elapsed >= deadlineSec) cut = true
+      else runCapped(name, "warmup").foreach(warm(name) = _)
     }
     // Phase 2: timed passes against a settled JVM, min per query,
-    // stopping (mid-pass if needed) once the deadline is reached.
-    var cut = false
-    for (i <- 1 to passes; name <- best.keys.toSeq) {
+    // stopping once the deadline is reached.
+    for (i <- 1 to passes; name <- names) {
       if (elapsed >= deadlineSec) {
         if (!cut) System.err.println(
           f"[bench] deadline ${deadlineSec}s reached at $elapsed%.0f s — emitting with times so far")
         cut = true
-      } else {
-        try { val s = runOnce(name, s"pass$i"); if (s < best(name)) best(name) = s }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed in pass$i: ${e.getMessage}") }
+      } else runCapped(name, s"pass$i").foreach { s =>
+        if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
       }
     }
+    val best = names.flatMap(n =>
+      timed.get(n).orElse(warm.get(n)).map(n -> _))
+    val warmupOnly = names.filter(n => !timed.contains(n) && warm.contains(n))
+    val missing = names.filterNot(n => timed.contains(n) || warm.contains(n))
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = best.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = best.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.map(_._2).sum
+    // Queries whose warm time reads the memoized >=0.5-Jaccard pair
+    // set (mined in full by dedup_ngram_jaccard) — see Batch3.ngramPairs.
+    val amortized = Seq("dedup_corpus", "dedup_clusters", "pipeline_training_corpus")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}""")
     spark.stop()
   }
 }
