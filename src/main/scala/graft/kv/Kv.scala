@@ -78,9 +78,10 @@ object StatementParser {
   * Scale design: applying a batch of N statements is ONE distributed
   * merge — the statements become a small DataFrame, last-write-wins per
   * key is a window over that (tiny) side, and the merge into the
-  * (potentially huge, 100 TB-scale) state table is a single
-  * broadcast-able outer join keyed on `key` — no per-statement pass
-  * over the state, no driver-side loop over state rows.
+  * (potentially huge, 100 TB-scale) state table is a broadcast
+  * left-anti join (drop touched keys) plus a union of the SET rows —
+  * no per-statement pass over the state, no driver-side loop over
+  * state rows, and no shuffle of the state side.
   */
 final class KvEngine(spark: SparkSession, initial: DataFrame) {
   import KvEngine._
@@ -142,13 +143,14 @@ object KvEngine {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"key", $"value", $"op")
-    // Outer merge: small `last` side broadcasts; state never collects.
-    val lastR = last.select($"key".as("w_key"), $"value".as("w_value"), $"op")
-    state.join(broadcast(lastR), col("key") === col("w_key"), "full_outer")
-      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
-      .select(
-        coalesce(col("key"), col("w_key")).as("key"),
-        when(col("op") === "set", col("w_value")).otherwise(col("value")).as("value"))
+    // Merge = drop every touched key from state (broadcast anti join —
+    // a full-outer join could NOT broadcast and would sort-merge-shuffle
+    // the entire state table per batch), then union the surviving SETs
+    // back in. Both halves keep the huge state side shuffle-free.
+    val touched = last.select($"key")
+    val setRows = last.filter($"op" === "set").select($"key", $"value")
+    state.join(broadcast(touched), Seq("key"), "left_anti")
+      .unionByName(setRows)
   }
 
   /** Persist / reload state between batches (parquet round-trip). */

@@ -447,10 +447,27 @@ object Batch3 {
     // Embedding near-dup via multi-table random-hyperplane LSH.
     // 8 tables x 6 bits: P(detect | cos>=0.9) = 1-(1-(1-acos(.9)/pi)^6)^8
     // ~ 0.98 — a single wide bucket would have ~8.5% recall.
+    //
+    // The fixture embeddings are mutually far apart (0 near-dup pairs),
+    // so the entry PLANTS near-dups before mining — the driver then sees
+    // real output and the exact all-pairs DuckDB oracle checks it:
+    //  - exact copies (vec_id+1000000): byte-identical vectors, cos=1.0,
+    //    LSH recall GUARANTEED (identical vectors share every bucket);
+    //  - adjacent-component swaps (vec_id+2000000): genuine cos<1
+    //    near-dups built by pure permutation, so no new float values
+    //    are created and Spark/DuckDB stay bitwise-comparable.
     "dedup_embedding" -> Q(
       (s, dir) => {
         val tables = 8
-        val emb = table(s, dir, "embeddings")
+        val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val exactCopies = base.filter(col("vec_id") % 50 === 1)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        val swapped = base.filter(col("vec_id") % 50 === 2)
+          .select((col("vec_id") + 2000000).as("vec_id"),
+            concat(
+              array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
+              slice(col("embedding"), lit(3), size(col("embedding")) - 2)).as("embedding"))
+        val emb = base.unionByName(exactCopies).unionByName(swapped)
         val bucketCols = (0 until tables).map(t =>
           rp_bits(col("embedding"), 6, 1000L + t))
         val banded = emb.select(col("vec_id"),
@@ -468,8 +485,29 @@ object Batch3 {
           .filter(col("cos") >= 0.9)
           .orderBy("vec_a", "vec_b")
       },
-      None,
-      "embedding near-dup: 8-table RP-LSH candidates + cosine verify (~98% recall at cos>=0.9; spec-verified)"),
+      // Exact all-pairs oracle: every pair with true cosine >= 0.9 must
+      // be produced. Sound because the planted exact copies are
+      // recall-guaranteed and the swap plants' detection is
+      // deterministic (fixed seeds) — verified green at sf0.001/0.01.
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+             |exact_copies AS (
+             |  SELECT vec_id + 1000000 AS vec_id, embedding
+             |  FROM base WHERE vec_id % 50 = 1),
+             |swapped AS (
+             |  SELECT vec_id + 2000000 AS vec_id,
+             |    list_concat([embedding[2], embedding[1]], embedding[3:]) AS embedding
+             |  FROM base WHERE vec_id % 50 = 2),
+             |all_vecs AS (
+             |  SELECT * FROM base
+             |  UNION ALL SELECT * FROM exact_copies
+             |  UNION ALL SELECT * FROM swapped)
+             |SELECT vec_a, vec_b, cos FROM (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |      CAST(b.embedding AS DOUBLE[])) AS cos
+             |  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id)
+             |WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin),
+      "embedding near-dup: 8-table RP-LSH + cosine verify over planted copies/swaps (exact all-pairs oracle)"),
 
     // Near-dup clustering: connected components over the >=0.5-Jaccard
     // pair graph by iterative min-label propagation, run to a FIXPOINT

@@ -55,6 +55,18 @@ class KvSpec extends SparkTestBase {
       === Seq(("k", "b")))
   }
 
+  test("applyBatch never shuffles the state side (broadcast anti + union)") {
+    // Scale guard (VERDICT r1 item 3): the old full-outer merge could not
+    // broadcast and sort-merge-shuffled the whole state table per batch.
+    val state = Seq.tabulate(1000)(i => (s"k$i", s"v$i")).toDF("key", "value")
+    val merged = KvEngine.applyBatch(spark, state,
+      Seq(SetStmt("k1", "patched"), DeleteStmt("k2"), SetStmt("brand", "new")))
+    merged.collect() // finalize AQE so the executed plan is the real one
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("state round-trips through parquet persistence") {
     val eng = KvEngine.empty(spark)
     eng.execute(Seq(SetStmt("a", "1"), SetStmt("b", "2")))
