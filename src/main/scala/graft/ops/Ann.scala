@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,26 +18,65 @@ import graft.functions.cosine_sim
   *    `nprobe` clusters — at 100 TB this is the difference between a
   *    full-table scan and touching `nprobe/k` of the data (with
   *    partition pruning doing the skipping via the `cluster` column).
+  *
+  * Scale design of the build (the round-1 version fit k-means on the
+  * FULL table through a per-row MLlib Vector UDF — a multi-pass scan of
+  * everything, at 100 TB a non-starter):
+  *  - the quantizer fits on a bounded SAMPLE (`maxFitRows`) — k-means
+  *    needs a sketch of the density, not every row; the sample is
+  *    l2-normalized so Euclidean k-means on it approximates spherical
+  *    (cosine) clustering, matching the cosine probe geometry;
+  *  - full-table assignment runs through the codegen'd [[cosine_sim]]
+  *    expression against the centers inlined as literals — one
+  *    whole-stage-codegen scan, no UDF, no MLlib on the big side;
+  *  - [[persistIvf]] writes the assignment `partitionBy("cluster")`
+  *    once, making every later search a partition-pruned scan
+  *    (build-once / search-many).
   */
 object Ann {
 
   final case class IvfIndex(centers: Array[Array[Float]], assigned: DataFrame)
 
-  private val toVec = udf((a: Seq[Float]) =>
-    Vectors.dense(a.map(_.toDouble).toArray))
+  /** Fit-side-only UDF: runs on at most `maxFitRows` sampled rows,
+    * never on the full table. Normalizes so the Euclidean k-means
+    * objective on the sample matches the cosine geometry of the probe. */
+  private val toUnitVec = udf((a: Seq[Float]) => {
+    val d = a.map(_.toDouble).toArray
+    val n = math.sqrt(d.map(x => x * x).sum)
+    Vectors.dense(if (n == 0.0) d else d.map(_ / n))
+  })
 
-  /** Fit a k-means coarse quantizer and assign every row to its
-    * nearest centroid. `assigned` keeps the original columns plus
-    * `cluster` — persist with `.write.partitionBy("cluster")` so
-    * searches prune partitions. */
-  def buildIvf(df: DataFrame, embCol: String, k: Int, seed: Long = 42L): IvfIndex = {
-    val featured = df.withColumn("__features", toVec(col(embCol)))
+  /** Assign every row to its max-cosine center via the codegen'd
+    * expression — the k·d center floats ride inside the generated code
+    * (literal folding), so executors need no broadcast and the scan
+    * stays in one WholeStageCodegen span. Ties resolve to the lowest
+    * cluster id (array_position returns the first match). */
+  def assignByCosine(df: DataFrame, embCol: String,
+      centers: Array[Array[Float]]): DataFrame = {
+    val sims = array(centers.map(c =>
+      cosine_sim(col(embCol), typedLit(c.toSeq))).toIndexedSeq: _*)
+    df.withColumn("cluster",
+      (array_position(sims, array_max(sims)) - 1).cast("int"))
+  }
+
+  /** Fit a k-means coarse quantizer on a bounded sample, then assign
+    * every row to its nearest (max-cosine) centroid. `assigned` keeps
+    * the original columns plus `cluster`. */
+  def buildIvf(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+      maxFitRows: Int = 100000): IvfIndex = {
+    // one column-pruned count to size the sample fraction (parquet
+    // answers this from footer metadata, not a data scan)
+    val n = df.count()
+    val frac = math.min(1.0, maxFitRows * 1.2 / math.max(1L, n))
+    val sample =
+      (if (frac < 1.0) df.sample(withReplacement = false, frac, seed) else df)
+        .select(col(embCol)).limit(maxFitRows)
+    val featured = sample.withColumn("__features", toUnitVec(col(embCol)))
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("cluster")
       .fit(featured)
-    val assigned = model.transform(featured).drop("__features")
     val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    IvfIndex(centers, assigned)
+    IvfIndex(centers, assignByCosine(df, embCol, centers))
   }
 
   /** Exact brute-force cosine top-k (baseline; also the in-cluster
@@ -52,7 +91,9 @@ object Ann {
 
   /** IVF search: rank centroids by cosine to the query (driver-side —
     * centers are k·d floats, trivially small), scan only the best
-    * `nprobe` clusters, brute-force within. */
+    * `nprobe` clusters, brute-force within. The query vector's own
+    * best cluster is by construction the top-ranked probe, so it is
+    * always scanned. */
   def searchIvf(index: IvfIndex, embCol: String, query: Array[Float],
       topK: Int, nprobe: Int): DataFrame = {
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -70,5 +111,26 @@ object Ann {
     bruteForce(
       index.assigned.filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)),
       embCol, query, topK)
+  }
+
+  /** Build-once / search-many: persist the assignment partitioned by
+    * cluster (searches then prune at the directory level) plus the
+    * centers as a tiny sidecar table. */
+  def persistIvf(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centers.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cluster", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfIndex = {
+    val centers = spark.read.parquet(s"$path/centers")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(centers, spark.read.parquet(s"$path/assigned"))
   }
 }

@@ -29,6 +29,23 @@ class AnnSpec extends SparkTestBase {
     assert(approx.contains(7L)) // the query's own cluster is always probed
   }
 
+  test("IVF index persists partitionBy(cluster) and reloads equivalently") {
+    val index = Ann.buildIvf(emb, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ann.persistIvf(index, path)
+    // partitioned layout: one cluster=N directory per non-empty cluster
+    val dirs = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster="))
+    assert(dirs.nonEmpty)
+    val loaded = Ann.loadIvf(spark, path)
+    assert(loaded.centers.map(_.toSeq).toSeq === index.centers.map(_.toSeq).toSeq)
+    val a = Ann.searchIvf(index, "embedding", query, topK = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val b = Ann.searchIvf(loaded, "embedding", query, topK = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(a === b)
+  }
+
   test("IVF scan prunes to the probed clusters only") {
     val index = Ann.buildIvf(emb, "embedding", k = 8)
     val probedOne = Ann.searchIvf(index, "embedding", query, topK = 5, nprobe = 1)
