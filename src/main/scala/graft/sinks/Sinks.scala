@@ -80,29 +80,69 @@ object Sinks {
 /** K3 semantics: idempotent upsert-by-id into a keyed parquet "index"
   * (stand-in for an Elasticsearch index; the ES REST call is the only
   * part stubbed — the dedup/merge plumbing is real). Latest write per
-  * id wins, matching ES document replacement. */
+  * id wins, matching ES document replacement.
+  *
+  * Scale design: the index is laid out as `__bucket=N/` partitions,
+  * `__bucket = pmod(xxhash64(__id), numBuckets)`. A micro-batch reads
+  * and rewrites ONLY the buckets its ids hash into (partition pruning
+  * skips the rest at the scan, per-bucket directory swap skips them at
+  * the write) — per-batch cost is O(touched buckets), not O(index).
+  * The round-1 version rewrote the whole index every batch. */
 object EsLikeSink {
-  def upsertBatch(df: DataFrame, indexPath: String, idField: String): Unit = {
+  def upsertBatch(df: DataFrame, indexPath: String, idField: String,
+      numBuckets: Int = 16): Unit = {
     val spark = df.sparkSession
-    val withId = df.withColumn("__id",
-      coalesce(get_json_object(col(df.columns.head), s"$$.$idField"),
-        col(df.columns.head)))
+    val withId = df
+      .withColumn("__id",
+        coalesce(get_json_object(col(df.columns.head), s"$$.$idField"),
+          col(df.columns.head)))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("__id")), lit(numBuckets)).cast("int"))
+    // touched bucket ids: at most numBuckets scalars — not a data collect
+    val touched = withId.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
     val existing =
       try spark.read.parquet(indexPath)
       catch { case _: Exception => spark.emptyDataFrame }
-    val merged =
-      if (existing.isEmpty || !existing.columns.contains("__id")) withId
-      else existing.join(withId.select(col("__id").as("__new_id")),
-        col("__id") === col("__new_id"), "left_anti")
-        .drop("__new_id")
-        .unionByName(withId, allowMissingColumns = true)
-    // overwrite via staging dir to keep the "index" readable mid-write
-    val staging = indexPath + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(indexPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    val legacy = // pre-bucketing layout: migrate by rewriting once
+      existing.columns.contains("__id") && !existing.columns.contains("__bucket")
+    val (oldTouched, swapBuckets) =
+      if (existing.isEmpty || !existing.columns.contains("__id"))
+        (None, touched)
+      else if (legacy)
+        (Some(existing.withColumn("__bucket",
+          pmod(xxhash64(col("__id")), lit(numBuckets)).cast("int"))),
+          (0 until numBuckets).toSeq)
+      else
+        // partition filter → only touched __bucket=N dirs are scanned
+        (Some(existing.filter(col("__bucket")
+          .isin(touched.map(Integer.valueOf): _*))), touched)
+    val merged = oldTouched match {
+      case None => withId
+      case Some(old) =>
+        old.join(withId.select(col("__id").as("__new_id")),
+          col("__id") === col("__new_id"), "left_anti")
+          .drop("__new_id")
+          .unionByName(withId, allowMissingColumns = true)
+    }
+    // stage the touched buckets, then swap each bucket dir into place —
+    // untouched buckets' files are never read, written, or moved
+    val staging = new org.apache.hadoop.fs.Path(indexPath + ".staging")
+    merged.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(staging.toString)
+    if (legacy) fs.delete(root, true)
+    fs.mkdirs(root)
+    for (b <- swapBuckets) {
+      val src = new org.apache.hadoop.fs.Path(staging, s"__bucket=$b")
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(root, s"__bucket=$b")
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(staging, true)
   }
 }

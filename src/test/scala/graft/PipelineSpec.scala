@@ -78,6 +78,32 @@ class PipelineSpec extends SparkTestBase {
     assert(docs === Map("1" -> "a", "2" -> "b2", "3" -> "c"))
   }
 
+  test("es-like sink rewrites only the buckets a batch touches") {
+    val index = tmp() + "/bindex"
+    val b1 = (0 until 40).map(i => s"""{"_id":"doc$i","v":"a$i"}""").toDF("payload")
+    EsLikeSink.upsertBatch(b1, index, "_id")
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(index).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.length, f.lastModified))).toMap
+    val before = snapshot()
+    assert(before.size > 1, "expected ids to spread over multiple buckets")
+    // one incoming id → exactly one touched bucket
+    val touchedBucket = spark.sql(
+      s"SELECT pmod(xxhash64('doc0'), 16)").head().getLong(0).toInt
+    EsLikeSink.upsertBatch(
+      Seq("""{"_id":"doc0","v":"patched"}""").toDF("payload"), index, "_id")
+    val after = snapshot()
+    for ((dir, files) <- before if dir != s"__bucket=$touchedBucket")
+      assert(after(dir) === files, s"untouched bucket $dir was rewritten")
+    assert(after(s"__bucket=$touchedBucket") !== before(s"__bucket=$touchedBucket"))
+    // and the content merged correctly
+    val docs = spark.read.parquet(index)
+      .select(col("__id"), get_json_object(col("payload"), "$.v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs("doc0") === "patched" && docs.size === 40)
+  }
+
   test("boot from config file runs every key-paired pipeline (C6)") {
     val in = tmp(); val out = tmp() + "/boot_out"
     Files.write(java.nio.file.Paths.get(in, "d.jsonl"),
