@@ -44,6 +44,24 @@ package object functions {
   def rp_bits(c: Column, nBits: Int, seed: Long): Column =
     col(RpBits(expr(c), nBits, seed))
 
+  /** UUIDv7-style time-ordered id (the reference pins UUIDv7 for job
+    * ids so that id sort order ≈ arrival order —
+    * `/root/reference/internal/models/job.go:15,86-88`): 48-bit
+    * unix-millis hex prefix, version nibble 7, random tail spliced
+    * from `uuid()`. Lexicographic order of ids therefore follows
+    * creation time at millisecond resolution, with the random tail
+    * breaking ties arbitrarily within a batch. */
+  def uuid_v7(): Column = {
+    import org.apache.spark.sql.functions._
+    val tsHex = lpad(lower(hex(unix_millis(current_timestamp()))), 12, "0")
+    val u = org.apache.spark.sql.functions.expr("uuid()")
+    concat(
+      substring(tsHex, 1, 8), lit("-"), substring(tsHex, 9, 4),
+      lit("-7"), substring(u, 16, 3),
+      lit("-"), substring(u, 20, 4),
+      lit("-"), substring(u, 25, 12))
+  }
+
   /** Register the scalar functions for SQL use (`SELECT fnv64(x) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{fnv64, json_upper}
+import graft.functions.{fnv64, json_upper, uuid_v7}
 
 /** The per-record transform plane (reference §2.3), as composable
   * `DataFrame => DataFrame` ops chained with `Dataset.transform` — the
@@ -44,11 +44,23 @@ object Ops {
           .repartition(n, col("__part")).drop("__part")
       else df.repartition(n, col(payloadCol))
 
+  /** P4: round-robin fan-out (`partitioner/partition.go:42-50` labels
+    * its hash loop "simple round-robin"; a true record-order
+    * round-robin is an unfinished TODO at partition.go:88). Spark's
+    * RoundRobinPartitioning — `repartition(n)` with no keys — is the
+    * working equivalent: even spread regardless of key skew. `n`
+    * defaults to the session's shuffle parallelism. */
+  def roundRobin(n: Option[Int] = None): Op =
+    df => df.repartition(
+      n.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions))
+
   /** Wrap raw records into the Job envelope (models.New,
-    * job.go:48-91): UUID id, processing-time timestamps, priority 0. */
+    * job.go:48-91): time-ordered UUIDv7-style id (job.go:15 — sorting
+    * by id reproduces arrival order, which a random v4 id loses),
+    * processing-time timestamps, priority 0. */
   def toJobEnvelope(payloadCol: String = "payload"): Op =
     df => df.select(
-      expr("uuid()").as("id"),
+      uuid_v7().as("id"),
       col(payloadCol).cast("string").as("payload"),
       current_timestamp().as("node_created_at"),
       current_timestamp().as("node_updated_at"),
@@ -72,7 +84,8 @@ object Ops {
     "uppercase" -> uppercasePayload(),
     "extract_event_time" -> extractEventTime(),
     "to_job" -> toJobEnvelope(),
-    "cdc_latest" -> cdcLatestPerKey())
+    "cdc_latest" -> cdcLatestPerKey(),
+    "round_robin" -> roundRobin())
 
   def chain(names: Seq[String]): Op = {
     val ops = names.map(n => registry.getOrElse(n.trim,

@@ -75,6 +75,17 @@ final class Engine(spark: SparkSession) {
   /** C5 readyz: the session is alive and able to schedule work. */
   def ready: Boolean = !spark.sparkContext.isStopped
 
+  /** C5 metrics surface (the reference exposes per-node expvar JSON at
+    * `/debug/vars`, service.go:975-1082): each active query's full
+    * lastProgress JSON — rows/sec, batch duration, state-store and
+    * source/sink metrics — exactly what Structured Streaming already
+    * tracks. `{}` until the first progress event; absent once stopped. */
+  def progress(): Map[String, String] =
+    running.collect {
+      case (k, q) if q.isActive =>
+        k -> Option(q.lastProgress).map(_.json).getOrElse("{}")
+    }.toMap
+
   /** C6 `/boot` (a 503 stub in the reference, service.go:802-819):
     * boot every key-paired pipeline from a config file
     * (`{"sources": [...], "sinks": [...]}`) — batch pipelines run now,

@@ -127,4 +127,21 @@ class FunctionsSpec extends SparkTestBase {
     val df = Seq(v, near).toDF("v").select(rp_bits($"v", 16, 42L)).as[Long].collect()
     assert(df(0) === df(1)) // tiny perturbation keeps the same bucket
   }
+
+  // -- uuid_v7: time-ordered ids (reference job.go:15,86-88) ------------
+
+  test("uuid_v7 ids are UUID-shaped, version 7, and time-ordered across batches") {
+    def batch(): Seq[String] =
+      Seq("a", "b", "c").toDF("payload")
+        .select(uuid_v7().as("id")).as[String].collect().toSeq
+    val b1 = batch()
+    Thread.sleep(5) // ms-resolution prefix: ensure the clock advances
+    val b2 = batch()
+    val shape = "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    (b1 ++ b2).foreach(id => assert(shape.matches(id), id))
+    assert((b1 ++ b2).distinct.size === 6)
+    // every id of the later batch sorts after every id of the earlier
+    // one — arrival order survives an ORDER BY id (job.go:86-88)
+    assert(b1.max < b2.min)
+  }
 }

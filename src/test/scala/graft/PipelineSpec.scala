@@ -66,6 +66,33 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("invalid source type")) // config.go:265-267
   }
 
+  test("kafka resolves in both factories; fails cleanly without the kafka jar (S3/S4)") {
+    // The sandbox has no spark-sql-kafka jar, so the wiring can only be
+    // verified to the plan boundary: "kafka" must be a KNOWN type (the
+    // factory resolves it — unlike "mysql" which is rejected as invalid)
+    // and materialization must fail with a clear missing-data-source
+    // error, not a hang or a misleading config error.
+    val cfg = graft.model.EndpointConfig(
+      name = "k", connectionType = "kafka", key = "kk",
+      config = Map("bootstrap_servers" -> "localhost:9092", "topic" -> "t"))
+    val batchSrc = graft.sources.Sources.resolveBatch(cfg)   // no throw
+    val streamSrc = graft.sources.Sources.resolveStream(cfg) // no throw
+    val eb = intercept[Exception](batchSrc(spark, cfg))
+    assert(eb.getMessage.toLowerCase.contains("kafka"))
+    val es = intercept[Exception](streamSrc(spark, cfg))
+    assert(es.getMessage.toLowerCase.contains("kafka"))
+  }
+
+  test("round-robin repartition op (P4) spreads rows evenly, registry-exposed") {
+    val df = (0 until 64).toDF("i")
+    val rr = graft.ops.Ops.roundRobin(Some(8))(df)
+    assert(rr.rdd.getNumPartitions === 8)
+    val sizes = rr.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.forall(_ === 8)) // even spread regardless of values
+    // config-driven chains can name it
+    assert(graft.ops.Ops.chain(Seq("round_robin"))(df).count() === 64)
+  }
+
   test("es-like sink: upsert by _id is idempotent, latest wins") {
     val index = tmp() + "/index"
     val b1 = Seq("""{"_id":"1","v":"a"}""", """{"_id":"2","v":"b"}""").toDF("payload")

@@ -106,9 +106,13 @@ class StreamingSpec extends SparkTestBase {
     q.processAllAvailable()
     assert(engine.status().keySet === Set("pk"))
     assert(engine.status()("pk").startsWith("active"))
+    // C5 metrics surface: full lastProgress JSON per active query
+    val prog = engine.progress()("pk")
+    assert(prog.contains("\"numInputRows\"") && prog.contains("\"batchId\""))
     val rows = spark.table("pipe_out").as[String].collect()
     assert(rows.sameElements(Array("""{"a":"B"}""")))
     assert(engine.deletePipeline("pk"))
     assert(engine.status().isEmpty)
+    assert(engine.progress().isEmpty)
   }
 }
