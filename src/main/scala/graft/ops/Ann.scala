@@ -80,12 +80,13 @@ object Ann {
   }
 
   /** Exact brute-force cosine top-k (baseline; also the in-cluster
-    * scorer for IVF). */
+    * scorer for IVF). `tieBreak` columns make the top-k cut
+    * deterministic when scores collide at the boundary. */
   def bruteForce(df: DataFrame, embCol: String, query: Array[Float],
-      topK: Int): DataFrame = {
+      topK: Int, tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val qLit = typedLit(query.toSeq)
     df.withColumn("score", cosine_sim(col(embCol), qLit))
-      .orderBy(col("score").desc)
+      .orderBy(col("score").desc +: tieBreak: _*)
       .limit(topK)
   }
 
@@ -95,7 +96,8 @@ object Ann {
     * best cluster is by construction the top-ranked probe, so it is
     * always scanned. */
   def searchIvf(index: IvfIndex, embCol: String, query: Array[Float],
-      topK: Int, nprobe: Int): DataFrame = {
+      topK: Int, nprobe: Int,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -110,7 +112,7 @@ object Ann {
       .take(nprobe).map(_._2)
     bruteForce(
       index.assigned.filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)),
-      embCol, query, topK)
+      embCol, query, topK, tieBreak)
   }
 
   /** Build-once / search-many: persist the assignment partitioned by

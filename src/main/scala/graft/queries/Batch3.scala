@@ -45,6 +45,40 @@ object Batch3 {
   private def cnt(m: String): String =
     s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
 
+  // ---- DuckDB re-derivation of the SimHash64 kernel ------------------
+  // (HashOps.simHash64 = per-token splitmix64(fnv64(token)), per-bit
+  // frequency votes, sign → bit.) DuckDB BIGINT multiplication THROWS on
+  // overflow instead of wrapping, so all mod-2^64 arithmetic runs in
+  // non-negative HUGEINT; 64-bit XOR detours through signed BIGINT
+  // (DuckDB's xor) and back. Each finalizer stage is its own CTE so the
+  // expression text stays linear, not exponential, in stage count.
+
+  /** Logical shift right for a non-negative HUGEINT expression. */
+  private def shrSql(h: String, n: Int): String = s"($h // ${BigInt(2).pow(n)})"
+
+  /** [0,2^64) HUGEINT → signed BIGINT with two's-complement wraparound. */
+  private def toSignedSql(h: String): String =
+    s"CAST($h - CASE WHEN $h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+
+  /** Signed BIGINT → [0,2^64) HUGEINT. */
+  private def toUnsignedSql(x: String): String =
+    s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN 18446744073709551616 ELSE 0 END)"
+
+  /** 64-bit XOR of two [0,2^64) HUGEINT expressions. */
+  private def xor64Sql(a: String, b: String): String =
+    toUnsignedSql(s"xor(${toSignedSql(a)}, ${toSignedSql(b)})")
+
+  /** (h * c) mod 2^64 without overflowing HUGEINT: split h into 32-bit
+    * halves so every intermediate stays under 2^96. */
+  private def mulMod64Sql(h: String, c: BigInt): String = {
+    val cLo = c % BigInt(2).pow(32)
+    s"((($h % 4294967296) * $c + ((($h // 4294967296) * $cLo) % 4294967296) * 4294967296) % 18446744073709551616)"
+  }
+
+  /** Inline 64-row (bit, 2^bit) table. */
+  private val powsSql: String =
+    (0 until 64).map(b => s"($b, CAST(${BigInt(2).pow(b)} AS HUGEINT))").mkString(", ")
+
   private val langScores = Map(
     "en" -> Seq(" the ", " and ", " data "),
     "de" -> Seq(" der ", " und ", " nicht "),
@@ -453,8 +487,51 @@ object Batch3 {
           .filter(col("hamming") <= 4)
           .orderBy("doc_a", "doc_b")
       },
-      None,
-      "SimHash64 + 4x16-bit band join + Hamming<=4 verify (guaranteed recall at hamming<=3; spec-verified)"),
+      // Full SimHash64 kernel re-derived in DuckDB (prototyped against a
+      // Python twin of HashOps.simHash64 — exact at sf0.001/0.01):
+      // recursive-CTE FNV-1a per distinct token, staged splitmix64
+      // finalizer in HUGEINT mod-2^64 arithmetic, per-bit frequency
+      // votes, then the same band-collision + Hamming<=4 pair semantics
+      // as the Spark plan.
+      Some(s"""WITH RECURSIVE
+              |toks AS (
+              |  SELECT doc_id, tok, count(*) AS cnt
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              |  GROUP BY doc_id, tok),
+              |vocab AS (SELECT DISTINCT tok FROM toks),
+              |fnv(tok, i, h) AS (
+              |  SELECT tok, 1, CAST(14695981039346656037 AS HUGEINT) FROM vocab
+              |  UNION ALL
+              |  SELECT tok, i+1,
+              |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+              |        CAST(unicode(substr(tok, i, 1)) AS BIGINT)) AS HUGEINT))
+              |      * 1099511628211) % 18446744073709551616
+              |  FROM fnv WHERE i <= length(tok)),
+              |f0 AS (SELECT tok, h FROM fnv WHERE i = length(tok) + 1),
+              |m1 AS (SELECT tok, (h + 11400714819323198485) % 18446744073709551616 AS z FROM f0),
+              |m2 AS (SELECT tok, ${mulMod64Sql(xor64Sql("z", shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))} AS z FROM m1),
+              |m3 AS (SELECT tok, ${mulMod64Sql(xor64Sql("z", shrSql("z", 27)), BigInt("94d049bb133111eb", 16))} AS z FROM m2),
+              |mh AS (SELECT tok, ${xor64Sql("z", shrSql("z", 31))} AS h FROM m3),
+              |pows(b, p) AS (VALUES $powsSql),
+              |votes AS (
+              |  SELECT t.doc_id, p.b,
+              |    sum(t.cnt * (CASE WHEN (mh.h // p.p) % 2 = 1 THEN 1 ELSE -1 END)) AS v
+              |  FROM toks t JOIN mh ON t.tok = mh.tok CROSS JOIN pows p
+              |  GROUP BY t.doc_id, p.b),
+              |fps AS (
+              |  SELECT v.doc_id, sum(CASE WHEN v.v > 0 THEN p.p ELSE CAST(0 AS HUGEINT) END) AS hu
+              |  FROM votes v JOIN pows p USING (b) GROUP BY v.doc_id),
+              |fpsig AS (SELECT doc_id, ${toSignedSql("hu")} AS fp, hu FROM fps)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+              |FROM fpsig a JOIN fpsig b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.fp, b.fp)) <= 4 AND (
+              |  (a.hu % 65536) = (b.hu % 65536) OR
+              |  ((a.hu // 65536) % 65536) = ((b.hu // 65536) % 65536) OR
+              |  ((a.hu // 4294967296) % 65536) = ((b.hu // 4294967296) % 65536) OR
+              |  ((a.hu // 281474976710656) % 65536) = ((b.hu // 281474976710656) % 65536))
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "SimHash64 + 4x16-bit band join + Hamming<=4 verify (byte-exact DuckDB kernel oracle; recall at hamming<=3 spec-verified)"),
 
     // Embedding near-dup via multi-table random-hyperplane LSH.
     // 8 tables x 6 bits: P(detect | cos>=0.9) = 1-(1-(1-acos(.9)/pi)^6)^8
@@ -593,21 +670,30 @@ object Batch3 {
               |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
       "near-dup connected components (min-label propagation vs recursive-CTE oracle)"),
 
-    // IVF similarity search (KMeans coarse quantizer; not SQL-expressible
-    // -> rows-only here, recall-verified in AnnSpec)
+    // IVF similarity search (KMeans coarse quantizer). The catalog entry
+    // probes ALL clusters: IVF with nprobe = k degenerates to exact
+    // brute force BY CONSTRUCTION (every cluster is scanned), so the
+    // result is oracle-able in DuckDB while still exercising the full
+    // index path — build-once quantizer, codegen'd cosine assignment,
+    // cluster-membership filter, per-cluster scoring. The point of IVF
+    // (nprobe << k scanning a fraction of the data) is what SQL cannot
+    // express; that path runs in AnnSpec with a recall assertion.
     "ann_ivf_topk" -> Q(
       (s, dir) => {
+        val idx = ivfIndex(s, dir)
         val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
-        // search-only: the index is built once per (session, dir) —
-        // sample-fit quantizer + one codegen'd assignment scan — and
-        // every invocation after that is an nprobe-pruned scan.
-        graft.ops.Ann.searchIvf(ivfIndex(s, dir), "embedding", q, topK = 20, nprobe = 4)
+        graft.ops.Ann.searchIvf(idx, "embedding", q,
+            topK = 20, nprobe = idx.centers.length, tieBreak = Seq(col("vec_id")))
           .select(col("vec_id"), col("score"))
           .orderBy(col("score").desc, col("vec_id"))
       },
-      None,
-      "IVF ANN: sample-fit KMeans quantizer, codegen'd cosine assignment, nprobe-pruned search (AnnSpec-verified)"),
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "IVF ANN: sample-fit KMeans quantizer, codegen'd cosine assignment; exhaustive-probe = exact (oracled), pruned-probe recall AnnSpec-verified"),
 
     // exact dedup on the documents table (hash-groupBy flavor)
     "dedup_exact_docs" -> Q(
