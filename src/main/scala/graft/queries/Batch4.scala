@@ -297,5 +297,30 @@ object Batch4 {
              |    x -> x * x))) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin),
       "L2 norms via higher-order aggregate (codegen'd, no UDF)"),
+
+    // ---- K6/S6 jdbc endpoints: write → read back through the registry
+    // factories against embedded Derby (the JDBC engine shipped in
+    // Spark's jar dir). The write is intentionally eager (a sink IS an
+    // action); 25 rows, in-memory database keyed by the sf dir so
+    // repeated bench invocations overwrite instead of accumulating.
+    "jdbc_roundtrip" -> Q(
+      (s, dir) => {
+        System.setProperty("derby.stream.error.file", "/dev/null")
+        val url = s"jdbc:derby:memory:graft_rt_${math.abs(dir.hashCode)};create=true"
+        val wCfg = graft.model.EndpointConfig(
+          name = "jdbc_rt_w", connectionType = "jdbc", key = "jrt",
+          config = Map("url" -> url, "dbtable" -> "nation_rt", "mode" -> "overwrite"))
+        graft.sinks.Sinks.batch("jdbc")(
+          table(s, dir, "nation").select(
+            col("n_nationkey"), col("n_name"), col("n_regionkey")), wCfg)
+        val rCfg = wCfg.copy(name = "jdbc_rt_r",
+          config = wCfg.config + ("partition_column" -> "n_nationkey",
+            "lower_bound" -> "0", "upper_bound" -> "25", "num_partitions" -> "4"))
+        graft.sources.Sources.resolveBatch(rCfg)(s, rCfg)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin),
+      "jdbc sink + partitioned jdbc source roundtrip (embedded Derby)"),
   )
 }

@@ -39,7 +39,15 @@ object Sinks {
         .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
         .option("topic", c.config.getOrElse("topic", "")).save()),
     "es" -> ((df, c) => EsLikeSink.upsertBatch(df, path(c),
-      c.config.getOrElse("id_field", "_id"))))
+      c.config.getOrElse("id_field", "_id"))),
+    // README-declared jdbc sink (tested against embedded Derby).
+    "jdbc" -> ((df, c) =>
+      df.write.format("jdbc")
+        .option("url", c.config.getOrElse("url",
+          sys.error(s"sink '${c.name}': missing 'url'")))
+        .option("dbtable", c.config.getOrElse("dbtable",
+          sys.error(s"sink '${c.name}': missing 'dbtable'")))
+        .mode(c.config.getOrElse("mode", "append")).save()))
 
   /** Streaming writers: configure a DataStreamWriter (caller starts it). */
   def configureStream(df: DataFrame, c: EndpointConfig): DataStreamWriter[Row] = {
@@ -67,6 +75,10 @@ object Sinks {
           .foreachBatch((batchDf: DataFrame, _: Long) =>
             EsLikeSink.upsertBatch(batchDf, path(c),
               c.config.getOrElse("id_field", "_id")))
+      case "jdbc" => // per-micro-batch append through the batch writer
+        base.option("checkpointLocation", checkpoint(c))
+          .foreachBatch((batchDf: DataFrame, _: Long) =>
+            batch("jdbc")(batchDf, c))
       case other =>
         throw new IllegalArgumentException(s"invalid sink type: $other")
     }

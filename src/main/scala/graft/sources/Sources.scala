@@ -39,7 +39,26 @@ object Sources {
     "kafka" -> ((s, c) => s.read.format("kafka")
       .option("kafka.bootstrap.servers", c.config.getOrElse("bootstrap_servers", ""))
       .option("subscribe", c.config.getOrElse("topic", ""))
-      .load().selectExpr("CAST(value AS STRING) AS payload")))
+      .load().selectExpr("CAST(value AS STRING) AS payload")),
+    // README-declared jdbc source; exercised end-to-end against the
+    // embedded Derby engine that ships with Spark's jars (JdbcSpec,
+    // jdbc_roundtrip). `partition_column`/`num_partitions` map to
+    // Spark's parallel-read split so a big table scans as N concurrent
+    // range queries instead of one driver-side cursor.
+    "jdbc" -> ((s, c) => {
+      val r = s.read.format("jdbc")
+        .option("url", c.config.getOrElse("url",
+          sys.error(s"source '${c.name}': missing 'url'")))
+        .option("dbtable", c.config.getOrElse("dbtable",
+          sys.error(s"source '${c.name}': missing 'dbtable'")))
+      val part = for {
+        pc <- c.config.get("partition_column")
+        lo <- c.config.get("lower_bound"); hi <- c.config.get("upper_bound")
+      } yield r.option("partitionColumn", pc).option("lowerBound", lo)
+        .option("upperBound", hi)
+        .option("numPartitions", c.config.getOrElse("num_partitions", "8"))
+      part.getOrElse(r).load()
+    }))
 
   val stream: Map[String, StreamSource] = Map(
     "file" -> ((s, c) => s.readStream.text(path(c))
