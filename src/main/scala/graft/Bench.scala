@@ -124,11 +124,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = best.map(_._2).sum
     // Queries whose warm time reads a per-(session,dir) memoized
-    // subtree: the >=0.5-Jaccard pair set (mined in full by
-    // dedup_ngram_jaccard — see Batch3.ngramPairs) or the IVF index
+    // subtree: the shingle-pair intersection counts (mined in full by
+    // dedup_ngram_jaccard — see Batch3.pairCounts) or the IVF index
     // (built once — see Batch3.ivfIndex).
     val amortized = Seq("dedup_corpus", "dedup_clusters",
-      "pipeline_training_corpus", "ann_ivf_topk")
+      "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}""")
     spark.stop()

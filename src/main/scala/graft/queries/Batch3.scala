@@ -119,19 +119,53 @@ object Batch3 {
        |    length(replace(text, ' ', '')) AS alpha_chars
        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))""".stripMargin
 
-  /** The >=0.5-Jaccard near-dup pair set, memoized per (session, sf
-    * dir). Three downstream catalog queries (dedup_corpus,
-    * dedup_clusters, pipeline_training_corpus) consume the same pair
-    * graph; within one Verify/Bench run the mining subtree should
-    * execute once, not once per consumer. The checkpoint is LAZY —
+  /** Shingle-pair intersection counts `(doc_a, doc_b, inter, na, nb)`,
+    * UN-thresholded, memoized per (session, sf dir). This is the
+    * expensive shared subtree — inverted-index self-join + pair-count
+    * aggregation — behind FOUR catalog queries with different
+    * downstream math: the >=0.5-Jaccard consumers (dedup_corpus,
+    * dedup_clusters, pipeline_training_corpus via [[ngramPairs]]) and
+    * dedup_containment (inter/min metric). Within one Verify/Bench run
+    * it executes once, not once per consumer. The checkpoint is LAZY —
     * nothing runs at plan-construction time; the first consumer's
     * action materializes it and later consumers read the truncated
-    * lineage. (dedup_ngram_jaccard itself stays un-memoized so its
-    * bench time reflects the real mining cost; Bench marks the three
-    * consumers `amortized` in its JSON line.) */
-  private val pairMemo = new SessionMemo[DataFrame]((s, dir) =>
-    Catalog.queries("dedup_ngram_jaccard")(s, dir).localCheckpoint(false))
-  def ngramPairs(s: SparkSession, dir: String): DataFrame = pairMemo(s, dir)
+    * lineage. What is stored is only the aggregated pair counts
+    * (5 numeric columns/row), never the Σdf² join rows.
+    * (dedup_ngram_jaccard itself stays un-memoized so its bench time
+    * reflects the real mining cost; Bench marks the consumers
+    * `amortized` in its JSON line.) */
+  private val interMemo = new SessionMemo[DataFrame]((s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .localCheckpoint(false)
+    val sizes = docs.select(col("doc_id"), col("n_sh"))
+    inv.select(col("doc_id").as("doc_a"), col("shash"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .localCheckpoint(false)
+  })
+
+  /** The memoized pair-count subtree; same mining shape (and hash
+    * function) as dedup_ngram_jaccard, so derived metrics are
+    * bit-identical to computing them inline. */
+  private[queries] def pairCounts(s: SparkSession, dir: String): DataFrame =
+    interMemo(s, dir)
+
+  /** The >=0.5-Jaccard pair set, derived from [[pairCounts]] with the
+    * exact arithmetic of dedup_ngram_jaccard. */
+  def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(s, dir)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** IVF index memoized per (session, sf dir): built once (sample fit +
     * one assignment scan), searched many times — the catalog entry is

@@ -182,23 +182,10 @@ object Batch4 {
     //      dedup_ngram_jaccard.
     "dedup_containment" -> Q(
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val sh = array_distinct(transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-          i => concat_ws(" ", slice(toks, i, lit(3)))))
-        val docs = Catalog.table(s, dir, "documents")
-          .select(col("doc_id"), sh.as("sh"))
-          .withColumn("n_sh", size(col("sh")))
-        val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
-        val sizes = docs.select(col("doc_id"), col("n_sh"))
-        inv.select(col("doc_id").as("doc_a"), col("shash"))
-          .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        // containment = inter/min(|A|,|B|) over the SAME memoized
+        // pair-count subtree as the Jaccard family (Batch3.pairCounts) —
+        // one mining execution per run serves both metrics.
+        Batch3.pairCounts(s, dir)
           .withColumn("containment",
             col("inter").cast("double") / least(col("na"), col("nb")))
           .filter(col("containment") >= 0.7)
