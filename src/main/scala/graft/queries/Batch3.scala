@@ -447,10 +447,14 @@ object Batch3 {
       (s, dir) => {
         val k = 128
         val bands = 32 // 4 rows per band → catches J>=0.8 w.p. ~1-(1-J^4)^32
+        // checkpoint: the shingle HOFs + k·|sh| minhash mixes run ONCE;
+        // both consumers below (band projection, verify side) read the
+        // stored blocks instead of recomputing the signatures.
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
           .withColumn("sig", minhash_sig(col("sh"), k))
+          .localCheckpoint(false)
         // Stage 1 — candidate generation: band join over (band, hash)
         // carrying ONLY ids. Shingle arrays must not ride through the
         // band join: a pair colliding in b bands would otherwise be

@@ -47,7 +47,11 @@ object Sinks {
           sys.error(s"sink '${c.name}': missing 'url'")))
         .option("dbtable", c.config.getOrElse("dbtable",
           sys.error(s"sink '${c.name}': missing 'dbtable'")))
-        .mode(c.config.getOrElse("mode", "append")).save()))
+        .mode(c.config.getOrElse("mode", "append")).save()),
+    // README-declared http sink: NDJSON chunks POSTed FROM THE
+    // EXECUTORS (foreachPartition), so a big write fans out across the
+    // cluster instead of draining through the driver.
+    "http" -> ((df, c) => HttpSink.postBatch(df, c)))
 
   /** Streaming writers: configure a DataStreamWriter (caller starts it). */
   def configureStream(df: DataFrame, c: EndpointConfig): DataStreamWriter[Row] = {
@@ -79,6 +83,10 @@ object Sinks {
         base.option("checkpointLocation", checkpoint(c))
           .foreachBatch((batchDf: DataFrame, _: Long) =>
             batch("jdbc")(batchDf, c))
+      case "http" =>
+        base.option("checkpointLocation", checkpoint(c))
+          .foreachBatch((batchDf: DataFrame, _: Long) =>
+            HttpSink.postBatch(batchDf, c))
       case other =>
         throw new IllegalArgumentException(s"invalid sink type: $other")
     }
@@ -87,6 +95,37 @@ object Sinks {
   private def checkpoint(c: EndpointConfig): String =
     c.config.getOrElse("checkpoint",
       s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${c.key}")
+}
+
+/** K6 http sink: rows as NDJSON, POSTed in bounded chunks from each
+  * partition via the JDK's own HTTP client (no extra deps). The POST
+  * runs inside foreachPartition, i.e. on the EXECUTORS — at 1000
+  * executors that is 1000 concurrent upload lanes, where a
+  * collect-then-post design would serialize everything through the
+  * driver. `batch_size` bounds per-request body memory. Non-2xx
+  * responses fail the task (and with it the Spark job/micro-batch), so
+  * delivery failures surface instead of dropping data silently. */
+object HttpSink {
+  def postBatch(df: DataFrame, c: graft.model.EndpointConfig): Unit = {
+    val url = c.config.getOrElse("url", sys.error(s"sink '${c.name}': missing 'url'"))
+    val chunk = c.config.getOrElse("batch_size", "500").toInt
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val client = java.net.http.HttpClient.newHttpClient()
+        it.grouped(chunk).foreach { lines =>
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .header("Content-Type", "application/x-ndjson")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              lines.mkString("", "\n", "\n")))
+            .build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() >= 300)
+            sys.error(s"http sink: POST $url returned ${resp.statusCode()}")
+        }
+      }
+    }
+  }
 }
 
 /** K3 semantics: idempotent upsert-by-id into a keyed parquet "index"

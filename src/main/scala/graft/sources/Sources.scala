@@ -58,6 +58,24 @@ object Sources {
         .option("upperBound", hi)
         .option("numPartitions", c.config.getOrElse("num_partitions", "8"))
       part.getOrElse(r).load()
+    }),
+    // README-declared http source: one GET of an NDJSON endpoint. A
+    // single URL is a single byte stream, so the fetch is inherently
+    // driver-side; rows parallelize immediately after (the common
+    // at-scale layout — many URLs — would map a URL table through the
+    // same fetch per partition).
+    "http" -> ((s, c) => {
+      val url = c.config.getOrElse("url",
+        sys.error(s"source '${c.name}': missing 'url'"))
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 300)
+        sys.error(s"source '${c.name}': GET $url returned ${resp.statusCode()}")
+      val lines = resp.body().split("\n").toIndexedSeq.filter(_.nonEmpty)
+      s.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("payload")
     }))
 
   val stream: Map[String, StreamSource] = Map(

@@ -1,0 +1,103 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.model.EndpointConfig
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** K6/S6 http endpoints against an in-process JDK HttpServer — no
+  * network egress, real HTTP semantics (status codes, bodies, chunked
+  * posts from executor partitions). */
+class HttpSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Start a one-route server on an ephemeral port; returns (port, stop). */
+  private def serve(path: String)(handler: HttpExchange => Unit): (Int, () => Unit) = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext(path, (ex: HttpExchange) => handler(ex))
+    srv.start()
+    (srv.getAddress.getPort, () => srv.stop(0))
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  test("http sink POSTs every row as NDJSON from executor partitions (K6)") {
+    val received = new ConcurrentLinkedQueue[String]()
+    val (port, stop) = serve("/ingest") { ex =>
+      received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200)
+    }
+    try {
+      val df = (1 to 10).map(i => (i, s"p$i")).toDF("id", "payload").repartition(3)
+      Sinks.batch("http")(df, EndpointConfig("h", "http", key = "hk",
+        config = Map("url" -> s"http://127.0.0.1:$port/ingest", "batch_size" -> "2")))
+      val lines = received.toArray(Array.empty[String])
+        .flatMap(_.split("\n")).filter(_.nonEmpty)
+      assert(lines.length === 10)
+      // chunking honored: 10 rows / batch_size 2 -> at least 5 posts
+      assert(received.size >= 5)
+      val ids = lines.map(l =>
+        l.replaceAll(""".*"id":(\d+).*""", "$1").toInt).sorted
+      assert(ids.toSeq === (1 to 10))
+    } finally stop()
+  }
+
+  test("http sink fails the job on a non-2xx response (no silent drops)") {
+    val (port, stop) = serve("/broken")(ex => respond(ex, 503))
+    try {
+      val e = intercept[Exception] {
+        Sinks.batch("http")(Seq(1).toDF("i"),
+          EndpointConfig("h", "http", key = "hk2",
+            config = Map("url" -> s"http://127.0.0.1:$port/broken")))
+      }
+      // the task failure carries the status in its causal chain
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("503")))
+    } finally stop()
+  }
+
+  test("http source GETs an NDJSON endpoint into payload rows (S6)") {
+    val (port, stop) = serve("/feed")(ex =>
+      respond(ex, 200, "{\"k\":\"a\"}\n{\"k\":\"b\"}\n{\"k\":\"c\"}\n"))
+    try {
+      val c = EndpointConfig("h", "http", key = "hk3",
+        config = Map("url" -> s"http://127.0.0.1:$port/feed"))
+      val got = Sources.resolveBatch(c)(spark, c).as[String].collect().toSet
+      assert(got === Set("""{"k":"a"}""", """{"k":"b"}""", """{"k":"c"}"""))
+    } finally stop()
+  }
+
+  test("http streaming sink posts each micro-batch (foreachBatch path)") {
+    val received = new ConcurrentLinkedQueue[String]()
+    val (port, stop) = serve("/stream") { ex =>
+      received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200)
+    }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("grafthttp").toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.jsonl"),
+        java.util.List.of("""{"k":"x"}""", """{"k":"y"}"""))
+      val src = spark.readStream.text(dir).withColumnRenamed("value", "payload")
+      val c = EndpointConfig("h", "http", key = "hk4",
+        config = Map("url" -> s"http://127.0.0.1:$port/stream",
+          "checkpoint" -> (dir + "/ck")))
+      val q = Sinks.configureStream(src, c).start()
+      q.processAllAvailable(); q.stop()
+      val lines = received.toArray(Array.empty[String])
+        .flatMap(_.split("\n")).filter(_.nonEmpty).toSet
+      assert(lines === Set("""{"payload":"{\"k\":\"x\"}"}""",
+        """{"payload":"{\"k\":\"y\"}"}"""))
+    } finally stop()
+  }
+}
