@@ -16,6 +16,22 @@ import graft.sources.Sources
   * (batch mode). Spark's driver/executor model + checkpointing replace
   * the reference's entire Raft/cluster plane (SURVEY §0).
   *
+  * Endpoint → method mapping (the reference's primary user surface is
+  * HTTP; this engine is programmatic — an HTTP shim would be a thin
+  * routing layer over exactly these methods, one per route):
+  *
+  * | reference route (service.go)            | here                    |
+  * |-----------------------------------------|-------------------------|
+  * | `POST /pipeline` (1801-1875)            | [[createPipeline]] / [[runBatch]] |
+  * | `DELETE /pipeline/{key}` (1877-1903)    | [[deletePipeline]]      |
+  * | `GET /pipeline` + `/status` (841-973)   | [[status]]              |
+  * | `GET /debug/vars` metrics (975-1082)    | [[progress]] (lastProgress JSON per query) |
+  * | `GET /readyz` (1553-1585)               | [[ready]]               |
+  * | `POST /boot` (802-819, 503 stub in ref) | [[bootFromConfigFile]] (working upgrade) |
+  * | `POST /db/execute`, `/db/query`          | `graft.kv.KvEngine.execute` / `.query` |
+  * | `POST /db/request` (mixed batch)         | ErrNotImplemented parity: execute rejects GETs (Q5) |
+  * | `GET /nodes` (1587-1650)                | n/a — single Spark app; cluster membership is the resource manager's |
+  *
   * A pipeline is source → transform chain → (optional repartition) →
   * sink, the reference's fixed channel graph
   * (`internal/pipeline/pipeline.go:93-181`) — except here it's a

@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Plan-shape regression spec: the properties that make the headline
+  * queries scale — filter pushdown into the parquet scan, column
+  * pruning, map-side partial aggregation — asserted on the EXECUTED
+  * plan so a refactor that silently loses them fails here, not at
+  * 100 TB. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def executed(name: String): String = {
+    val df = Catalog.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // settle AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: filter pushed to scan, schema pruned, partial aggregation") {
+    val plan = executed("q1_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan.take(3000))
+    // lineitem is 16 columns wide; the scan must read only the handful used
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+    // partial (map-side) + final aggregate pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q3_topk_join: both dimension filters reach their scans") {
+    val plan = executed("q3_topk_join")
+    // customer segment filter and order-date filter both pushed
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment")
+      || plan.contains("EqualTo(c_mktsegment"), plan.take(3000))
+    assert(plan.contains("LessThan(o_orderdate") || plan.contains("o_orderdate"),
+      plan.take(3000))
+  }
+
+  test("t1_map_project: projection prunes the scan to the selected columns") {
+    val plan = executed("t1_map_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("props"), readSchema)
+  }
+
+  test("dedup_exact: aggregation is partial+final (no naive global shuffle-all)") {
+    val plan = executed("dedup_exact")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("ann_topk: top-k is TakeOrdered, not a global sort") {
+    val plan = executed("ann_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("GlobalSort"), plan.take(3000))
+  }
+}
