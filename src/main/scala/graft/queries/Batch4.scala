@@ -227,6 +227,34 @@ object Batch4 {
              |WHERE rk = 1 ORDER BY user_id, day""".stripMargin),
       "per-group-per-bucket top-k (windowed rank over time buckets)"),
 
+    // ---- same semantics, scale-correct plan: BoundedTopK pre-reduces
+    // each map task to k rows per key BEFORE the exchange, so the
+    // shuffle moves O(keys·k) ids instead of every row (the window
+    // version above must shuffle the whole table to rank it). Same
+    // DuckDB oracle as win_topk_per_day — identical answer, different
+    // physical strategy.
+    "win_topk_bounded" -> Q(
+      (s, dir) => {
+        events(s, dir)
+          .withColumn("day", date_trunc("day", col("ts")))
+          .groupBy(col("user_id"), col("day"))
+          .agg(graft.functions.BoundedTopK.top_k_by(
+            col("value"), col("event_id"), 1).as("top"))
+          .select(col("user_id"), col("day"), explode(col("top")).as("t"))
+          .select(col("user_id"), col("day"),
+            col("t.id").as("event_id"), col("t.ord").as("value"))
+          .orderBy("user_id", "day")
+      },
+      Some("""SELECT user_id, day, event_id, value FROM (
+             |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             |    event_id, value,
+             |    row_number() OVER (PARTITION BY user_id,
+             |      date_trunc('day', CAST(ts AS TIMESTAMP))
+             |      ORDER BY value DESC, event_id) AS rk
+             |  FROM events)
+             |WHERE rk = 1 ORDER BY user_id, day""".stripMargin),
+      "bounded-buffer top-k-per-key aggregate (O(keys*k) shuffle; same oracle as the window version)"),
+
     // ---- the composed training-corpus pipeline: quality filter ->
     //      language filter -> near-dup removal -> corpus stats
     "pipeline_training_corpus" -> Q(

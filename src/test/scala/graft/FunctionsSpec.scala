@@ -128,6 +128,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(df(0) === df(1)) // tiny perturbation keeps the same bucket
   }
 
+  // -- BoundedTopK: O(k)-buffer top-k-per-key aggregate -----------------
+
+  test("top_k_by equals the window row_number plan on random skewed data") {
+    val gen = for {
+      key <- Gen.choose(0, 5)
+      ord <- Gen.choose(-100, 100).map(_.toDouble)
+    } yield (key, ord)
+    val rows = (0 until 500).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).map {
+        case (k, o) => (k, i.toLong, o)
+      })
+    val df = rows.toDF("key", "id", "ord").repartition(7) // multi-partition merge path
+    val k = 3
+    val got = df.groupBy($"key")
+      .agg(graft.functions.BoundedTopK.top_k_by($"ord", $"id", k).as("top"))
+      .select($"key", explode($"top").as("t"))
+      .select($"key", $"t.id".as("id"), $"t.ord".as("ord"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"ord".desc, $"id")
+    val want = df.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"key", $"id", $"ord")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
+  test("top_k_by aggregates partially before the exchange (map-side combine)") {
+    val df = (0 until 100).map(i => (i % 4, i.toLong, i.toDouble)).toDF("key", "id", "ord")
+      .groupBy($"key")
+      .agg(graft.functions.BoundedTopK.top_k_by($"ord", $"id", 2).as("top"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before the shuffle, like built-in aggregates
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   // -- uuid_v7: time-ordered ids (reference job.go:15,86-88) ------------
 
   test("uuid_v7 ids are UUID-shaped, version 7, and time-ordered across batches") {
