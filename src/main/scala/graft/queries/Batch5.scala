@@ -94,5 +94,32 @@ object Batch5 {
              |FROM tf JOIN dfreq USING (tok)
              |ORDER BY doc_id, tok""".stripMargin),
       "TF-IDF term scores (two-level aggregation, df over the tf result)"),
+
+    // ---- exact percentiles per group. Spark `percentile` and DuckDB
+    // `quantile_cont` share the definition (sort, index p·(n-1),
+    // linear interpolation); the interpolation arithmetic can drift an
+    // ulp → decimal-quantized like tf_idf. Exact percentile must sort
+    // each group — at 100 TB the right tool is approx_percentile
+    // (t-digest sketch, mergeable, O(1) memory), whose error bound vs
+    // this exact answer is asserted in FunctionsSpec.
+    "quantiles_by_type" -> Q(
+      (s, dir) => {
+        events(s, dir).groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5D)")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 8))
+              .cast("double").as("p50"),
+            expr("percentile(value, 0.95D)")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 8))
+              .cast("double").as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,8)) AS DOUBLE) AS p50,
+             |  CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,8)) AS DOUBLE) AS p95,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "exact per-group percentiles (approx_percentile sketch is the 100TB path; error bound spec'd)"),
   )
 }

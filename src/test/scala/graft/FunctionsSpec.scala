@@ -165,6 +165,32 @@ class FunctionsSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  // -- approx_percentile: the sketch that replaces exact percentile at
+  //    scale — mergeable, bounded memory; assert its documented rank
+  //    error against the exact answer on the fixture ------------------
+
+  test("approx_percentile tracks exact percentile within the accuracy bound") {
+    val dir = sf("sf0.001")
+    val ev = graft.queries.Catalog.events(spark, dir)
+    val acc = 1000 // rank error <= n/acc
+    val rows = ev.groupBy($"event_type").agg(
+      expr("percentile(value, 0.5D)").as("exact"),
+      expr(s"approx_percentile(value, 0.5D, $acc)").as("approx"),
+      count(lit(1)).as("n"),
+      expr("percentile(value, 0.02D)").as("lo"),
+      expr("percentile(value, 0.98D)").as("hi")).collect()
+    rows.foreach { r =>
+      val (exact, approx) = (r.getDouble(1), r.getDouble(2))
+      // rank error n/acc translates to a value window; on these sizes
+      // (n ~ few thousand, acc=1000) approx must land between the 2nd
+      // and 98th percentile — a loose but implementation-independent box
+      assert(approx >= r.getDouble(4) && approx <= r.getDouble(5),
+        s"${r.getString(0)}: approx $approx outside [${r.getDouble(4)}, ${r.getDouble(5)}]")
+      assert(math.abs(approx - exact) <= (r.getDouble(5) - r.getDouble(4)),
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   // -- uuid_v7: time-ordered ids (reference job.go:15,86-88) ------------
 
   test("uuid_v7 ids are UUID-shaped, version 7, and time-ordered across batches") {
