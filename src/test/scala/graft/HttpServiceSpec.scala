@@ -1,0 +1,139 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.kv.KvEngine
+import graft.pipeline.{Engine, HttpService}
+
+/** Real localhost round-trips through the HTTP control-plane facade —
+  * the reference's primary user surface (service.go:508-580): create a
+  * pipeline, poll /status, KV set/get over the db routes, delete. */
+class HttpServiceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private def tmp(): String = Files.createTempDirectory("grafthttp").toString
+
+  private lazy val engine = new Engine(spark)
+  private lazy val service = HttpService(engine, KvEngine.empty(spark))
+  private lazy val base = s"http://127.0.0.1:${service.boundPort}"
+  private lazy val client = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NEVER).build()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET / redirects to /status; readyz reports ok (service.go:508,1026)") {
+    val r = get("/")
+    assert(r.statusCode() === 302)
+    assert(r.headers().firstValue("Location").get === "/status")
+    val rz = get("/readyz")
+    assert(rz.statusCode() === 200 && rz.body().contains("[+]node ok"))
+  }
+
+  test("db/execute + db/query: the three-verb statement language over HTTP") {
+    val r = post("/db/execute", """["SET a hello world", "SET b tmp", "DELETE b"]""")
+    assert(r.statusCode() === 200)
+    val results = mapper.readTree(r.body()).get("results")
+    assert(results.size() === 3)
+    assert(results.get(0).get("rows_affected").asLong() === 1L)
+    assert(results.get(2).get("rows_affected").asLong() === 1L) // DELETE idempotent
+
+    // hit: typed table columns=[key,value], types=[text,blob]
+    val hit = mapper.readTree(get("/db/query?q=GET%20a").body())
+      .get("results").get(0)
+    assert(hit.get("columns").get(0).asText() === "key")
+    assert(hit.get("types").get(1).asText() === "blob")
+    assert(hit.get("values").get(0).get(1).asText() === "hello world")
+    // miss: empty values, not an error (store.go:1300-1395)
+    val miss = mapper.readTree(get("/db/query?q=GET%20b").body())
+      .get("results").get(0)
+    assert(miss.get("values").size() === 0)
+    // a write verb in query is rejected
+    assert(get("/db/query?q=SET%20x%20y").statusCode() === 400)
+    // malformed statement in execute is a 400, not a 500
+    assert(post("/db/execute", """["FROB x"]""").statusCode() === 400)
+  }
+
+  test("the reference's /key test endpoints: put, get, miss writes 'nil'") {
+    assert(post("/key?key=x&value=yz", "").statusCode() === 200)
+    assert(get("/key?key=x").body() === "yz")
+    assert(get("/key?key=missing").body() === "nil") // service.go:523-525
+  }
+
+  test("pipeline lifecycle over HTTP: create → status → delete (C1/C2/C4)") {
+    val dir = tmp()
+    Files.write(Paths.get(dir, "in.jsonl"), java.util.List.of("""{"a":"b"}"""))
+    val body =
+      s"""{"source": {"name":"s","type":"file","key":"hp1",
+         |  "config": {"path": "$dir", "transforms": "uppercase"}},
+         | "sink": {"name":"k","type":"memory","key":"hp1",
+         |  "config": {"query_name": "http_pipe_out"}}}""".stripMargin
+    val created = post("/connector/hp1", body)
+    assert(created.statusCode() === 200)
+    assert(mapper.readTree(created.body()).get("success").asBoolean())
+
+    assert(engine.activeKeys.contains("hp1"))
+    spark.streams.active.foreach(_.processAllAvailable())
+
+    val stResp = get("/status")
+    assert(stResp.statusCode() === 200, stResp.body())
+    val st = mapper.readTree(stResp.body())
+    val entry = st.get("data").get("hp1")
+    assert(entry != null, stResp.body())
+    assert(entry.get("state").asText().startsWith("active"))
+    // the merged progress tree carries streaming runtime detail
+    assert(entry.has("progress"))
+    assert(spark.table("http_pipe_out").as[String].collect()
+      .sameElements(Array("""{"a":"B"}""")))
+
+    // /debug/vars exposes the raw lastProgress per query
+    val vars = mapper.readTree(get("/debug/vars").body())
+    assert(vars.has("hp1") && vars.get("hp1").has("batchId"))
+
+    assert(delete("/connector/hp1").statusCode() === 200)
+    assert(delete("/connector/hp1").statusCode() === 500) // already gone
+    assert(mapper.readTree(get("/status").body()).get("data").size() === 0)
+  }
+
+  test("batch-mode create runs to completion (?mode=batch)") {
+    val in = tmp(); val out = tmp() + "/out"
+    Files.write(Paths.get(in, "d.jsonl"), java.util.List.of("""{"n":1}"""))
+    val body =
+      s"""{"source": {"name":"s","type":"file","key":"hb1", "config": {"path": "$in"}},
+         | "sink": {"name":"o","type":"file","key":"hb1", "config": {"file_path": "$out"}}}"""
+        .stripMargin
+    assert(post("/connector/hb1?mode=batch", body).statusCode() === 200)
+    assert(spark.read.text(out).count() === 1)
+    // batch pipelines don't register as running
+    assert(!engine.activeKeys.contains("hb1"))
+  }
+
+  test("error paths: empty body 400, bad payload 400, unknown route 404") {
+    val r = post("/connector/x", "")
+    assert(r.statusCode() === 400)
+    assert(mapper.readTree(r.body()).get("error").asText()
+      === "error: no request body") // service.go:1814-1817
+    assert(post("/connector/x", """{"nope": 1}""").statusCode() === 400)
+    val nf = get("/no/such/route")
+    assert(nf.statusCode() === 404)
+    assert(mapper.readTree(nf.body()).get("error").asText() === "Not found")
+  }
+
+  test("nodes reports the single-node topology") {
+    val n = mapper.readTree(get("/nodes").body())
+    assert(n.get("local").get("leader").asBoolean())
+  }
+}
