@@ -44,8 +44,22 @@ case class HeavyHitters(
 
   private def shrink(buf: mutable.HashMap[String, Long]): Unit = {
     if (buf.size > k) {
-      // decrement all by the (k+1)-th largest count; drop <= 0
-      val dec = buf.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      // decrement all by the (k+1)-th largest count; drop <= 0.
+      // Update path inserts one item at a time, so size == k+1 there
+      // and the (k+1)-th largest IS the minimum — one O(k) scan, no
+      // sort. Merge can reach 2k entries; select the (size-k)-th
+      // smallest with a bounded max-heap, O(size·log(size-k)).
+      val excess = buf.size - k
+      val dec =
+        if (excess == 1) buf.values.min
+        else {
+          val heap = mutable.PriorityQueue.empty[Long] // max-heap of smallest `excess`
+          buf.values.foreach { v =>
+            if (heap.size < excess) heap.enqueue(v)
+            else if (v < heap.head) { heap.dequeue(); heap.enqueue(v) }
+          }
+          heap.head
+        }
       val dead = mutable.ArrayBuffer.empty[String]
       buf.mapValuesInPlace((_, v) => v - dec)
       buf.foreach { case (key, v) => if (v <= 0) dead += key }

@@ -83,11 +83,14 @@ object StatementParser {
   * no per-statement pass over the state, no driver-side loop over
   * state rows, and no shuffle of the state side.
   */
-final class KvEngine(spark: SparkSession, initial: DataFrame) {
+final class KvEngine(spark: SparkSession, initial: DataFrame,
+    compactEvery: Int = 32) {
   import KvEngine._
+  require(compactEvery > 0, "compactEvery must be positive")
 
   private var stateDf: DataFrame = initial.select(
     col("key").cast(StringType), col("value").cast(StringType))
+  private var batchesSinceCompact = 0
 
   def state: DataFrame = stateDf
 
@@ -99,7 +102,21 @@ final class KvEngine(spark: SparkSession, initial: DataFrame) {
       case s: SetStmt    => s: Statement
       case d: DeleteStmt => d: Statement
     }
-    if (writes.nonEmpty) stateDf = applyBatch(spark, stateDf, writes)
+    if (writes.nonEmpty) {
+      stateDf = applyBatch(spark, stateDf, writes)
+      // Each batch deepens the plan by an anti-join + union; a
+      // long-lived session applying thousands of batches would re-plan
+      // an ever-growing tree (and re-execute it per query). Compact via
+      // localCheckpoint every `compactEvery` batches: materializes the
+      // current state as cached blocks and resets lineage to a leaf.
+      // Superseded checkpoints are dropped here and reclaimed by
+      // Spark's ContextCleaner once unreferenced.
+      batchesSinceCompact += 1
+      if (batchesSinceCompact >= compactEvery) {
+        stateDf = stateDf.localCheckpoint(true)
+        batchesSinceCompact = 0
+      }
+    }
     stmts.map {
       case _: SetStmt    => ExecResult()
       case _: DeleteStmt => ExecResult() // idempotent "1 affected", store.go:1725

@@ -155,9 +155,13 @@ object EsLikeSink {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(indexPath)
+    // Only a genuinely-absent (or empty) index reads as empty. Any
+    // other read failure — corrupt footer, transient IO — must FAIL
+    // the batch: swallowing it would silently erase every previously-
+    // indexed doc in the touched buckets on the swap below.
     val existing =
-      try spark.read.parquet(indexPath)
-      catch { case _: Exception => spark.emptyDataFrame }
+      if (!fs.exists(root) || fs.listStatus(root).isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(indexPath)
     val legacy = // pre-bucketing layout: migrate by rewriting once
       existing.columns.contains("__id") && !existing.columns.contains("__bucket")
     val (oldTouched, swapBuckets) =
@@ -180,7 +184,12 @@ object EsLikeSink {
           .unionByName(withId, allowMissingColumns = true)
     }
     // stage the touched buckets, then swap each bucket dir into place —
-    // untouched buckets' files are never read, written, or moved
+    // untouched buckets' files are never read, written, or moved.
+    // The per-bucket delete-then-rename is NOT crash-atomic (a crash
+    // between them loses that bucket until the batch replays) —
+    // acceptable for this ES stand-in, whose real sink is an idempotent
+    // upsert the replay re-sends; a production file-backed index would
+    // swap via a manifest commit instead.
     val staging = new org.apache.hadoop.fs.Path(indexPath + ".staging")
     merged.write.mode("overwrite").partitionBy("__bucket")
       .parquet(staging.toString)

@@ -59,23 +59,32 @@ object Sources {
         .option("numPartitions", c.config.getOrElse("num_partitions", "8"))
       part.getOrElse(r).load()
     }),
-    // README-declared http source: one GET of an NDJSON endpoint. A
-    // single URL is a single byte stream, so the fetch is inherently
-    // driver-side; rows parallelize immediately after (the common
-    // at-scale layout — many URLs — would map a URL table through the
-    // same fetch per partition).
+    // README-declared http source, two layouts:
+    //  - `urls` (comma-separated) or `urls_path` (a text file/table of
+    //    URLs, one per line): fetches run per partition ON THE
+    //    EXECUTORS — at 1000 executors that is 1000 concurrent
+    //    download lanes, the mirror of HttpSink.postBatch's upload
+    //    layout. This is the at-scale path.
+    //  - `url` (single): one URL is one byte stream, so the fetch is
+    //    inherently driver-side; rows parallelize immediately after.
     "http" -> ((s, c) => {
-      val url = c.config.getOrElse("url",
-        sys.error(s"source '${c.name}': missing 'url'"))
-      val client = java.net.http.HttpClient.newHttpClient()
-      val resp = client.send(
-        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() >= 300)
-        sys.error(s"source '${c.name}': GET $url returned ${resp.statusCode()}")
-      val lines = resp.body().split("\n").toIndexedSeq.filter(_.nonEmpty)
-      s.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
-        .toDF("payload")
+      val par = c.config.getOrElse("fetch_partitions", "32").toInt
+      (c.config.get("urls"), c.config.get("urls_path")) match {
+        case (Some(list), _) =>
+          val urls = list.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+          HttpSource.fetchMany(
+            s.createDataset(urls)(org.apache.spark.sql.Encoders.STRING),
+            math.min(par, urls.size))
+        case (None, Some(p)) =>
+          HttpSource.fetchMany(
+            s.read.text(p).as(org.apache.spark.sql.Encoders.STRING), par)
+        case (None, None) =>
+          val url = c.config.getOrElse("url",
+            sys.error(s"source '${c.name}': missing 'url' (or 'urls'/'urls_path')"))
+          val lines = HttpSource.fetchOne(url).toIndexedSeq
+          s.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+            .toDF("payload")
+      }
     }))
 
   val stream: Map[String, StreamSource] = Map(
@@ -97,6 +106,30 @@ object Sources {
     "rate" -> ((s, c) => s.readStream.format("rate")
       .option("rowsPerSecond", c.config.getOrElse("rows_per_second", "10"))
       .load().selectExpr("CAST(value AS STRING) AS payload")))
+
+  /** S6 http fetch kernels, shared by the single- and many-URL layouts. */
+  object HttpSource {
+    /** GET one NDJSON endpoint, non-2xx → error (no silent drops). */
+    def fetchOne(url: String): Iterator[String] = {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 300)
+        sys.error(s"http source: GET $url returned ${resp.statusCode()}")
+      resp.body().split("\n").iterator.filter(_.nonEmpty)
+    }
+
+    /** Fan a URL table out across `par` partitions and fetch inside
+      * `mapPartitions` — the download happens in tasks, not on the
+      * driver, one HTTP client per partition. A failed fetch fails its
+      * task (and the job), matching the sink's delivery honesty. */
+    def fetchMany(urls: org.apache.spark.sql.Dataset[String], par: Int): DataFrame =
+      urls.repartition(math.max(par, 1))
+        .mapPartitions(it => it.flatMap(fetchOne))(
+          org.apache.spark.sql.Encoders.STRING)
+        .toDF("payload")
+  }
 
   def resolveBatch(c: EndpointConfig): BatchSource =
     batch.getOrElse(c.connectionType,

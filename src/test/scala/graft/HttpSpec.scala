@@ -78,6 +78,53 @@ class HttpSpec extends SparkTestBase {
     } finally stop()
   }
 
+  test("many-URL http source fetches per partition on executors (S6 at scale)") {
+    val (port, stop) = serve("/") { ex =>
+      val body = ex.getRequestURI.getPath match {
+        case "/feed1" => "{\"src\":1,\"row\":\"a\"}\n{\"src\":1,\"row\":\"b\"}\n"
+        case "/feed2" => "{\"src\":2,\"row\":\"c\"}\n"
+        case _        => ""
+      }
+      respond(ex, 200, body)
+    }
+    try {
+      val urls = s"http://127.0.0.1:$port/feed1, http://127.0.0.1:$port/feed2"
+      val c = EndpointConfig("h", "http", key = "hk5",
+        config = Map("urls" -> urls))
+      val df = Sources.resolveBatch(c)(spark, c)
+      // one partition per URL (capped by fetch_partitions)
+      assert(df.rdd.getNumPartitions === 2)
+      assert(df.as[String].collect().toSet === Set(
+        """{"src":1,"row":"a"}""", """{"src":1,"row":"b"}""",
+        """{"src":2,"row":"c"}"""))
+    } finally stop()
+  }
+
+  test("many-URL http source: urls_path table layout + failed URL fails the job") {
+    val (port, stop) = serve("/") { ex =>
+      if (ex.getRequestURI.getPath == "/ok") respond(ex, 200, "{\"k\":1}\n")
+      else respond(ex, 500)
+    }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("grafturls")
+      java.nio.file.Files.write(dir.resolve("urls.txt"),
+        java.util.List.of(s"http://127.0.0.1:$port/ok"))
+      val c = EndpointConfig("h", "http", key = "hk6",
+        config = Map("urls_path" -> dir.toString, "fetch_partitions" -> "2"))
+      assert(Sources.resolveBatch(c)(spark, c).as[String].collect()
+        === Array("""{"k":1}"""))
+      // a non-2xx URL in the set fails the task → the job (no drops)
+      val bad = EndpointConfig("h", "http", key = "hk7",
+        config = Map("urls" -> s"http://127.0.0.1:$port/ok,http://127.0.0.1:$port/nope"))
+      val e = intercept[Exception] {
+        Sources.resolveBatch(bad)(spark, bad).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("500")))
+    } finally stop()
+  }
+
   test("http streaming sink posts each micro-batch (foreachBatch path)") {
     val received = new ConcurrentLinkedQueue[String]()
     val (port, stop) = serve("/stream") { ex =>

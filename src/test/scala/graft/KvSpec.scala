@@ -76,4 +76,22 @@ class KvSpec extends SparkTestBase {
     assert(loaded.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
       === Map("a" -> "1", "b" -> "2"))
   }
+
+  test("lineage stays bounded across 100 batches (compaction), answers unchanged") {
+    // 100 single-SET batches with compactEvery=10: without compaction
+    // the plan tree grows by an anti-join + union per batch; with it,
+    // depth resets to a leaf every 10 batches.
+    val eng = new KvEngine(spark, KvEngine.empty(spark).state, compactEvery = 10)
+    for (i <- 1 to 100) eng.execute(Seq(SetStmt(s"k${i % 7}", s"v$i")))
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    // at most compactEvery batches of (anti-join + union) above a
+    // checkpoint leaf: well under the ~400 nodes 100 batches would pile up
+    assert(planNodes(eng.state) < 60,
+      s"plan grew unbounded: ${planNodes(eng.state)} nodes")
+    // correctness preserved: last write per key wins across all batches
+    val got = eng.state.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = (1 to 100).map(i => (s"k${i % 7}", s"v$i")).toMap
+    assert(got === want)
+  }
 }

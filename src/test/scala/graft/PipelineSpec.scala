@@ -131,6 +131,31 @@ class PipelineSpec extends SparkTestBase {
     assert(docs("doc0") === "patched" && docs.size === 40)
   }
 
+  test("es-like sink: a corrupt index FAILS the batch instead of erasing it") {
+    val index = tmp() + "/cindex"
+    EsLikeSink.upsertBatch(
+      Seq("""{"_id":"1","v":"keep"}""").toDF("payload"), index, "_id")
+    // corrupt the index: truncate every parquet file to garbage
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(index))
+      .filter(p => p.toString.endsWith(".parquet")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+    assert(files.nonEmpty)
+    files.foreach(p => java.nio.file.Files.write(p, "not parquet".getBytes))
+    val before = files.map(p => p -> java.nio.file.Files.readAllBytes(p).toSeq).toMap
+    intercept[Exception] {
+      EsLikeSink.upsertBatch(
+        Seq("""{"_id":"1","v":"clobber"}""").toDF("payload"), index, "_id")
+    }
+    // the batch failed BEFORE the swap: nothing was deleted or replaced
+    for ((p, bytes) <- before)
+      assert(java.nio.file.Files.readAllBytes(p).toSeq === bytes,
+        s"corrupt index file $p was modified by a failed batch")
+    // a genuinely-absent path still reads as an empty index
+    val fresh = tmp() + "/fresh"
+    EsLikeSink.upsertBatch(Seq("""{"_id":"9","v":"x"}""").toDF("payload"), fresh, "_id")
+    assert(spark.read.parquet(fresh).count() === 1)
+  }
+
   test("boot from config file runs every key-paired pipeline (C6)") {
     val in = tmp(); val out = tmp() + "/boot_out"
     Files.write(java.nio.file.Paths.get(in, "d.jsonl"),
