@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions._
 
@@ -33,7 +34,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays",
       es => CosineSim(es(0), es(1))),
     ("dot_product", "dot_product(a, b) - dot product of two float arrays",
-      es => DotProduct(es(0), es(1))))
+      es => DotProduct(es(0), es(1))),
+    // Parameterized expressions: the size/seed arguments are plan-time
+    // constants of the Scala API, so in SQL they must arrive as
+    // foldable literals and are extracted here at resolution time.
+    ("minhash_sig", "minhash_sig(array<string>, k) - k-wise MinHash signature",
+      es => MinHashSig(es.head, litInt(es(1), "minhash_sig", "k"))),
+    ("rp_bits", "rp_bits(array<float>, n_bits, seed) - random-projection LSH bits",
+      es => RpBits(es.head, litInt(es(1), "rp_bits", "n_bits"),
+        litLong(es(2), "rp_bits", "seed"))),
+    // Aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder in an AggregateExpression itself.
+    ("heavy_hitters", "heavy_hitters(col, k) - Misra-Gries heavy hitters (agg)",
+      es => HeavyHitters(es.head, litInt(es(1), "heavy_hitters", "k"))),
+    ("top_k_by", "top_k_by(ord, id, k) - exact bounded top-k per group (agg)",
+      es => BoundedTopK(Cast(es(0), DoubleType), Cast(es(1), LongType),
+        litInt(es(2), "top_k_by", "k"))))
+
+  /** SQL-literal extraction for plan-time constant arguments. */
+  private def litInt(e: Expression, fn: String, arg: String): Int =
+    litLong(e, fn, arg).toInt
+
+  private def litLong(e: Expression, fn: String, arg: String): Long =
+    if (e.foldable) e.eval() match {
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a literal, got ${e.sql}")
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>

@@ -77,4 +77,34 @@ class DedupSpec extends SparkTestBase {
     val keepers = d.select("keeper_id").as[Long].collect()
     assert(keepers.distinct.length === keepers.length)
   }
+
+  test("stop-shingle df-cap preserves the >=0.5 pair set while filtering (scale knob)") {
+    val dir = sf("sf0.001")
+    def pairs(maxDf: Option[Int]) =
+      graft.queries.Batch3.minePairCounts(spark, dir, maxDf)
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixtures' max df is 9 (3-gram shingles are near-unique at 500
+    // docs); cap just below it so the filter provably fires while the
+    // planted near-dup pairs — far above the 0.5 line — survive
+    val cap = 8
+    // the cap is not vacuous on the fixtures: some shingles exceed it
+    val maxDfObserved = Catalog.table(spark, dir, "documents")
+      .select(explode(expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin))
+        .as("sh"))
+      .groupBy("sh").count().agg(max("count")).head().getLong(0)
+    assert(maxDfObserved > cap,
+      s"cap $cap filters nothing (max df $maxDfObserved) — test is vacuous")
+    val uncapped = pairs(None)
+    val capped = pairs(Some(cap))
+    assert(uncapped.nonEmpty, "fixtures should contain >=0.5 near-dup pairs")
+    assert(capped === uncapped,
+      s"df-cap $cap changed the pair set: lost ${uncapped -- capped}, gained ${capped -- uncapped}")
+  }
 }

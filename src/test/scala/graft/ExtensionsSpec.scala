@@ -41,6 +41,40 @@ class ExtensionsSpec extends SparkTestBase {
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           Array(org.apache.spark.unsafe.types.UTF8String.fromString("a"),
             org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
+
+      // parameterized expressions take literal size/seed args in SQL
+      val p = s.sql(
+        """SELECT size(minhash_sig(array('a','b','c'), 16)) AS sig_len,
+          |  rp_bits(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT)), 8, 42L) AS bits"""
+          .stripMargin).head()
+      assert(p.getInt(0) === 16)
+      assert(p.getLong(1) >= 0L && p.getLong(1) < 256L) // 8 bits
+      // non-literal k is a clear resolution-time error, not a crash
+      val err = intercept[Exception] {
+        s.sql("SELECT minhash_sig(array('a'), CAST(id AS INT)) FROM range(1)")
+          .collect()
+      }
+      assert(err.getMessage.contains("literal") ||
+        Option(err.getCause).exists(_.getMessage.contains("literal")))
+
+      // aggregates through pure SQL: heavy_hitters + top_k_by
+      s.range(0, 100).selectExpr("id", "CAST(id % 3 AS STRING) AS tok",
+        "CAST(id AS DOUBLE) AS v").createOrReplaceTempView("ext_rows")
+      val hh = s.sql(
+        "SELECT heavy_hitters(tok, 10) AS hh FROM ext_rows").head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.map(_.getString(0)).toSet === Set("0", "1", "2"))
+      assert(hh.map(_.getLong(1)).sum === 100L) // k >= distinct → exact
+      val tk = s.sql(
+        "SELECT top_k_by(v, id, 3) AS tk FROM ext_rows").head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.map(_.getLong(0)) === Seq(99L, 98L, 97L)) // best-first
+      // and they group correctly (partial agg path)
+      val grouped = s.sql(
+        """SELECT tok, top_k_by(v, id, 1) AS tk FROM ext_rows
+          |GROUP BY tok ORDER BY tok""".stripMargin).collect()
+      assert(grouped.map(_.getSeq[org.apache.spark.sql.Row](1).head.getLong(0))
+        === Array(99L, 97L, 98L)) // max id per residue class
     } finally { // shared context: do not stop; restore the prior session
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -115,4 +115,82 @@ class StreamingSpec extends SparkTestBase {
     assert(engine.status().isEmpty)
     assert(engine.progress().isEmpty)
   }
+
+  // ---- streaming <-> batch equivalence over the sf0.001 fixtures ----
+  // The catalog's stream_tumbling / stream_session entries are batch
+  // expressions of streaming semantics (that is what makes them
+  // DuckDB-oracle-able). These two tests close the loop: the SAME
+  // semantics through actual Structured Streaming — file source over
+  // the fixture parquet, watermarks, window/session_window state —
+  // must produce the SAME rows the oracled batch twins do.
+
+  /** Stream the events fixture: copy the parquet into a source dir so
+    * the file source can discover it (and later files can advance the
+    * watermark). Returns (source stream with µs ts, source dir). */
+  private def eventsStream(): (org.apache.spark.sql.DataFrame, String) = {
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    (stream, dir)
+  }
+
+  test("stream_tumbling twin: real streaming window agg == oracled batch rows") {
+    val (stream, _) = eventsStream()
+    val agg = stream
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("eq_tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_tumbling")
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
+  test("stream_session twin: session_window + watermark == oracled batch sessions") {
+    val (stream, dir) = eventsStream()
+    val agg = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))
+    val q = agg.writeStream.format("memory").queryName("eq_session")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // phase 2: a far-future sentinel event pushes the global watermark
+    // past every real session so append mode finalizes them all
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val maxNs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("ts")).head().getLong(0)
+    spark.read.parquet(s"$dir/events.parquet").limit(1)
+      .withColumn("ts", lit(maxNs + 86400L * 1000000000L))
+      .withColumn("user_id", lit(-1L)) // real user_ids are non-negative
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    // session_window assigns no ordinal; derive one per user by start
+    // time to compare against the batch twin's running session_id
+    val streamed = spark.table("eq_session")
+      .filter($"user_id" =!= -1L)
+      .select($"user_id", $"session_window.start".as("st"),
+        $"n_events", $"first_event")
+      .withColumn("session_id", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"st")))
+      .select($"user_id", $"session_id".cast("long"), $"n_events", $"first_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = SparkEntry.queries("stream_session")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
 }
