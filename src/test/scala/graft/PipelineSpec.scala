@@ -156,6 +156,36 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(fresh).count() === 1)
   }
 
+  test("s3 sink: config maps to s3a path + per-bucket hadoop conf (dry; no jar in env)") {
+    val c = graft.model.EndpointConfig("s3out", "s3", key = "s3k",
+      config = Map("bucket" -> "corpus", "prefix" -> "v2/docs",
+        "endpoint" -> "http://minio.local:9000", "access_key" -> "ak",
+        "secret_key" -> "sk", "path_style" -> "true", "format" -> "parquet"))
+    val (dest, conf, fmt) = graft.sinks.Sinks.s3WritePlan(c)
+    assert(dest === "s3a://corpus/v2/docs")
+    assert(fmt === "parquet")
+    assert(conf === Map(
+      "fs.s3a.bucket.corpus.endpoint" -> "http://minio.local:9000",
+      "fs.s3a.bucket.corpus.access.key" -> "ak",
+      "fs.s3a.bucket.corpus.secret.key" -> "sk",
+      "fs.s3a.bucket.corpus.path.style.access" -> "true"))
+    // registered in the factory; executing without hadoop-aws fails
+    // with Hadoop's own missing-filesystem error, not a graft bug
+    val e = intercept[Exception] {
+      graft.sinks.Sinks.batch("s3")(Seq(1).toDF("i"),
+        graft.model.EndpointConfig("s", "s3", key = "k",
+          config = Map("bucket" -> "nope")))
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("s3a") || m.contains("S3A") || m.contains("FileSystem")))
+    // missing bucket is a clear config error
+    val m = intercept[RuntimeException] {
+      graft.sinks.Sinks.s3WritePlan(graft.model.EndpointConfig(
+        "s", "s3", key = "k", config = Map.empty))
+    }
+    assert(m.getMessage.contains("bucket"))
+  }
+
   test("boot from config file runs every key-paired pipeline (C6)") {
     val in = tmp(); val out = tmp() + "/boot_out"
     Files.write(java.nio.file.Paths.get(in, "d.jsonl"),
