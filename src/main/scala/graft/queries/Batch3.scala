@@ -25,17 +25,17 @@ import graft.queries.Catalog.{Q, table, events}
 object Batch3 {
 
   /** Whitespace tokens. */
-  private def toks(c: Column): Column = split(c, " ")
+  private[queries] def toks(c: Column): Column = split(c, " ")
 
   /** Distinct word k-shingles via built-in higher-order functions
     * (stays in codegen; no UDF). */
-  private def shingles(tokens: Column, k: Int): Column =
+  private[queries] def shingles(tokens: Column, k: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(tokens) - (k - 1), lit(0))),
       i => concat_ws(" ", slice(tokens, i, lit(k)))))
 
   /** DuckDB twin of [[shingles]]. */
-  private def shinglesSql(toksExpr: String, k: Int): String =
+  private[queries] def shinglesSql(toksExpr: String, k: Int): String =
     s"""list_distinct(list_transform(
        |  range(1, greatest(len($toksExpr) - ${k - 1}, 0) + 1),
        |  i -> array_to_string(list_slice($toksExpr, i, i + ${k - 1}), ' ')))""".stripMargin

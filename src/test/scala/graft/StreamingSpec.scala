@@ -193,4 +193,23 @@ class StreamingSpec extends SparkTestBase {
         r.getLong(3))).toSet
     assert(batch.nonEmpty && streamed === batch)
   }
+
+  test("stream_sliding twin: real streaming sliding-window agg == oracled batch rows") {
+    val (stream, _) = eventsStream()
+    val agg = stream
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("eq_sliding")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_sliding")
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("stream_sliding")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
 }
