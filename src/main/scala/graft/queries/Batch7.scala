@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.Catalog.{Q, events, table}
+
+/** Query batch 7: feature normalization (per-group z-score), value
+  * histograms, funnel conversion, and edit-distance near-dup
+  * verification — the remaining standard blocks of a training-data /
+  * product-analytics pipeline.
+  */
+object Batch7 {
+
+  private val d4 = DecimalType(18, 4)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(d4)
+  private def decSql(c: String) = s"CAST($c AS DECIMAL(18,4))"
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- per-group z-score normalization. Mean and variance come from
+    // exact decimal sums (sum, sum-of-squares, count) so both engines
+    // aggregate identical values in any partition order; the final
+    // (x - mean)/stddev runs in correctly-rounded double arithmetic on
+    // those identical inputs, then one safety quantization. Variance
+    // uses the population formula E[x²] − E[x]² explicitly — stddev()
+    // builtins differ in formula (samp/pop) and summation order across
+    // engines. One aggregation + one broadcast-size dimension join; no
+    // window over the full table needed.
+    "zscore_by_type" -> Q(
+      (s, dir) => {
+        val stats = events(s, dir).groupBy("event_type")
+          .agg(
+            sum(dec(col("value"))).cast("double").as("sv"),
+            sum((dec(col("value")) * dec(col("value")))
+              .cast(DecimalType(38, 8))).cast("double").as("svv"),
+            count(lit(1)).cast("double").as("n"))
+          .select(col("event_type"), (col("sv") / col("n")).as("mean"),
+            sqrt((col("svv") / col("n")) - (col("sv") / col("n")) * (col("sv") / col("n")))
+              .as("sd"))
+        events(s, dir).join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            ((col("value") - col("mean")) / col("sd"))
+              .cast(DecimalType(18, 8)).cast("double").as("z"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT event_type,
+              |    CAST(sum(${decSql("value")}) AS DOUBLE) AS sv,
+              |    CAST(sum(CAST(${decSql("value")} * ${decSql("value")} AS DECIMAL(38,8))) AS DOUBLE) AS svv,
+              |    CAST(count(*) AS DOUBLE) AS n
+              |  FROM events GROUP BY event_type)
+              |SELECT event_id, event_type,
+              |  CAST(CAST((value - sv / n) /
+              |    sqrt(svv / n - (sv / n) * (sv / n)) AS DECIMAL(18,8)) AS DOUBLE) AS z
+              |FROM events JOIN stats USING (event_type)
+              |ORDER BY event_id""".stripMargin),
+      "per-group z-score normalization (decimal-exact moments, broadcast stats join)"),
+
+    // ---- fixed-width value histogram per event type: floor(value/50)
+    // buckets — one partial-aggregated groupBy, the shape that scales
+    // to any row count (bucket cardinality is bounded, map-side
+    // combine collapses everything early).
+    "histogram_values" -> Q(
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("event_type"),
+            floor(col("value") / 50.0d).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin),
+      "fixed-width per-type value histogram (bounded-cardinality partial agg)"),
+
+    // ---- funnel conversion: per user, did a click ever precede a
+    // purchase? Expressed as per-user min event times (one partial
+    // aggregation over (user, type) pairs — NOT a window over raw
+    // events) then a conditional count. Total order (ts, event_id)
+    // breaks ties deterministically via the micros+id tuple.
+    "funnel_click_purchase" -> Q(
+      (s, dir) => {
+        val perUser = events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "click",
+              struct(unix_micros(col("ts")).as("us"), col("event_id"))))
+              .as("first_click"),
+            min(when(col("event_type") === "purchase",
+              struct(unix_micros(col("ts")).as("us"), col("event_id"))))
+              .as("first_purchase"))
+        perUser.select(
+          count(lit(1)).as("users"),
+          count(col("first_click")).as("clicked"),
+          count(col("first_purchase")).as("purchased"),
+          count(when(col("first_click").isNotNull &&
+            col("first_purchase").isNotNull &&
+            (col("first_click.us") < col("first_purchase.us") ||
+              (col("first_click.us") === col("first_purchase.us") &&
+                col("first_click.event_id") < col("first_purchase.event_id"))),
+            lit(1))).as("converted"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'click'
+             |      THEN (epoch_us(CAST(ts AS TIMESTAMP)), event_id) END) AS first_click,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN (epoch_us(CAST(ts AS TIMESTAMP)), event_id) END) AS first_purchase
+             |  FROM events WHERE event_type IN ('click', 'purchase')
+             |  GROUP BY user_id)
+             |SELECT count(*) AS users,
+             |  count(first_click) AS clicked,
+             |  count(first_purchase) AS purchased,
+             |  count(CASE WHEN first_click IS NOT NULL AND first_purchase IS NOT NULL
+             |    AND first_click < first_purchase THEN 1 END) AS converted
+             |FROM per_user""".stripMargin),
+      "click->purchase funnel conversion (per-user min-struct agg, no window)"),
+
+    // ---- edit-distance near-dup verification: candidate pairs from a
+    // cheap blocking key (shared 24-char prefix — an equi-join, the
+    // blocking discipline every entity-resolution pipeline uses), then
+    // exact levenshtein <= 15 on the candidates only. Both engines
+    // implement standard unit-cost levenshtein. At 100 TB the prefix
+    // block is replaceable by any LSH bucket; the point is the shape:
+    // candidates via equi-join, O(len^2) verification only on
+    // candidates, never all pairs.
+    "dedup_edit_distance" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            substring(col("text"), 1, 24).as("block"))
+        docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("ta"))
+          .join(docs.select(col("block"), col("doc_id").as("doc_b"),
+            col("text").as("tb")), "block")
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+          .filter(col("dist") <= 15)
+          .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, substring(text, 1, 24) AS block FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             |FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.text, b.text) <= 15
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      "edit-distance near-dups: prefix-blocked candidates, levenshtein verify-once"),
+  )
+}
