@@ -85,6 +85,11 @@ final class HttpService(
       case (("GET" | "POST"), "/boot")        => handleBoot(ex)
       case ("POST", "/db/execute")            => handleExecute(ex)
       case (("GET" | "POST"), "/db/query")    => handleQuery(ex)
+      case ("POST", "/db/request")            =>
+        // mixed read/write batches are ErrNotImplemented in the
+        // reference store (Q5, new/store/store.go:653-655) — surface
+        // the same contract as a 501 rather than silently splitting
+        envelope(ex, 501, success = false, error = "not implemented")
       case ("POST", "/key")                   => handleKeyPut(ex)
       case ("GET", "/key")                    => handleKeyGet(ex)
       case _ =>

@@ -132,6 +132,12 @@ class HttpServiceSpec extends SparkTestBase {
     assert(mapper.readTree(nf.body()).get("error").asText() === "Not found")
   }
 
+  test("db/request mirrors the reference's ErrNotImplemented (Q5)") {
+    val r = post("/db/request", """["SET a 1", "GET a"]""")
+    assert(r.statusCode() === 501)
+    assert(mapper.readTree(r.body()).get("error").asText() === "not implemented")
+  }
+
   test("nodes reports the single-node topology") {
     val n = mapper.readTree(get("/nodes").body())
     assert(n.get("local").get("leader").asBoolean())

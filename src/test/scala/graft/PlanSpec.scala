@@ -54,4 +54,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
     assert(!plan.contains("GlobalSort"), plan.take(3000))
   }
+
+  test("zscore_by_type: stats join back via broadcast, no state-table shuffle") {
+    val plan = executed("zscore_by_type")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("histogram_values + funnel: partial+final aggregation pairs") {
+    assert("HashAggregate".r.findAllIn(executed("histogram_values")).size >= 2)
+    // funnel: per-user min-struct agg partial-aggregates map-side too
+    assert("HashAggregate".r.findAllIn(executed("funnel_click_purchase")).size >= 2)
+  }
+
+  test("shingle_cosine_pairs / dedup_edit_distance: equi-joins only, no cartesian") {
+    val cos = executed("shingle_cosine_pairs")
+    assert(!cos.contains("CartesianProduct") && !cos.contains("BroadcastNestedLoop"),
+      cos.take(3000))
+    val ed = executed("dedup_edit_distance")
+    assert(!ed.contains("CartesianProduct") && !ed.contains("BroadcastNestedLoop"),
+      ed.take(3000))
+  }
 }
