@@ -149,5 +149,46 @@ object Batch7 {
              |WHERE levenshtein(a.text, b.text) <= 15
              |ORDER BY doc_a, doc_b""".stripMargin),
       "edit-distance near-dups: prefix-blocked candidates, levenshtein verify-once"),
+
+    // ---- skew levers ON the correctness gate: the salted two-phase
+    // aggregation must equal the direct groupBy exactly. Decimal sums
+    // make the partial/merge decomposition exact (double partials
+    // would re-round per merge order); the oracle is the PLAIN
+    // aggregation — the salt must be invisible in the result.
+    "salted_agg" -> Q(
+      (s, dir) => {
+        graft.ops.Scale.saltedSumCount(
+          events(s, dir).withColumn("v", dec(col("value"))),
+          Seq("event_type"), "v", buckets = 8)
+          .select(col("event_type"), col("sum_v").cast("double").as("sum_value"),
+            col("n"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type,
+              |  CAST(sum(${decSql("value")}) AS DOUBLE) AS sum_value,
+              |  count(*) AS n
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "salted two-phase aggregation == direct groupBy (skew lever, oracled)"),
+
+    // ---- salted join equality: replicating the small side across
+    // salts must not change inner-join semantics. Oracle is the plain
+    // join + aggregation.
+    "salted_join" -> Q(
+      (s, dir) => {
+        val joined = graft.ops.Scale.saltedJoin(
+          table(s, dir, "orders"),
+          table(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+          key = "o_custkey", buckets = 4)
+        joined
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+              |  CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "salted equi-join == plain join (single-hot-key skew lever, oracled)"),
   )
 }
