@@ -190,5 +190,65 @@ object Batch7 {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       "salted equi-join == plain join (single-hot-key skew lever, oracled)"),
+
+    // ---- multimodal plumbing on the gate: the resize arithmetic
+    // (aspect-preserving scale, the computation a real resizer does
+    // before touching pixels) over the fake dims derived from the
+    // binary column. Double division/multiply are correctly-rounded
+    // IEEE on identical inputs → floor agrees bit-for-bit.
+    "mm_resize" -> Q(
+      (s, dir) => {
+        val meta = table(s, dir, "documents")
+          .withColumn("n_bytes", length(col("text").cast("binary")))
+          .select(col("doc_id"),
+            (col("n_bytes") % 640).as("fake_width"),
+            (col("n_bytes") % 480).as("fake_height"))
+          .filter(col("fake_width") > 0 && col("fake_height") > 0)
+        graft.ops.Multimodal.resizeMeta(meta, 320, 240)
+          .select(col("doc_id"), col("fake_width"), col("fake_height"),
+            col("out_width"), col("out_height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, fake_width, fake_height,
+             |  CAST(floor(fake_width * s) AS INT) AS out_width,
+             |  CAST(floor(fake_height * s) AS INT) AS out_height
+             |FROM (
+             |  SELECT doc_id, fake_width, fake_height,
+             |    least(320.0 / fake_width, 240.0 / fake_height, 1.0) AS s
+             |  FROM (
+             |    SELECT doc_id,
+             |      octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+             |      octet_length(CAST(text AS BLOB)) % 480 AS fake_height
+             |    FROM documents)
+             |  WHERE fake_width > 0 AND fake_height > 0)
+             |ORDER BY doc_id""".stripMargin),
+      "multimodal resize arithmetic (aspect-preserving) on the oracle gate"),
+
+    // ---- frame sampling: Multimodal.sampleFrames' slicing layout
+    // (evenly-spaced byte windows standing in for decoded frames) is
+    // pure arithmetic on lengths — re-derived in SQL, so the
+    // mapPartitions plumbing's row explosion and offsets are
+    // hash-verified, not just spec'd.
+    "mm_frames" -> Q(
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("media"))
+        graft.ops.Multimodal.sampleFrames(media, 4)
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+            length(col("frame_bytes")).cast("long").as("frame_len"))
+          .orderBy("media_id", "frame_no")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id AS media_id,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+             |f AS (
+             |  SELECT media_id, len, unnest(range(4)) AS frame_no,
+             |    greatest(len // 4, 1) AS step
+             |  FROM d)
+             |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+             |  least(least(frame_no * step, greatest(len - 1, 0)) + step, len)
+             |    - least(frame_no * step, greatest(len - 1, 0)) AS frame_len
+             |FROM f ORDER BY media_id, frame_no""".stripMargin),
+      "multimodal frame-sampling offsets hash-verified (4 evenly-spaced byte windows)"),
   )
 }
