@@ -250,5 +250,71 @@ object Batch7 {
              |    - least(frame_no * step, greatest(len - 1, 0)) AS frame_len
              |FROM f ORDER BY media_id, frame_no""".stripMargin),
       "multimodal frame-sampling offsets hash-verified (4 evenly-spaced byte windows)"),
+
+    // ---- corpus bigram-LM scoring: mean log P(w2|w1) per document,
+    // with P = c(bigram)/c(unigram w1) over the whole corpus (history
+    // counts include doc-final tokens; a simple consistent convention,
+    // mirrored in the oracle). The quality-filtering primitive of
+    // every LLM data pipeline ("drop the bottom decile by LM score").
+    // Shapes: two corpus-count aggregations (map-side combined), then
+    // equi-joins from the per-doc bigram stream to the count tables —
+    // never a cross join; joins stay on the bigram/token strings
+    // because hashing the GROUP key could merge colliding n-grams and
+    // diverge from the oracle. Each ln is quantized to DECIMAL(18,8)
+    // before the exact per-doc sum (double sums re-round per merge
+    // order), mean re-quantized.
+    "lm_bigram_score" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        // raw bigrams WITH multiplicity (no array_distinct — LM counts
+        // repeats, unlike the dedup shingles)
+        val bigrams = docs.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin))
+          .as("bg"))
+        val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+        val uniCounts = docs
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c_uni"))
+        bigrams
+          .join(bgCounts, "bg")
+          .withColumn("tok", split(col("bg"), " ").getItem(0))
+          .join(uniCounts, "tok")
+          .withColumn("lp",
+            log(col("c_bg").cast("double") / col("c_uni"))
+              .cast(DecimalType(18, 8)))
+          .groupBy("doc_id")
+          // mean stays RAW double: sum is an exact decimal (identical
+          // in both engines) and one IEEE division of identical inputs
+          // is bitwise deterministic — re-quantizing here would CREATE
+          // ties (sums are exact 1e-8 multiples divided by small n,
+          // and the engines break half-way rounding differently)
+          .agg((sum(col("lp")).cast("double") / count(lit(1)))
+            .as("lm_score"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bigrams AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+             |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')))
+             |    AS bg
+             |  FROM documents),
+             |bg_counts AS (SELECT bg, count(*) AS c_bg FROM bigrams GROUP BY bg),
+             |uni_counts AS (
+             |  SELECT tok, count(*) AS c_uni FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok)
+             |SELECT doc_id,
+             |  CAST(sum(lp) AS DOUBLE) / count(*) AS lm_score,
+             |  count(*) AS n_bigrams
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(ln(CAST(c_bg AS DOUBLE) / c_uni) AS DECIMAL(18,8)) AS lp
+             |  FROM bigrams
+             |  JOIN bg_counts USING (bg)
+             |  JOIN uni_counts ON string_split(bg, ' ')[1] = tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "per-doc corpus bigram-LM mean log-prob (LLM quality-filter primitive)"),
   )
 }
