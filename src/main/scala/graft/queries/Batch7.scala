@@ -316,5 +316,31 @@ object Batch7 {
              |  JOIN uni_counts ON string_split(bg, ' ')[1] = tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "per-doc corpus bigram-LM mean log-prob (LLM quality-filter primitive)"),
+
+    // ---- CDC apply-with-tombstones: materialize final state from a
+    // change feed — latest change per key wins, and a tombstone as the
+    // latest change REMOVES the key (the delete half of the reference's
+    // CDC semantics, mongo.go:23-41 operation_type; 'error' events
+    // stand in for deletes on the fixture feed). One window, one
+    // filter — the batch shape of KvEngine/StatefulKv materialization.
+    "cdc_apply" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .filter(col("event_type") =!= "error") // tombstone: key deleted
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT user_id, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin),
+      "CDC apply with tombstones: latest-per-key minus deleted keys"),
   )
 }

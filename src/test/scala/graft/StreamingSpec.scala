@@ -212,4 +212,24 @@ class StreamingSpec extends SparkTestBase {
         r.getDouble(3))).toSet
     assert(batch.nonEmpty && streamed === batch)
   }
+
+  test("first-event dedup twin: streaming min-per-key agg == oracled batch rows") {
+    val (stream, _) = eventsStream()
+    // dedup_first_event's semantics (first by the (ts, event_id) total
+    // order per key) are order-independent when expressed as a
+    // min-struct aggregate, so the streaming replay cannot be affected
+    // by arrival order — complete mode, no watermark needed
+    val agg = stream.groupBy($"user_id", $"event_type")
+      .agg(min(struct(unix_micros($"ts").as("us"), $"event_id")).as("f"))
+    val q = agg.writeStream.format("memory").queryName("eq_first")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_first")
+      .select($"user_id", $"event_type", $"f.event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("dedup_first_event")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
 }
