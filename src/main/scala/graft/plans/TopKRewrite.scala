@@ -1,0 +1,217 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Generic bounded top-k-per-group over FULL rows: buffers at most 2k
+  * combined rows `struct(orderKey..., payload struct)` per partial
+  * buffer, compacting with an interpreted ordering over the leading
+  * `directions.size` fields. The row-preserving generalization of
+  * [[graft.functions.BoundedTopK]] (which carries only a (double, long)
+  * pair): shuffle moves O(groups·k) rows instead of every row — the
+  * plan shape a `row_number() <= k` window forces Spark to abandon
+  * (full sort + full shuffle per partition).
+  *
+  * Ties beyond the ordering are broken by arrival, matching the
+  * documented non-determinism of `row_number` itself under non-total
+  * orders; under a total order results are identical to the window.
+  */
+case class RowTopK(
+    child: Expression,
+    directions: Seq[(Boolean, Boolean)], // (ascending, nullsFirst) per leading field
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[UnsafeRow]] {
+
+  require(k >= 1, s"row top-k: k must be >= 1, got $k")
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  @transient private lazy val ordering: Ordering[InternalRow] = {
+    val sos = directions.zipWithIndex.map { case ((asc, nullsFirst), i) =>
+      val f = structType(i)
+      SortOrder(BoundReference(i, f.dataType, f.nullable),
+        if (asc) Ascending else Descending,
+        if (nullsFirst) NullsFirst else NullsLast, Seq.empty)
+    }
+    new InterpretedOrdering(sos)
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[UnsafeRow] =
+    mutable.ArrayBuffer.empty
+
+  private def compact(buf: mutable.ArrayBuffer[UnsafeRow]): Unit =
+    if (buf.size > k) {
+      val best = buf.sorted(ordering.on((r: UnsafeRow) => r: InternalRow)).take(k)
+      buf.clear(); buf ++= best
+    }
+
+  override def update(buf: mutable.ArrayBuffer[UnsafeRow],
+      input: InternalRow): mutable.ArrayBuffer[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf += toUnsafe(v.asInstanceOf[InternalRow]).copy()
+      if (buf.size > 2 * k) compact(buf) // amortized O(log k) per row
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.ArrayBuffer[UnsafeRow],
+      other: mutable.ArrayBuffer[UnsafeRow]): mutable.ArrayBuffer[UnsafeRow] = {
+    buf ++= other
+    compact(buf)
+    buf
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[UnsafeRow]): Any = {
+    compact(buf)
+    val sorted = buf.sorted(ordering.on((r: UnsafeRow) => r: InternalRow))
+    new GenericArrayData(sorted.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[UnsafeRow]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { r =>
+      val bytes = r.getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[UnsafeRow] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.ArrayBuffer.empty[UnsafeRow]
+    (0 until n).foreach { _ =>
+      val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)
+      val row = new UnsafeRow(structType.size)
+      row.pointTo(b, len)
+      buf += row
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): RowTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RowTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RowTopK =
+    copy(child = newChildren.head)
+  override def prettyName: String = "row_top_k"
+}
+
+/** Optimizer rule: `Filter(row_number() <= k)` over a Window becomes a
+  * bounded top-k aggregate + posexplode — the rewrite that turns the
+  * single most common "top N per key" SQL idiom from a full-shuffle +
+  * per-partition sort into an O(groups·k)-shuffle aggregation with
+  * map-side combine. At 100 TB the window plan shuffles and sorts
+  * EVERY row; the rewritten plan moves at most k rows per group per
+  * partial buffer.
+  *
+  * Fires only when provably safe:
+  *  - the Window computes exactly one expression, a `row_number()`;
+  *  - the filter bounds it by a literal (`rn <= k`, `rn < k`, `rn = 1`,
+  *    possibly AND'ed with conjuncts not referencing rn — those are
+  *    re-applied on top);
+  *  - every partition/order expression is deterministic and orderable;
+  *  - k <= [[WindowTopKRewrite.maxK]] (the buffer is per-group
+  *    in-memory state).
+  *
+  * The rewritten subtree reproduces the window's output EXACTLY —
+  * original attribute ids are preserved via aliases and the
+  * row-number column is regenerated from the explode position — so
+  * downstream operators resolve unchanged.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val maxK = 8192
+
+  /** Extract the bound from a conjunct on the rn attribute; None if
+    * this conjunct does not bound rn from above. */
+  private def bound(e: Expression, rn: Attribute): Option[Int] = e match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(v - 1)
+    case EqualTo(a: Attribute, Literal(1, IntegerType))
+      if a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(v)
+    case GreaterThan(Literal(v: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(v - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(we: WindowExpression, _)), partitionSpec, orderSpec, child, _))
+      if we.windowFunction.isInstanceOf[RowNumber] &&
+        orderSpec.nonEmpty &&
+        (partitionSpec ++ orderSpec).forall(_.deterministic) &&
+        orderSpec.forall(so => RowOrdering.isOrderable(so.dataType)) =>
+      val rnAttr = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val ks = conjuncts.flatMap(c => bound(c, rnAttr))
+      val rest = conjuncts.filter(c => bound(c, rnAttr).isEmpty)
+      val restReferencesRn = rest.exists(_.references.contains(rnAttr))
+      if (ks.isEmpty || ks.min < 1 || ks.min > maxK || restReferencesRn) f
+      else {
+        val k = ks.min
+        val ordKeys: Seq[Expression] = orderSpec.map(_.child)
+        val payload = CreateStruct(child.output)
+        val combined = CreateStruct(ordKeys :+ (payload: Expression))
+        val dirs = orderSpec.map(so =>
+          (so.direction == Ascending, so.nullOrdering == NullsFirst))
+        val aggAlias = Alias(
+          RowTopK(combined, dirs, k).toAggregateExpression(), "__graft_topk")()
+        val aggregate = Aggregate(partitionSpec, Seq(aggAlias), child)
+        val elemType = combined.dataType.asInstanceOf[StructType]
+        val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
+        val rowAttr = AttributeReference("__graft_row", elemType, nullable = false)()
+        val generate = Generate(PosExplode(aggAlias.toAttribute),
+          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+          generatorOutput = Seq(posAttr, rowAttr), aggregate)
+        val payloadExpr = GetStructField(rowAttr, ordKeys.size)
+        val cols = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(payloadExpr, i), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        val rnCol = Alias(Add(posAttr, Literal(1)), alias.name)(
+          exprId = alias.exprId, qualifier = alias.qualifier)
+        val project = Project(cols :+ rnCol, generate)
+        if (rest.isEmpty) project
+        else Filter(rest.reduce(And), project)
+      }
+  }
+}
+
+/** Opt-in Spark extension: `spark.sql.extensions=graft.plans.GraftOptimizations`
+  * (composes with graft.GraftExtensions via a comma-separated list).
+  * Opt-in rather than default because the rewrite trades the window's
+  * streaming-friendly sort for per-group in-memory top-k state — the
+  * right call for selective top-k (k << group size), which is what the
+  * guarded pattern expresses. */
+class GraftOptimizations extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
+}
