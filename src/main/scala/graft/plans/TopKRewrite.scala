@@ -129,7 +129,10 @@ case class RowTopK(
   * partial buffer.
   *
   * Fires only when provably safe:
-  *  - the Window computes exactly one expression, a `row_number()`;
+  *  - the Window computes exactly one expression, a `row_number()`
+  *    (NOT rank/dense_rank: those keep every tie at the boundary, so
+  *    the per-group buffer would be unbounded under ties — a rewrite
+  *    that can OOM where the window's external sort survives);
   *  - the filter bounds it by a literal (`rn <= k`, `rn < k`, `rn = 1`,
   *    possibly AND'ed with conjuncts not referencing rn — those are
   *    re-applied on top);
