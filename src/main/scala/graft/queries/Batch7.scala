@@ -342,5 +342,80 @@ object Batch7 {
              |  FROM events) WHERE rn = 1 AND event_type <> 'error'
              |ORDER BY user_id""".stripMargin),
       "CDC apply with tombstones: latest-per-key minus deleted keys"),
+
+    // ---- relative-rank windows: percent_rank/cume_dist are ratios of
+    // integer ranks — one IEEE division of identical ints per row, so
+    // no decimal quantization is needed. (ts, event_id) keeps the
+    // order total (fixture ties on value exist).
+    "win_percent_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        events(s, dir)
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .select(col("event_id"), col("event_type"), col("pr"), col("cd"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+             |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_id""".stripMargin),
+      "percent_rank + cume_dist relative-rank windows"),
+
+    // ---- per-group Pearson correlation of value vs event time, from
+    // decimal-exact moments (corr() builtins accumulate doubles in
+    // partition order — non-deterministic across engines). Time is
+    // centered to epoch-seconds-since-2024 so the decimal products
+    // stay well inside DECIMAL(38,6).
+    "corr_by_type" -> Q(
+      (s, dir) => {
+        val base = events(s, dir).select(col("event_type"),
+          dec(col("value")).as("x"),
+          ((unix_micros(col("ts")) - lit(1704067200000000L)) / lit(1000000L))
+            .cast(DecimalType(18, 4)).as("t"))
+        base.groupBy("event_type")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("t")).cast("double").as("st"),
+            // products run in DOUBLE (identical quantized inputs → one
+            // identical IEEE multiply) then quantize for the exact sum:
+            // DuckDB's DECIMAL(18)xDECIMAL(18) multiply overflows int64
+            sum((col("x").cast("double") * col("x").cast("double"))
+              .cast(DecimalType(38, 6))).cast("double").as("sxx"),
+            sum((col("t").cast("double") * col("t").cast("double"))
+              .cast(DecimalType(38, 6))).cast("double").as("stt"),
+            sum((col("x").cast("double") * col("t").cast("double"))
+              .cast(DecimalType(38, 6))).cast("double").as("sxt"))
+          .select(col("event_type"),
+            ((col("sxt") / col("n") - (col("sx") / col("n")) * (col("st") / col("n"))) /
+              (sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+               sqrt(col("stt") / col("n") - (col("st") / col("n")) * (col("st") / col("n")))))
+              .cast(DecimalType(18, 8)).cast("double").as("pearson_r"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(t) AS DOUBLE) AS st,
+             |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS stt,
+             |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(t AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sxt
+             |  FROM (
+             |    SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x,
+             |      CAST((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) / 1000000.0
+             |        AS DECIMAL(18,4)) AS t
+             |    FROM events)
+             |  GROUP BY event_type)
+             |SELECT event_type,
+             |  CAST(CAST(
+             |    (sxt / n - (sx / n) * (st / n)) /
+             |    (sqrt(sxx / n - (sx / n) * (sx / n)) *
+             |     sqrt(stt / n - (st / n) * (st / n)))
+             |  AS DECIMAL(18,8)) AS DOUBLE) AS pearson_r
+             |FROM m ORDER BY event_type""".stripMargin),
+      "per-group Pearson r from decimal-exact moments (corr() builtins are order-dependent)"),
   )
 }
