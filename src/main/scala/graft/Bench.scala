@@ -157,7 +157,8 @@ object Bench {
     // dedup_ngram_jaccard — see Batch3.pairCounts) or the IVF index
     // (built once — see Batch3.ivfIndex).
     val amortized = Seq("dedup_corpus", "dedup_clusters",
-      "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk")
+      "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk",
+      "dedup_degree")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}""")
     spark.stop()

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.Catalog.{Q, table, events}
+import graft.queries.Batch3.{toks, shingles, shinglesSql}
+
+/** Query batch 9: the remaining LLM-training-data primitives —
+  * document chunking, benchmark-contamination detection, Gopher-style
+  * repetition signals, quantized (int8) similarity search, PII-style
+  * masking, event-sequence mining, and near-dup graph degree.
+  *
+  * Scale notes:
+  *  - chunk_docs / rep_signals / pii_mask are pure per-row (or
+  *    two-level-aggregate) shapes: no join, map-side combinable,
+  *    embarrassingly partitionable at 100 TB.
+  *  - contamination_ngram joins the corpus against a BROADCAST eval
+  *    set: benchmark suites are small by nature (thousands of docs),
+  *    so the train side streams once with no shuffle of the corpus.
+  *  - ann_int8_topk is the compressed-domain scoring path: vectors
+  *    quantize to int8 (4× smaller than float32 — at 100 TB that is
+  *    the difference between spilling and staying in memory), scores
+  *    compute in exact integer arithmetic, and the plan is still a
+  *    single scan + TakeOrdered.
+  */
+object Batch9 {
+
+  /** Symmetric int8 quantization of a float vector: per-vector scale
+    * 127/max|x|, explicit floor(x*scale + 0.5) so the rounding rule is
+    * engine-independent (no HALF_UP vs HALF_EVEN ambiguity). All
+    * downstream arithmetic (dot product, norms) is exact integer math;
+    * only the final score division is floating-point. */
+  private def quantize(v: Column): Column = {
+    val dv    = transform(v, x => x.cast("double"))
+    val scale = lit(127.0) / array_max(transform(dv, x => abs(x)))
+    transform(dv, x => floor(x * scale + lit(0.5)))
+  }
+
+  /** Exact long-sum of an array<long>. */
+  private def lsum(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x)
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- fixed-size overlapping token chunks (context-window prep).
+    // chunk_idx derives from the start offset — no ordinality needed,
+    // so both engines compute it without relying on unnest order.
+    "chunk_docs" -> Q(
+      (s, dir) => {
+        val sz = 64; val step = 48
+        table(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")), lit(step))).as("st"))
+          .select(col("doc_id"),
+            ((col("st") - 1) / step).cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("t"), col("st"), lit(sz))).as("chunk_text"),
+            least(lit(sz), size(col("t")) - col("st") + 1).cast("long").as("n_tok"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |s AS (SELECT doc_id, t, unnest(range(1, len(t)+1, 48)) AS st FROM d)
+             |SELECT doc_id, CAST((st-1)//48 AS BIGINT) AS chunk_idx,
+             |  array_to_string(list_slice(t, st, st+63), ' ') AS chunk_text,
+             |  CAST(least(64, len(t)-st+1) AS BIGINT) AS n_tok
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
+      "overlapping 64-token/48-stride document chunking (per-row HOF, no shuffle)"),
+
+    // ---- benchmark-contamination check: distinct 3-gram overlap of
+    // every training doc against a held-out eval set (doc_id % 97 = 0
+    // stands in for the benchmark suite). The eval side is broadcast —
+    // the deliberate scale choice: benchmark suites stay small while
+    // the corpus streams by once. Spark joins on xxhash64(shingle)
+    // (8-byte keys; collision odds ~|shingles|²/2⁶⁴, ignorable), the
+    // oracle on the strings themselves.
+    "contamination_ngram" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+        val bench = d.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("sh")).as("shingle"))
+          .select(xxhash64(col("shingle")).as("shash")).distinct()
+        val train = d.filter(col("doc_id") % 97 =!= 0)
+        val shared = train
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+          .join(broadcast(bench), "shash")
+          .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+        shared
+          .join(train.select(col("doc_id"), size(col("sh")).cast("long").as("total")), "doc_id")
+          .withColumn("ratio", col("shared").cast("double") / col("total"))
+          .filter(col("ratio") >= 0.04)
+          .select(col("doc_id"), col("shared"), col("total"), col("ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents),
+              |b AS (SELECT DISTINCT shingle FROM
+              |        (SELECT unnest(sh) AS shingle FROM d WHERE doc_id % 97 = 0)),
+              |t AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE doc_id % 97 <> 0),
+              |j AS (SELECT t.doc_id, count(*) AS shared FROM t JOIN b USING (shingle)
+              |      GROUP BY t.doc_id),
+              |tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS total FROM d
+              |        WHERE doc_id % 97 <> 0)
+              |SELECT j.doc_id, j.shared, tot.total,
+              |  CAST(j.shared AS DOUBLE)/tot.total AS ratio
+              |FROM j JOIN tot USING (doc_id)
+              |WHERE CAST(j.shared AS DOUBLE)/tot.total >= CAST(0.04 AS DOUBLE)
+              |ORDER BY doc_id""".stripMargin),
+      "train-vs-eval 3-gram contamination ratio (broadcast eval side, corpus streams once)"),
+
+    // ---- Gopher-style repetition signals: distinct-token ratio, top
+    // token fraction, top bigram fraction. Two-level aggregation
+    // ((doc,gram) then doc) — the map-side-combinable shape; never a
+    // per-doc collect or an O(n²) HOF.
+    "rep_signals" -> Q(
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("t"))
+        val ta = d.select(col("doc_id"), explode(col("t")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            max(col("c")).as("top_tok"), sum(col("c")).as("n_tok"),
+            count(lit(1)).as("n_distinct"))
+        val ba = d.select(col("doc_id"), explode(transform(
+            sequence(lit(1), greatest(size(col("t")) - 1, lit(0))),
+            i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+        ta.join(ba, "doc_id")
+          .select(col("doc_id"), col("n_tok"),
+            (col("n_distinct").cast("double") / col("n_tok")).as("distinct_ratio"),
+            (col("top_tok").cast("double") / col("n_tok")).as("top_tok_frac"),
+            (col("top_bg").cast("double") / col("n_bg")).as("top_bigram_frac"))
+          .withColumn("repetitive",
+            col("top_bigram_frac") > 0.08 || col("distinct_ratio") < 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS c FROM
+             |         (SELECT doc_id, unnest(t) AS tok FROM d) GROUP BY 1,2),
+             |ta AS (SELECT doc_id, max(c) AS top_tok, CAST(sum(c) AS BIGINT) AS n_tok,
+             |         count(*) AS n_distinct FROM tc GROUP BY 1),
+             |bc AS (SELECT doc_id, bg, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+             |      i -> array_to_string(list_slice(t, i, i+1), ' '))) AS bg FROM d)
+             |    GROUP BY 1,2),
+             |ba AS (SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg
+             |       FROM bc GROUP BY 1)
+             |SELECT ta.doc_id, n_tok,
+             |  CAST(n_distinct AS DOUBLE)/n_tok AS distinct_ratio,
+             |  CAST(top_tok AS DOUBLE)/n_tok AS top_tok_frac,
+             |  CAST(top_bg AS DOUBLE)/n_bg AS top_bigram_frac,
+             |  (CAST(top_bg AS DOUBLE)/n_bg > CAST(0.08 AS DOUBLE)
+             |   OR CAST(n_distinct AS DOUBLE)/n_tok < CAST(0.2 AS DOUBLE)) AS repetitive
+             |FROM ta JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "Gopher-style repetition/quality signals (two-level agg, map-side combine)"),
+
+    // ---- quantized similarity search: int8 symmetric quantization +
+    // exact integer dot/norms. The compressed-domain twin of ann_topk;
+    // AnnSpec asserts its top-k recall against the float path.
+    "ann_int8_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(quantize(col("embedding")).as("qb"))
+        emb.select(col("vec_id"), quantize(col("embedding")).as("qa"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (lsum(zip_with(col("qa"), col("qb"), (a, b) => a * b)).cast("double")
+              / (sqrt(lsum(transform(col("qa"), a => a * a)).cast("double"))
+                 * sqrt(lsum(transform(col("qb"), b => b * b)).cast("double"))))
+              .as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS sc
+             |      FROM e),
+             |qz AS (SELECT vec_id,
+             |         list_transform(v, x -> CAST(floor(x * sc + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+             |       FROM s),
+             |qq AS (SELECT q AS qb FROM qz WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  CAST(list_sum(list_transform(range(1, len(q)+1), i -> q[i]*qb[i])) AS DOUBLE)
+             |  / (sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE))
+             |     * sqrt(CAST(list_sum(list_transform(qb, x -> x*x)) AS DOUBLE))) AS score
+             |FROM qz, qq ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "int8-quantized cosine top-k (4x smaller vectors, exact integer scoring)"),
+
+    // ---- PII-style masking: digit runs collapsed to '#' (the
+    // redaction primitive; the synthetic props payload is the only
+    // digit-bearing text column). Pure per-row regex — stays in
+    // whole-stage codegen, no shuffle.
+    "pii_mask" -> Q(
+      (s, dir) => {
+        events(s, dir)
+          .select(col("event_id"),
+            regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+            (length(col("props"))
+              - length(regexp_replace(col("props"), "[0-9]", ""))).cast("long")
+              .as("n_digits"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+             |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT)
+             |    AS n_digits
+             |FROM events ORDER BY event_id""".stripMargin),
+      "digit-run redaction + digit census (per-row regex, codegen'd)"),
+
+    // ---- event-sequence mining: user-session transition matrix
+    // (lag window per user, then a global count). The window shuffles
+    // by user_id once; the transition aggregate is map-side combinable
+    // over a 25-cell domain.
+    "event_transitions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      },
+      Some("""SELECT prev AS from_type, event_type AS to_type, count(*) AS n FROM (
+             |  SELECT event_type, lag(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+             |  FROM events)
+             |WHERE prev IS NOT NULL GROUP BY 1,2
+             |ORDER BY n DESC, from_type, to_type""".stripMargin),
+      "per-user event-transition matrix (one keyed window + tiny global agg)"),
+
+    // ---- near-dup graph degree histogram: how many docs have k
+    // near-duplicates. Reads the memoized pair subtree (Batch3
+    // pairCounts) — no re-mining; Bench labels it amortized.
+    "dedup_degree" -> Q(
+      (s, dir) => {
+        val pairs = Batch3.ngramPairs(s, dir)
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionAll(pairs.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |  WHERE jaccard >= 0.5),
+              |deg AS (SELECT doc_id, count(*) AS degree FROM (
+              |    SELECT doc_a AS doc_id FROM pairs
+              |    UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
+              |SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1 ORDER BY degree""".stripMargin),
+      "near-dup graph degree histogram (consumer of the shared pair subtree)"))
+}

@@ -46,6 +46,18 @@ class AnnSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("int8-quantized top-k recalls nearly all of the exact float top-k") {
+    val dir = sf("sf0.001")
+    val exact = graft.queries.Catalog.queries("ann_topk")(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val quant = graft.queries.Catalog.queries("ann_int8_topk")(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // int8 symmetric quantization perturbs scores by <1%, so the two
+    // top-20 sets should agree on at least 15 of 20 ids.
+    assert((exact & quant).size >= 15, s"recall ${(exact & quant).size}/20")
+    assert(quant.contains(0L)) // the query vector survives quantization at rank 1
+  }
+
   test("IVF scan prunes to the probed clusters only") {
     val index = Ann.buildIvf(emb, "embedding", k = 8)
     val probedOne = Ann.searchIvf(index, "embedding", query, topK = 5, nprobe = 1)

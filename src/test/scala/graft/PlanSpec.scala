@@ -75,4 +75,34 @@ class PlanSpec extends SparkTestBase {
     assert(!ed.contains("CartesianProduct") && !ed.contains("BroadcastNestedLoop"),
       ed.take(3000))
   }
+
+  test("contamination_ngram: eval side broadcast, corpus never shuffle-joined") {
+    val plan = executed("contamination_ngram")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the shingle join (train x bench) must not be a shuffled SMJ: the
+    // only sort-merge allowed is none — doc_id-keyed joins may appear
+    // as broadcast too at this SF, so simply forbid a corpus SMJ on shash
+    assert(!plan.contains("SortMergeJoin [shash"), plan.take(3000))
+  }
+
+  test("chunk_docs / pii_mask: scans pruned to the consumed columns") {
+    val chunk = executed("chunk_docs")
+    val rs1 = chunk.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs1.contains("text") && !rs1.contains("lang") && !rs1.contains("source"), rs1)
+    val mask = executed("pii_mask")
+    val rs2 = mask.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs2.contains("props") && !rs2.contains("user_id"), rs2)
+  }
+
+  test("rep_signals: both gram aggregations are partial+final") {
+    val plan = executed("rep_signals")
+    // two 2-level aggregations => at least 4 HashAggregates (partial+final each)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
+  }
+
+  test("ann_int8_topk: single scan + TakeOrdered in the quantized domain") {
+    val plan = executed("ann_int8_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
