@@ -159,8 +159,20 @@ object Bench {
     val amortized = Seq("dedup_corpus", "dedup_clusters",
       "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk",
       "dedup_degree")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
+    // The one-line JSON grew past what the driver's tail capture holds
+    // (r4 lost the head of the line → "parsed": null). Persist it to a
+    // file too, so the totals stay machine-readable however stdout is
+    // truncated, and print it FIRST so a head capture also works.
+    println(json)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")),
+        (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -165,46 +165,91 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond,
-        Window(Seq(alias @ Alias(we: WindowExpression, _)), partitionSpec, orderSpec, child, _))
+  /** The Window shapes this rule can rewrite: exactly one window
+    * expression, a `row_number()`, deterministic orderable specs. */
+  private def rewritableRowNumber(w: Window): Option[Alias] = w match {
+    case Window(Seq(alias @ Alias(we: WindowExpression, _)), partitionSpec, orderSpec, _, _)
       if we.windowFunction.isInstanceOf[RowNumber] &&
         orderSpec.nonEmpty &&
         (partitionSpec ++ orderSpec).forall(_.deterministic) &&
-        orderSpec.forall(so => RowOrdering.isOrderable(so.dataType)) =>
-      val rnAttr = alias.toAttribute
-      val conjuncts = splitConjunctivePredicates(cond)
-      val ks = conjuncts.flatMap(c => bound(c, rnAttr))
-      val rest = conjuncts.filter(c => bound(c, rnAttr).isEmpty)
-      val restReferencesRn = rest.exists(_.references.contains(rnAttr))
-      if (ks.isEmpty || ks.min < 1 || ks.min > maxK || restReferencesRn) f
-      else {
-        val k = ks.min
-        val ordKeys: Seq[Expression] = orderSpec.map(_.child)
-        val payload = CreateStruct(child.output)
-        val combined = CreateStruct(ordKeys :+ (payload: Expression))
-        val dirs = orderSpec.map(so =>
-          (so.direction == Ascending, so.nullOrdering == NullsFirst))
-        val aggAlias = Alias(
-          RowTopK(combined, dirs, k).toAggregateExpression(), "__graft_topk")()
-        val aggregate = Aggregate(partitionSpec, Seq(aggAlias), child)
-        val elemType = combined.dataType.asInstanceOf[StructType]
-        val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
-        val rowAttr = AttributeReference("__graft_row", elemType, nullable = false)()
-        val generate = Generate(PosExplode(aggAlias.toAttribute),
-          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
-          generatorOutput = Seq(posAttr, rowAttr), aggregate)
-        val payloadExpr = GetStructField(rowAttr, ordKeys.size)
-        val cols = child.output.zipWithIndex.map { case (a, i) =>
-          Alias(GetStructField(payloadExpr, i), a.name)(
-            exprId = a.exprId, qualifier = a.qualifier)
+        orderSpec.forall(so => RowOrdering.isOrderable(so.dataType)) => Some(alias)
+    case _ => None
+  }
+
+  /** Build the RowTopK aggregate + posexplode replacement for `w`
+    * bounded at `k`. Output is attribute-for-attribute identical to
+    * `w` (original exprIds preserved), so any operator that resolved
+    * against the window resolves unchanged against the rewrite. */
+  private def buildTopK(w: Window, alias: Alias, k: Int): LogicalPlan = {
+    val Window(_, partitionSpec, orderSpec, child, _) = w
+    val ordKeys: Seq[Expression] = orderSpec.map(_.child)
+    val payload = CreateStruct(child.output)
+    val combined = CreateStruct(ordKeys :+ (payload: Expression))
+    val dirs = orderSpec.map(so =>
+      (so.direction == Ascending, so.nullOrdering == NullsFirst))
+    val aggAlias = Alias(
+      RowTopK(combined, dirs, k).toAggregateExpression(), "__graft_topk")()
+    val aggregate = Aggregate(partitionSpec, Seq(aggAlias), child)
+    val elemType = combined.dataType.asInstanceOf[StructType]
+    val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
+    val rowAttr = AttributeReference("__graft_row", elemType, nullable = false)()
+    val generate = Generate(PosExplode(aggAlias.toAttribute),
+      unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+      generatorOutput = Seq(posAttr, rowAttr), aggregate)
+    val payloadExpr = GetStructField(rowAttr, ordKeys.size)
+    val cols = child.output.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(payloadExpr, i), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val rnCol = Alias(Add(posAttr, Literal(1)), alias.name)(
+      exprId = alias.exprId, qualifier = alias.qualifier)
+    Project(cols :+ rnCol, generate)
+  }
+
+  /** Split `cond` into an rn upper bound (on `rnOut`) and leftover
+    * conjuncts; rewrite `w` when a valid bound exists and the leftovers
+    * don't otherwise constrain rn. `wrap` re-inserts whatever sat
+    * between the Filter and the Window (identity, or the intervening
+    * Project) — the leftover conjuncts go back on top of it, where
+    * their references still resolve. */
+  private def rewriteBounded(cond: Expression, w: Window, alias: Alias,
+      rnOut: Attribute, wrap: LogicalPlan => LogicalPlan): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val ks = conjuncts.flatMap(c => bound(c, rnOut))
+    val rest = conjuncts.filter(c => bound(c, rnOut).isEmpty)
+    val restReferencesRn = rest.exists(_.references.contains(rnOut))
+    if (ks.isEmpty || ks.min < 1 || ks.min > maxK || restReferencesRn) None
+    else {
+      val wrapped = wrap(buildTopK(w, alias, ks.min))
+      Some(if (rest.isEmpty) wrapped else Filter(rest.reduce(And), wrapped))
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      rewritableRowNumber(w).flatMap { alias =>
+        rewriteBounded(cond, w, alias, alias.toAttribute, identity)
+      }.getOrElse(f)
+
+    // `withColumn(rn, ...).select(...).filter(rn <= k)` analyzes to
+    // Filter(Project(Window)) — the rn attribute rides through the
+    // Project either bare or under a direct alias. Push the bound
+    // beneath the Project (safe: buildTopK preserves the window's
+    // output exprIds, so the Project resolves unchanged on top) and
+    // leave the non-rn conjuncts above it.
+    case f @ Filter(cond, p @ Project(projList, w: Window))
+        if projList.forall(_.deterministic) =>
+      (for {
+        alias <- rewritableRowNumber(w)
+        rnAttr = alias.toAttribute
+        rnOut <- projList.collectFirst {
+          case a: Attribute if a.exprId == rnAttr.exprId => a
+          case al @ Alias(a: Attribute, _) if a.exprId == rnAttr.exprId =>
+            al.toAttribute
         }
-        val rnCol = Alias(Add(posAttr, Literal(1)), alias.name)(
-          exprId = alias.exprId, qualifier = alias.qualifier)
-        val project = Project(cols :+ rnCol, generate)
-        if (rest.isEmpty) project
-        else Filter(rest.reduce(And), project)
-      }
+        rewritten <- rewriteBounded(cond, w, alias, rnOut,
+          inner => Project(projList, inner))
+      } yield rewritten).getOrElse(f)
   }
 }
 

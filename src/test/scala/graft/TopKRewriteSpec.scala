@@ -106,6 +106,46 @@ class TopKRewriteSpec extends SparkTestBase {
     assert(rankQ.count() > 0 && refQ.count() > 0 && bigQ.count() === 200)
   }
 
+  test("rewrite fires through an intervening Project (withColumn.select.filter)") {
+    // the shape ann_knn_join produces: a select between the window
+    // column and the bound filter → Filter(Project(Window))
+    val w = Window.partitionBy(col("user")).orderBy(col("score").desc, col("id"))
+    def q(s: SparkSession) = fixture(s)
+      .withColumn("rn", row_number().over(w))
+      .select(col("user"), col("id"), col("rn"), (col("score") * 2).as("score2"))
+      .filter(col("rn") <= 2)
+    val plan = q(opt).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.toLowerCase.contains("row_top_k"), plan.take(2000))
+    val got = q(opt).collect().map(_.toString).sorted
+    val want = q(spark).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("through-Project rewrite keeps non-rn conjuncts and rn aliases") {
+    val w = Window.partitionBy(col("user")).orderBy(col("score").desc, col("id"))
+    def q(s: SparkSession) = fixture(s)
+      .withColumn("rn", row_number().over(w))
+      .select(col("user"), col("id"), col("rn").as("rank_out"))
+      .filter(col("rank_out") <= 2 && col("id") % 2 === 0)
+    val plan = q(opt).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    val got = q(opt).collect().map(_.toString).sorted
+    val want = q(spark).collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("ann_knn_join rewrites: RowTopK aggregate, no per-qid window sort") {
+    val df = SparkEntry.queries("ann_knn_join")(opt, sf("sf0.001"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.toLowerCase.contains("row_top_k"), plan.take(2000))
+    val got = df.collect().map(_.toString).sorted
+    val want = SparkEntry.queries("ann_knn_join")(spark, sf("sf0.001"))
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("rewrite matches the catalog's win_topk_per_day shape on real fixtures") {
     // same semantics as the catalog query, run through the rewrite
     // session vs the plain session
