@@ -125,9 +125,12 @@ object Ann {
     * tinyint (same arithmetic as the oracled `ann_int8_topk` catalog
     * entry, narrowed to 1-byte storage). */
   def sq8Code(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dv    = transform(v, x => x.cast("double"))
-    val scale = lit(127.0) / array_max(transform(dv, x => abs(x)))
-    transform(dv, x => floor(x * scale + lit(0.5)).cast("byte"))
+    val dv = transform(v, x => x.cast("double"))
+    val m  = array_max(transform(dv, x => abs(x)))
+    // zero vector: 127/0 = Inf, 0*Inf = NaN, and NaN→byte throws under
+    // ANSI — code it as all-zero instead (norm 0; never a top hit)
+    when(m === 0, transform(dv, _ => lit(0).cast("byte")))
+      .otherwise(transform(dv, x => floor(x * (lit(127.0) / m) + lit(0.5)).cast("byte")))
   }
 
   /** Precomputed L2 norm of the code vector (so searches don't redo
@@ -154,14 +157,20 @@ object Ann {
     * exact scan is near-total while the heavy scan never touches the
     * float column. */
   def searchIvfSq8(index: IvfIndex, embCol: String, query: Array[Float],
-      topK: Int, nprobe: Int, rescore: Int = 100): DataFrame = {
+      topK: Int, nprobe: Int, rescore: Int = 100,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(index.assigned.columns.contains("qvec"),
       "index has no SQ8 codes; call withSq8 first")
-    // quantize the query with the same formula (driver-side, d floats)
+    // quantize the query with the same formula (driver-side, d floats);
+    // a zero query codes to zeros like sq8Code does
     val m = query.map(x => math.abs(x.toDouble)).max
-    val qb = query.map(x => math.floor(x * 127.0 / m + 0.5).toLong)
+    val qb =
+      if (m == 0) query.map(_ => 0L)
+      else query.map(x => math.floor(x * 127.0 / m + 0.5).toLong)
     val qbNorm = math.sqrt(qb.map(x => (x * x).toDouble).sum)
     val probed = rankClusters(index.centers, query).take(nprobe)
+    // tieBreak makes BOTH cuts deterministic under score collisions,
+    // mirroring bruteForce/searchIvf
     val candidates = index.assigned
       .filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
       .withColumn("qscore",
@@ -169,12 +178,12 @@ object Ann {
           zip_with(col("qvec"), typedLit(qb.toSeq), (a, b) => a.cast("long") * b),
           lit(0L), (acc, x) => acc + x).cast("double")
           / (col("qnorm") * lit(qbNorm)))
-      .orderBy(col("qscore").desc)
+      .orderBy(col("qscore").desc +: tieBreak: _*)
       .limit(rescore)
     // exact rescoring over the tiny candidate set only
     candidates
       .withColumn("score", cosine_sim(col(embCol), typedLit(query.toSeq)))
-      .orderBy(col("score").desc)
+      .orderBy(col("score").desc +: tieBreak: _*)
       .limit(topK)
       .drop("qscore")
   }

@@ -28,11 +28,15 @@ object Batch3 {
   private[queries] def toks(c: Column): Column = split(c, " ")
 
   /** Distinct word k-shingles via built-in higher-order functions
-    * (stays in codegen; no UDF). */
+    * (stays in codegen; no UDF). Docs shorter than k tokens yield an
+    * EMPTY array — without the guard, `sequence(1, 0)` infers step -1
+    * and produces [1, 0], whose 0 index makes `slice` throw under
+    * ANSI; the DuckDB twin's `range(1, 1)` is already empty. */
   private[queries] def shingles(tokens: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(tokens) - (k - 1), lit(0))),
-      i => concat_ws(" ", slice(tokens, i, lit(k)))))
+    array_distinct(when(size(tokens) >= k,
+      transform(sequence(lit(1), size(tokens) - (k - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(k)))))
+      .otherwise(array().cast("array<string>")))
 
   /** DuckDB twin of [[shingles]]. */
   private[queries] def shinglesSql(toksExpr: String, k: Int): String =

@@ -33,9 +33,13 @@ object Batch9 {
     * downstream arithmetic (dot product, norms) is exact integer math;
     * only the final score division is floating-point. */
   private def quantize(v: Column): Column = {
-    val dv    = transform(v, x => x.cast("double"))
-    val scale = lit(127.0) / array_max(transform(dv, x => abs(x)))
-    transform(dv, x => floor(x * scale + lit(0.5)))
+    val dv = transform(v, x => x.cast("double"))
+    val m  = array_max(transform(dv, x => abs(x)))
+    // all-zero vector: 127/0 = Inf, 0*Inf = NaN — quantize to zeros
+    // instead (the score then nulls out on the zero norm, not a crash).
+    // 0L keeps both branches array<bigint> (floor returns BIGINT).
+    when(m === 0, transform(dv, _ => lit(0L)))
+      .otherwise(transform(dv, x => floor(x * (lit(127.0) / m) + lit(0.5))))
   }
 
   /** Exact long-sum of an array<long>. */
@@ -125,9 +129,14 @@ object Batch9 {
           .groupBy("doc_id").agg(
             max(col("c")).as("top_tok"), sum(col("c")).as("n_tok"),
             count(lit(1)).as("n_distinct"))
-        val ba = d.select(col("doc_id"), explode(transform(
-            sequence(lit(1), greatest(size(col("t")) - 1, lit(0))),
-            i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bg"))
+        // <2 tokens → zero bigrams (matching the oracle's empty
+        // range(1,1)); unguarded sequence(1,0) is [1,0] and the 0
+        // index makes slice throw under ANSI
+        val ba = d.select(col("doc_id"), explode(
+            when(size(col("t")) >= 2, transform(
+              sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", slice(col("t"), i, lit(2)))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
         ta.join(ba, "doc_id")
@@ -191,6 +200,35 @@ object Batch9 {
              |     * sqrt(CAST(list_sum(list_transform(qb, x -> x*x)) AS DOUBLE))) AS score
              |FROM qz, qq ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
       "int8-quantized cosine top-k (4x smaller vectors, exact integer scoring)"),
+
+    // ---- IVF-SQ8 on the oracle gate: exhaustive probe + exhaustive
+    // rescore makes the two-stage compressed search exact BY
+    // CONSTRUCTION (every cluster scanned, every candidate re-ranked
+    // on the float embeddings), so DuckDB can oracle it like
+    // ann_ivf_topk while the query still runs the real SQ8 machinery —
+    // byte codes in the index, integer first-stage scoring, two-stage
+    // cut. The point of SQ8 (pruned nprobe + small rescore touching a
+    // fraction of the float data) is what SQL cannot express; that
+    // path runs in AnnSpec with recall/exactness assertions.
+    "ann_ivf_sq8" -> Q(
+      (s, dir) => {
+        val idx = graft.ops.Ann.withSq8(Batch3.ivfIndex(s, dir), "embedding")
+        val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        // rescore >= |table| (footer-metadata count, not a scan)
+        val n = table(s, dir, "embeddings").count().toInt
+        graft.ops.Ann.searchIvfSq8(idx, "embedding", q,
+            topK = 20, nprobe = idx.centers.length, rescore = n,
+            tieBreak = Seq(col("vec_id")))
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "IVF-SQ8: int8 codes in the index, integer first-stage scoring, exact float rescore (exhaustive probe+rescore = exact; pruned path AnnSpec-verified)"),
 
     // ---- PII-style masking: digit runs collapsed to '#' (the
     // redaction primitive; the synthetic props payload is the only

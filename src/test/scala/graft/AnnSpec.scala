@@ -58,6 +58,36 @@ class AnnSpec extends SparkTestBase {
     assert(quant.contains(0L)) // the query vector survives quantization at rank 1
   }
 
+  test("IVF-SQ8 with exhaustive rescore is exactly searchIvf") {
+    import org.apache.spark.sql.functions.col
+    val index = Ann.withSq8(Ann.buildIvf(emb, "embedding", k = 8), "embedding")
+    // rescore > |table| → the integer first stage keeps everything and
+    // the float re-rank decides alone: result must equal searchIvf
+    val a = Ann.searchIvfSq8(index, "embedding", query, topK = 10,
+        nprobe = 3, rescore = 1000, tieBreak = Seq(col("vec_id")))
+      .select("vec_id", "score").collect().map(_.toString).toSeq
+    val b = Ann.searchIvf(index, "embedding", query, topK = 10,
+        nprobe = 3, tieBreak = Seq(col("vec_id")))
+      .select("vec_id", "score").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("IVF-SQ8 pruned rescore recalls the float top-k") {
+    import org.apache.spark.sql.functions.col
+    val index = Ann.withSq8(Ann.buildIvf(emb, "embedding", k = 8), "embedding")
+    val viaSq8 = Ann.searchIvfSq8(index, "embedding", query, topK = 10,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val viaFloat = Ann.searchIvf(index, "embedding", query, topK = 10,
+        nprobe = 3, tieBreak = Seq(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // int8 perturbs scores <1%, so the true top-10 sits comfortably
+    // inside the int8 top-50; the exact re-rank then recovers it
+    assert(viaSq8.head === viaFloat.head)
+    assert((viaSq8.toSet & viaFloat.toSet).size >= 9,
+      s"sq8=$viaSq8 float=$viaFloat")
+  }
+
   test("IVF scan prunes to the probed clusters only") {
     val index = Ann.buildIvf(emb, "embedding", k = 8)
     val probedOne = Ann.searchIvf(index, "embedding", query, topK = 5, nprobe = 1)
