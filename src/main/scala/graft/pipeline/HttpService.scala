@@ -43,6 +43,10 @@ import graft.kv.{GetStmt, KvEngine, StatementParser}
   *  - `POST /db/execute` → body `["SET k v", "DELETE k", ...]`
   *    (rqlite wire shape the ref's store speaks,
   *    store.go:1633-1766); returns `{"results":[{...}]}`
+  *  - `POST /db/execute?queue[&wait[&timeout=5s]]` → buffered write
+  *    through [[graft.kv.StmtQueue]] (service.go:1106-1159): returns
+  *    `{"results":[],"sequence_number":N}` at enqueue; `wait` blocks
+  *    until N is applied, 408 `queue wait timeout` past the deadline
   *  - `GET|POST /db/query` → `?q=GET k` or body `["GET k"]`; returns
   *    the typed-table shape `columns/types/values` (store.go:1300-1395)
   *  - `POST /key?key=k&value=v`, `GET /key?key=k` → the ref's test KV
@@ -61,11 +65,12 @@ final class HttpService(
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  private val stmtQueue = new graft.kv.StmtQueue(kv)
   server.setExecutor(null) // serial dispatch; see class doc
   server.createContext("/", (ex: HttpExchange) => safely(ex)(route))
 
   def start(): HttpService = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { stmtQueue.stop(); server.stop(0) }
   def boundPort: Int = server.getAddress.getPort
 
   // ---- routing ------------------------------------------------------
@@ -193,21 +198,58 @@ final class HttpService(
         parsed.collectFirst { case Left(err) => err } match {
           case Some(err) => envelope(ex, 400, success = false, error = err)
           case None =>
-            val results = kv.synchronized {
-              kv.execute(parsed.collect { case Right(s) => s })
+            val qp = queryParams(ex)
+            if (flag(qp, "queue")) queuedExecute(ex, qp,
+              parsed.collect { case Right(s) => s })
+            else {
+              val results = kv.synchronized {
+                kv.execute(parsed.collect { case Right(s) => s })
+              }
+              val root = mapper.createObjectNode()
+              val arr = root.putArray("results")
+              results.foreach { r =>
+                val n = arr.addObject()
+                n.put("last_insert_id", r.lastInsertId)
+                n.put("rows_affected", r.rowsAffected)
+                r.error.foreach(n.put("error", _))
+              }
+              sendJson(ex, 200, mapper.writeValueAsString(root))
             }
-            val root = mapper.createObjectNode()
-            val arr = root.putArray("results")
-            results.foreach { r =>
-              val n = arr.addObject()
-              n.put("last_insert_id", r.lastInsertId)
-              n.put("rows_affected", r.rowsAffected)
-              r.error.foreach(n.put("error", _))
-            }
-            sendJson(ex, 200, mapper.writeValueAsString(root))
         }
     }
   }
+
+  /** `?queue` path (service.go:1106-1159): enqueue, hand back the
+    * sequence number; `?wait` blocks until applied (`?timeout=5s`,
+    * default 30s like the reference), 408 on expiry. */
+  private def queuedExecute(ex: HttpExchange, qp: Map[String, String],
+      stmts: Seq[graft.kv.Statement]): Unit = {
+    val seq = stmtQueue.write(stmts)
+    if (flag(qp, "wait") && !stmtQueue.waitFor(seq, timeoutMs(qp))) {
+      sendText(ex, 408, "queue wait timeout") // service.go:1147-1150
+    } else {
+      val root = mapper.createObjectNode()
+      root.putArray("results")
+      root.put("sequence_number", seq)
+      sendJson(ex, 200, mapper.writeValueAsString(root))
+    }
+  }
+
+  /** rqlite boolean query params: present counts as true unless
+    * explicitly "false" (`?queue`, `?wait=true`). */
+  private def flag(qp: Map[String, String], name: String): Boolean =
+    qp.get(name).exists(v => v.isEmpty || v.equalsIgnoreCase("true"))
+
+  /** `?timeout=` as Go-ish duration (`5s`, `1500ms`); default 30s
+    * (service.go defaultTimeout). */
+  private def timeoutMs(qp: Map[String, String]): Long =
+    qp.get("timeout").flatMap { t =>
+      try {
+        if (t.endsWith("ms")) Some(t.dropRight(2).trim.toDouble.toLong)
+        else if (t.endsWith("s")) Some((t.dropRight(1).trim.toDouble * 1000).toLong)
+        else Some(t.trim.toDouble.toLong * 1000)
+      } catch { case _: NumberFormatException => None }
+    }.getOrElse(30000L)
 
   private def handleQuery(ex: HttpExchange): Unit = {
     val stmts: Either[String, Seq[String]] =

@@ -138,6 +138,35 @@ class HttpServiceSpec extends SparkTestBase {
     assert(mapper.readTree(r.body()).get("error").asText() === "not implemented")
   }
 
+  test("queued execute: monotone sequence_number, ?wait visibility (service.go:1106-1159)") {
+    // enqueue without wait: sequence_number comes back immediately
+    val r1 = post("/db/execute?queue", """["SET qk first"]""")
+    assert(r1.statusCode() === 200, r1.body())
+    val s1 = mapper.readTree(r1.body()).get("sequence_number").asLong()
+    val r2 = post("/db/execute?queue", """["SET qk2 two"]""")
+    val s2 = mapper.readTree(r2.body()).get("sequence_number").asLong()
+    assert(s2 > s1) // monotone across requests
+
+    // ?wait blocks until applied: the write must be visible right after
+    val r3 = post("/db/execute?queue&wait&timeout=30s", """["SET qk third"]""")
+    assert(r3.statusCode() === 200, r3.body())
+    val s3 = mapper.readTree(r3.body()).get("sequence_number").asLong()
+    assert(s3 > s2)
+    assert(get("/key?key=qk").body() === "third")
+
+    // queued results carry no per-statement results (applied later)
+    assert(mapper.readTree(r3.body()).get("results").size() === 0)
+
+    // un-waited writes land too, once the queue flushes
+    val deadline = System.currentTimeMillis() + 10000
+    while (get("/key?key=qk2").body() == "nil"
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(get("/key?key=qk2").body() === "two")
+
+    // malformed statements are rejected before enqueue
+    assert(post("/db/execute?queue", """["FROB x"]""").statusCode() === 400)
+  }
+
   test("nodes reports the single-node topology") {
     val n = mapper.readTree(get("/nodes").body())
     assert(n.get("local").get("leader").asBoolean())
