@@ -106,6 +106,19 @@ class TopKRewriteSpec extends SparkTestBase {
     assert(rankQ.count() > 0 && refQ.count() > 0 && bigQ.count() === 200)
   }
 
+  test("RowTopK executes as partial+final ObjectHashAggregate (map-side combine)") {
+    // the whole point of the rewrite is O(groups·k) rows through the
+    // shuffle — that requires a PARTIAL ObjectHashAggregate before the
+    // exchange; a regression to sort-based or final-only aggregation
+    // must fail loudly here
+    val df = topk(fixture(opt), 3)
+    df.write.format("noop").mode("overwrite").save() // settle AQE
+    val phys = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(phys).size >= 2, phys.take(3000))
+    assert(phys.contains("partial_row_top_k"), phys.take(3000))
+    assert(!phys.contains("SortAggregate"), phys.take(3000))
+  }
+
   test("rewrite fires through an intervening Project (withColumn.select.filter)") {
     // the shape ann_knn_join produces: a select between the window
     // column and the bound filter → Filter(Project(Window))
