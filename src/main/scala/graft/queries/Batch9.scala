@@ -250,6 +250,55 @@ object Batch9 {
              |FROM events ORDER BY event_id""".stripMargin),
       "digit-run redaction + digit census (per-row regex, codegen'd)"),
 
+    // ---- exact-substring duplication signals (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better"
+    // primitive, window-granular): 16-token windows at stride 8,
+    // inverted-indexed by window hash; a window appearing in >1 doc is
+    // duplicated text. Per doc: how many of its windows are shared and
+    // the duplicated fraction. Scale shape: explode is linear in corpus
+    // tokens, the index join is equi (8-byte xxhash64 keys, never the
+    // strings), aggregation is map-side combinable — no pairwise doc
+    // comparison anywhere, so Σdf bounds the join, not n².
+    "dedup_substring" -> Q(
+      (s, dir) => {
+        val sz = 16; val step = 8
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= sz)
+        val w = d.select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("t")) - (sz - 1), lit(step)),
+            i => concat_ws(" ", slice(col("t"), i, lit(sz))))).as("win"))
+          .select(col("doc_id"), xxhash64(col("win")).as("wh"))
+        val dup = w.groupBy("wh")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select("wh")
+        val shared = w.join(dup, "wh")
+          .groupBy("doc_id").agg(count_distinct(col("wh")).as("shared_windows"))
+        val tot = d.select(col("doc_id"),
+          (floor((size(col("t")) - sz) / step) + 1).cast("long").as("n_windows"))
+        tot.join(shared, "doc_id")
+          .withColumn("dup_frac",
+            col("shared_windows").cast("double") / col("n_windows"))
+          .select(col("doc_id"), col("n_windows"), col("shared_windows"), col("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+             |  WHERE len(string_split(text,' ')) >= 16),
+             |w AS (SELECT doc_id, unnest(list_transform(
+             |        range(1, len(t)-16+2, 8),
+             |        i -> array_to_string(list_slice(t, i, i+15), ' '))) AS win
+             |      FROM d),
+             |dw AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+             |sh AS (SELECT doc_id, count(DISTINCT win) AS shared_windows
+             |       FROM w JOIN dw USING (win) GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST((len(t)-16)//8 + 1 AS BIGINT) AS n_windows
+             |        FROM d)
+             |SELECT tot.doc_id, n_windows, shared_windows,
+             |  CAST(shared_windows AS DOUBLE)/n_windows AS dup_frac
+             |FROM tot JOIN sh USING (doc_id) ORDER BY tot.doc_id""".stripMargin),
+      "exact-substring dup signals: 16-token windows, inverted index on window hash, per-doc duplicated fraction"),
+
     // ---- event-sequence mining: user-session transition matrix
     // (lag window per user, then a global count). The window shuffles
     // by user_id once; the transition aggregate is map-side combinable

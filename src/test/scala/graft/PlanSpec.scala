@@ -94,6 +94,14 @@ class PlanSpec extends SparkTestBase {
     assert(rs2.contains("props") && !rs2.contains("user_id"), rs2)
   }
 
+  test("dedup_substring: inverted-index equi-join, no cartesian, partial+final aggs") {
+    val plan = executed("dedup_substring")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    // window-hash index join + two aggregations, all map-side combinable
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
+  }
+
   test("rep_signals: both gram aggregations are partial+final") {
     val plan = executed("rep_signals")
     // two 2-level aggregations => at least 4 HashAggregates (partial+final each)
