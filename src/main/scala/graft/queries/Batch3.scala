@@ -29,14 +29,20 @@ object Batch3 {
 
   /** Distinct word k-shingles via built-in higher-order functions
     * (stays in codegen; no UDF). Docs shorter than k tokens yield an
-    * EMPTY array — without the guard, `sequence(1, 0)` infers step -1
-    * and produces [1, 0], whose 0 index makes `slice` throw under
-    * ANSI; the DuckDB twin's `range(1, 1)` is already empty. */
-  private[queries] def shingles(tokens: Column, k: Int): Column =
-    array_distinct(when(size(tokens) >= k,
-      transform(sequence(lit(1), size(tokens) - (k - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(k)))))
-      .otherwise(array().cast("array<string>")))
+    * EMPTY array: unguarded `sequence(1, n-k+1)` walks DOWNWARD for
+    * short docs ([1, 0], whose 0 index makes `slice` throw under
+    * ANSI), so the index array is cut to `greatest(n-k+1, 0)` length.
+    * Deliberately NOT a CASE WHEN guard — a conditional branch
+    * disables codegen subexpression elimination, re-splitting the
+    * text per element (measured 50-80% slowdown on the shingle
+    * queries). The DuckDB twin's `range(1, ...)` is already empty. */
+  private[queries] def shingles(tokens: Column, k: Int): Column = {
+    val last = size(tokens) - (k - 1) // last valid shingle start
+    val idx = slice(sequence(lit(1), greatest(last, lit(1))),
+      lit(1), greatest(last, lit(0)))
+    array_distinct(transform(idx,
+      i => concat_ws(" ", slice(tokens, i, lit(k)))))
+  }
 
   /** DuckDB twin of [[shingles]]. */
   private[queries] def shinglesSql(toksExpr: String, k: Int): String =

@@ -131,12 +131,14 @@ object Batch9 {
             count(lit(1)).as("n_distinct"))
         // <2 tokens → zero bigrams (matching the oracle's empty
         // range(1,1)); unguarded sequence(1,0) is [1,0] and the 0
-        // index makes slice throw under ANSI
-        val ba = d.select(col("doc_id"), explode(
-            when(size(col("t")) >= 2, transform(
-              sequence(lit(1), size(col("t")) - 1),
-              i => concat_ws(" ", slice(col("t"), i, lit(2)))))
-            .otherwise(array().cast("array<string>"))).as("bg"))
+        // index makes slice throw under ANSI. Length-cut instead of
+        // CASE WHEN for the same subexpression-elimination reason as
+        // Batch3.shingles.
+        val nbg = size(col("t")) - 1
+        val idx = slice(sequence(lit(1), greatest(nbg, lit(1))),
+          lit(1), greatest(nbg, lit(0)))
+        val ba = d.select(col("doc_id"), explode(transform(idx,
+            i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
         ta.join(ba, "doc_id")
