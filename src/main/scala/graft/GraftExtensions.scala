@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // foldable literals and are extracted here at resolution time.
     ("minhash_sig", "minhash_sig(array<string>, k) - k-wise MinHash signature",
       es => MinHashSig(es.head, litInt(es(1), "minhash_sig", "k"))),
+    ("word_shingles", "word_shingles(text, k) - distinct word k-shingles, one byte pass",
+      es => WordShingles(es.head, litInt(es(1), "word_shingles", "k"))),
     ("rp_bits", "rp_bits(array<float>, n_bits, seed) - random-projection LSH bits",
       es => RpBits(es.head, litInt(es(1), "rp_bits", "n_bits"),
         litLong(es(2), "rp_bits", "seed"))),

@@ -57,6 +57,22 @@ case class PolyHash(child: Expression)
   override def prettyName: String = "poly_hash"
 }
 
+/** Distinct word k-shingles straight from the text column — the
+  * one-pass zero-join kernel (see [[TextOps.wordShingles]]); replaces
+  * the split → slice → concat_ws HOF pipeline on the shingle-heavy
+  * dedup/contamination queries while producing byte-identical arrays. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"word_shingles: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.wordShingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.wordShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 /** MinHash signature (k 64-bit minimums) over an array<string> of
   * tokens/shingles. */
 case class MinHashSig(child: Expression, k: Int)

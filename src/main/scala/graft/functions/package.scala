@@ -44,6 +44,8 @@ package object functions {
   def rp_bits(c: Column, nBits: Int, seed: Long): Column =
     col(RpBits(expr(c), nBits, seed))
 
+  def word_shingles(c: Column, k: Int): Column = col(WordShingles(expr(c), k))
+
   /** UUIDv7-style time-ordered id (the reference pins UUIDv7 for job
     * ids so that id sort order ≈ arrival order —
     * `/root/reference/internal/models/job.go:15,86-88`): 48-bit
@@ -72,5 +74,11 @@ package object functions {
     reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es(0),
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles: k must be an integer literal, got $other")
+      }), "scala_udf")
   }
 }

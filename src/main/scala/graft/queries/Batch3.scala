@@ -27,22 +27,16 @@ object Batch3 {
   /** Whitespace tokens. */
   private[queries] def toks(c: Column): Column = split(c, " ")
 
-  /** Distinct word k-shingles via built-in higher-order functions
-    * (stays in codegen; no UDF). Docs shorter than k tokens yield an
-    * EMPTY array: unguarded `sequence(1, n-k+1)` walks DOWNWARD for
-    * short docs ([1, 0], whose 0 index makes `slice` throw under
-    * ANSI), so the index array is cut to `greatest(n-k+1, 0)` length.
-    * Deliberately NOT a CASE WHEN guard — a conditional branch
-    * disables codegen subexpression elimination, re-splitting the
-    * text per element (measured 50-80% slowdown on the shingle
-    * queries). The DuckDB twin's `range(1, ...)` is already empty. */
-  private[queries] def shingles(tokens: Column, k: Int): Column = {
-    val last = size(tokens) - (k - 1) // last valid shingle start
-    val idx = slice(sequence(lit(1), greatest(last, lit(1))),
-      lit(1), greatest(last, lit(0)))
-    array_distinct(transform(idx,
-      i => concat_ws(" ", slice(tokens, i, lit(k)))))
-  }
+  /** Distinct word k-shingles straight off the text column via the
+    * codegen'd [[graft.functions.WordShingles]] expression — one byte
+    * pass, zero re-joining (a k-shingle of single-space tokens IS a
+    * substring of the original text), byte-identical to the
+    * split → slice → concat_ws HOF pipeline it replaced
+    * (FunctionsSpec pins the equivalence, edge cases included).
+    * Docs shorter than k tokens yield an EMPTY array, matching the
+    * DuckDB twin's empty `range(1, ...)`. */
+  private[queries] def shingles(text: Column, k: Int): Column =
+    graft.functions.word_shingles(text, k)
 
   /** DuckDB twin of [[shingles]]. */
   private[queries] def shinglesSql(toksExpr: String, k: Int): String =
@@ -170,7 +164,7 @@ object Batch3 {
   def minePairCounts(s: SparkSession, dir: String,
       maxDf: Option[Int] = None): DataFrame = {
     val docs = table(s, dir, "documents")
-      .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val invAll = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
@@ -466,7 +460,7 @@ object Batch3 {
         // both consumers below (band projection, verify side) read the
         // stored blocks instead of recomputing the signatures.
         val docs = table(s, dir, "documents")
-          .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
           .withColumn("sig", minhash_sig(col("sh"), k))
           .localCheckpoint(false)

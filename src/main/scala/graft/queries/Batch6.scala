@@ -74,7 +74,7 @@ object Batch6 {
         // checkpoint the shingle HOFs re-run per consumer whenever the
         // optimizer fails to reuse the exchange (plan-shape luck).
         val inv = docs
-          .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("shingle"))
+          .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
           .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
           .localCheckpoint(false)
         val idf2 = inv.groupBy("shash").agg(count(lit(1)).as("df"))

@@ -82,7 +82,7 @@ object Batch9 {
     "contamination_ngram" -> Q(
       (s, dir) => {
         val d = table(s, dir, "documents")
-          .select(col("doc_id"), shingles(toks(col("text")), 3).as("sh"))
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
         val bench = d.filter(col("doc_id") % 97 === 0)
           .select(explode(col("sh")).as("shingle"))
           .select(xxhash64(col("shingle")).as("shash")).distinct()

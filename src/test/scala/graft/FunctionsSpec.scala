@@ -193,6 +193,53 @@ class FunctionsSpec extends SparkTestBase {
 
   // -- uuid_v7: time-ordered ids (reference job.go:15,86-88) ------------
 
+  test("word_shingles is byte-identical to the split/slice/concat_ws HOF pipeline") {
+    import spark.implicits._
+    // the HOF formulation word_shingles replaced on the shingle queries
+    def hof(text: org.apache.spark.sql.Column, k: Int) = {
+      val tokens = split(text, " ")
+      val last = size(tokens) - (k - 1)
+      val idx = slice(sequence(lit(1), greatest(last, lit(1))),
+        lit(1), greatest(last, lit(0)))
+      array_distinct(transform(idx, i => concat_ws(" ", slice(tokens, i, lit(k)))))
+    }
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",            // duplicate shingles: distinct order preserved
+      "one two",                    // shorter than k=3 -> empty
+      "single",                     // one token
+      "",                           // empty text (split gives [""])
+      "a  b   c d",                 // consecutive spaces -> empty tokens kept
+      " leading and trailing ",     // boundary empties
+      "héllo wörld ünïcode multi byte ßtring here", // UTF-8 multibyte
+      (0 until 200).map(i => s"w${i % 17}").mkString(" ")) // repetitive long doc
+    val df = cases.toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = df.select(word_shingles(col("text"), k)).as[Seq[String]].collect()
+      val want = df.select(hof(col("text"), k)).as[Seq[String]].collect()
+      assert(got.toSeq === want.toSeq, s"k=$k")
+    }
+    // and on real fixture docs, row for row
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").limit(200)
+    val both = docs.select(
+      word_shingles(col("text"), 3).as("a"),
+      hof(col("text"), 3).as("b"))
+    assert(both.filter(not(col("a") === col("b"))).count() === 0)
+  }
+
+  test("word_shingles registers in SQL and stays inside whole-stage codegen") {
+    graft.functions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS sh").collect()(0).getSeq[String](0)
+    assert(out === Seq("a b c", "b c d"))
+    // non-foldable input (a literal constant-folds away at plan time);
+    // the *(1) span prefix marks whole-stage-codegen'd operators
+    val plan = spark.range(3)
+      .selectExpr("word_shingles(concat('a b c ', id), 2) AS sh")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(1500))
+  }
+
   test("uuid_v7 ids are UUID-shaped, version 7, and time-ordered across batches") {
     def batch(): Seq[String] =
       Seq("a", "b", "c").toDF("payload")
