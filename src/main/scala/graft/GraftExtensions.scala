@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashSig(es.head, litInt(es(1), "minhash_sig", "k"))),
     ("word_shingles", "word_shingles(text, k) - distinct word k-shingles, one byte pass",
       es => WordShingles(es.head, litInt(es(1), "word_shingles", "k"))),
+    ("word_grams", "word_grams(text, k[, stride]) - k-grams with multiplicity at a stride",
+      es => WordGrams(es.head, litInt(es(1), "word_grams", "k"),
+        if (es.size > 2) litInt(es(2), "word_grams", "stride") else 1)),
     ("rp_bits", "rp_bits(array<float>, n_bits, seed) - random-projection LSH bits",
       es => RpBits(es.head, litInt(es(1), "rp_bits", "n_bits"),
         litLong(es(2), "rp_bits", "seed"))),

@@ -21,15 +21,14 @@ object TextOps {
     * contains 0x20 (continuation bytes are >= 0x80). Each shingle is a
     * zero-copy view over the row's byte array.
     */
-  def wordShingles(text: UTF8String, k: Int): ArrayData = {
-    val b = text.getBytes
+  /** Token boundary offsets of a single-space-tokenized byte array:
+    * (starts, ends, nTok). */
+  private def boundaries(b: Array[Byte]): (Array[Int], Array[Int], Int) = {
     val n = b.length
     var spaces = 0
     var i = 0
     while (i < n) { if (b(i) == 0x20) spaces += 1; i += 1 }
     val nTok = spaces + 1
-    val nSh = nTok - k + 1
-    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
     val starts = new Array[Int](nTok)
     val ends = new Array[Int](nTok)
     var t = 0
@@ -39,11 +38,19 @@ object TextOps {
       i += 1
     }
     ends(t) = n
+    (starts, ends, nTok)
+  }
+
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, nTok) = boundaries(b)
+    val nSh = nTok - k + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
     // LinkedHashSet: dedup with first-occurrence order, matching
     // array_distinct; UTF8String equality is byte equality, same as
     // Spark's string comparison
     val seen = new java.util.LinkedHashSet[UTF8String](nSh * 2)
-    i = 0
+    var i = 0
     while (i < nSh) {
       seen.add(UTF8String.fromBytes(b, starts(i), ends(i + k - 1) - starts(i)))
       i += 1
@@ -52,6 +59,28 @@ object TextOps {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Non-distinct sibling of [[wordShingles]]: ALL k-grams in token
+    * order, with multiplicity, every `stride`-th start (LM counting,
+    * Gopher repetition signals, exact-substring windows). Same
+    * byte-exact equivalence to
+    * `transform(sequence(1, n-k+1, stride), i -> concat_ws(' ', slice(tokens, i, k)))`. */
+  def wordGrams(text: UTF8String, k: Int, stride: Int): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, nTok) = boundaries(b)
+    val nSh = nTok - k + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val cnt = (nSh + stride - 1) / stride
+    val out = new Array[Any](cnt)
+    var i = 0
+    var j = 0
+    while (i < nSh) {
+      out(j) = UTF8String.fromBytes(b, starts(i), ends(i + k - 1) - starts(i))
+      j += 1
+      i += stride
+    }
     new GenericArrayData(out)
   }
 }

@@ -73,6 +73,21 @@ case class WordShingles(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Non-distinct k-grams with multiplicity at a token stride — the LM/
+  * window sibling of [[WordShingles]] (see [[TextOps.wordGrams]]). */
+case class WordGrams(child: Expression, k: Int, stride: Int = 1)
+    extends UnaryExpression {
+  require(k >= 1 && stride >= 1,
+    s"word_grams: k and stride must be >= 1, got k=$k stride=$stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.wordGrams(v.asInstanceOf[UTF8String], k, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.wordGrams($c, $k, $stride)")
+  override protected def withNewChildInternal(c: Expression): WordGrams = copy(child = c)
+  override def prettyName: String = "word_grams"
+}
+
 /** MinHash signature (k 64-bit minimums) over an array<string> of
   * tokens/shingles. */
 case class MinHashSig(child: Expression, k: Int)

@@ -46,6 +46,9 @@ package object functions {
 
   def word_shingles(c: Column, k: Int): Column = col(WordShingles(expr(c), k))
 
+  def word_grams(c: Column, k: Int, stride: Int = 1): Column =
+    col(WordGrams(expr(c), k, stride))
+
   /** UUIDv7-style time-ordered id (the reference pins UUIDv7 for job
     * ids so that id sort order ≈ arrival order —
     * `/root/reference/internal/models/job.go:15,86-88`): 48-bit

@@ -266,12 +266,12 @@ object Batch7 {
     "lm_bigram_score" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        // raw bigrams WITH multiplicity (no array_distinct — LM counts
-        // repeats, unlike the dedup shingles)
-        val bigrams = docs.select(col("doc_id"), explode(expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""".stripMargin))
-          .as("bg"))
+        // raw bigrams WITH multiplicity (no dedup — LM counts repeats,
+        // unlike the dedup shingles); one-pass codegen'd kernel, and
+        // short docs yield zero bigrams instead of the [1,0] index the
+        // old sequence(1, greatest(n-1, 0)) HOF produced under ANSI
+        val bigrams = docs.select(col("doc_id"),
+          explode(graft.functions.word_grams(col("text"), 2)).as("bg"))
         val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("c_bg"))
         val uniCounts = docs
           .select(explode(split(col("text"), " ")).as("tok"))

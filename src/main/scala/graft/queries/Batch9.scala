@@ -130,15 +130,10 @@ object Batch9 {
             max(col("c")).as("top_tok"), sum(col("c")).as("n_tok"),
             count(lit(1)).as("n_distinct"))
         // <2 tokens → zero bigrams (matching the oracle's empty
-        // range(1,1)); unguarded sequence(1,0) is [1,0] and the 0
-        // index makes slice throw under ANSI. Length-cut instead of
-        // CASE WHEN for the same subexpression-elimination reason as
-        // Batch3.shingles.
-        val nbg = size(col("t")) - 1
-        val idx = slice(sequence(lit(1), greatest(nbg, lit(1))),
-          lit(1), greatest(nbg, lit(0)))
-        val ba = d.select(col("doc_id"), explode(transform(idx,
-            i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bg"))
+        // range(1,1)); one-pass kernel, multiplicity preserved
+        val ba = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.word_grams(col("text"), 2)).as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
         ta.join(ba, "doc_id")
@@ -265,11 +260,11 @@ object Batch9 {
       (s, dir) => {
         val sz = 16; val step = 8
         val d = table(s, dir, "documents")
-          .select(col("doc_id"), toks(col("text")).as("t"))
-          .filter(size(col("t")) >= sz)
-        val w = d.select(col("doc_id"), explode(transform(
-            sequence(lit(1), size(col("t")) - (sz - 1), lit(step)),
-            i => concat_ws(" ", slice(col("t"), i, lit(sz))))).as("win"))
+          .select(col("doc_id"), col("text"),
+            size(toks(col("text"))).as("n_tok"))
+          .filter(col("n_tok") >= sz)
+        val w = d.select(col("doc_id"),
+            explode(graft.functions.word_grams(col("text"), sz, step)).as("win"))
           .select(col("doc_id"), xxhash64(col("win")).as("wh"))
         val dup = w.groupBy("wh")
           .agg(count_distinct(col("doc_id")).as("nd"))
@@ -277,7 +272,7 @@ object Batch9 {
         val shared = w.join(dup, "wh")
           .groupBy("doc_id").agg(count_distinct(col("wh")).as("shared_windows"))
         val tot = d.select(col("doc_id"),
-          (floor((size(col("t")) - sz) / step) + 1).cast("long").as("n_windows"))
+          (floor((col("n_tok") - sz) / step) + 1).cast("long").as("n_windows"))
         tot.join(shared, "doc_id")
           .withColumn("dup_frac",
             col("shared_windows").cast("double") / col("n_windows"))

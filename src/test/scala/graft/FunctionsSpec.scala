@@ -227,6 +227,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(both.filter(not(col("a") === col("b"))).count() === 0)
   }
 
+  test("word_grams matches the non-distinct HOF pipeline, multiplicity and stride included") {
+    import spark.implicits._
+    def hof(text: org.apache.spark.sql.Column, k: Int, stride: Int) = {
+      val tokens = split(text, " ")
+      val last = size(tokens) - (k - 1)
+      val idx = slice(sequence(lit(1), greatest(last, lit(1)), lit(stride)),
+        lit(1), greatest(ceil(last.cast("double") / stride).cast("int"), lit(0)))
+      transform(idx, i => concat_ws(" ", slice(tokens, i, lit(k))))
+    }
+    val cases = Seq(
+      "a b a b a b a b",  // repeats MUST stay (multiplicity)
+      "the quick brown fox jumps over the lazy dog",
+      "one two", "single", "", "a  b   c d",
+      (0 until 100).map(i => s"t${i % 5}").mkString(" "))
+    val df = cases.toDF("text")
+    for ((k, stride) <- Seq((2, 1), (3, 1), (2, 2), (16, 8), (4, 3))) {
+      val got = df.select(word_grams(col("text"), k, stride)).as[Seq[String]].collect()
+      val want = df.select(hof(col("text"), k, stride)).as[Seq[String]].collect()
+      assert(got.toSeq === want.toSeq, s"k=$k stride=$stride")
+    }
+  }
+
   test("word_shingles registers in SQL and stays inside whole-stage codegen") {
     graft.functions.registerAll(spark)
     val out = spark.sql(
