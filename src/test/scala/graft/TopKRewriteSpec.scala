@@ -148,6 +148,26 @@ class TopKRewriteSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("rewrite fires from the pure-SQL top-N-per-group idiom") {
+    fixture(opt).createOrReplaceTempView("topk_sql_fixture")
+    val q = opt.sql(
+      """SELECT user, id, rn FROM (
+        |  SELECT user, id,
+        |    row_number() OVER (PARTITION BY user ORDER BY score DESC, id) AS rn
+        |  FROM topk_sql_fixture) WHERE rn <= 2""".stripMargin)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.toLowerCase.contains("row_top_k"), plan.take(2000))
+    fixture(spark).createOrReplaceTempView("topk_sql_plain")
+    val want = spark.sql(
+      """SELECT user, id, rn FROM (
+        |  SELECT user, id,
+        |    row_number() OVER (PARTITION BY user ORDER BY score DESC, id) AS rn
+        |  FROM topk_sql_plain) WHERE rn <= 2""".stripMargin)
+    assert(q.collect().map(_.toString).sorted
+      .sameElements(want.collect().map(_.toString).sorted))
+  }
+
   test("ann_knn_join rewrites: RowTopK aggregate, no per-qid window sort") {
     val df = SparkEntry.queries("ann_knn_join")(opt, sf("sf0.001"))
     val plan = df.queryExecution.optimizedPlan.toString
