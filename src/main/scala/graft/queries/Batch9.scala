@@ -296,6 +296,52 @@ object Batch9 {
              |FROM tot JOIN sh USING (doc_id) ORDER BY tot.doc_id""".stripMargin),
       "exact-substring dup signals: 16-token windows, inverted index on window hash, per-doc duplicated fraction"),
 
+    // ---- incremental (cross-corpus) dedup: filter a NEW shard against
+    // an EXISTING base corpus — the per-ingest shape of a real training
+    // pipeline (the full pairwise dedup runs once; every later shard
+    // dedups against the accumulated index). doc_id % 10 = 0 stands in
+    // for the incoming shard. Asymmetric inverted-index join: cost is
+    // Σ df_shard(shingle)·df_base(shingle), never |shard|·|base|; at
+    // 100 TB the base-side index is the persisted artifact and only
+    // the shard explodes fresh.
+    "dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        val shard = docs.filter(col("doc_id") % 10 === 0)
+        val base  = docs.filter(col("doc_id") % 10 =!= 0)
+        def inv(d: org.apache.spark.sql.DataFrame, idc: String) =
+          d.select(col("doc_id").as(idc), explode(col("sh")).as("shingle"))
+            .select(col(idc), xxhash64(col("shingle")).as("shash"))
+        val inter = inv(shard, "sid").join(inv(base, "bid"), "shash")
+          .groupBy("sid", "bid").agg(count(lit(1)).as("inter"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+        val dups = inter
+          .join(sizes.select(col("doc_id").as("sid"), col("n").as("ns")), "sid")
+          .join(sizes.select(col("doc_id").as("bid"), col("n").as("nb")), "bid")
+          .withColumn("j",
+            col("inter").cast("double") / (col("ns") + col("nb") - col("inter")))
+          .filter(col("j") >= 0.5)
+          .select(col("sid")).distinct()
+        shard.select(col("doc_id"))
+          .join(dups, col("doc_id") === col("sid"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents),
+              |shard AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+              |base  AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
+              |dup AS (
+              |  SELECT DISTINCT a.doc_id FROM shard a JOIN base b ON
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              |      >= CAST(0.5 AS DOUBLE))
+              |SELECT doc_id FROM shard
+              |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+              |ORDER BY doc_id""".stripMargin),
+      "incremental shard-vs-corpus near-dup filter (asymmetric inverted-index join, anti-join keeps clean docs)"),
+
     // ---- event-sequence mining: user-session transition matrix
     // (lag window per user, then a global count). The window shuffles
     // by user_id once; the transition aggregate is map-side combinable

@@ -232,4 +232,29 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(batch.nonEmpty && streamed === batch)
   }
+
+  test("streaming content dedup: exact-dedup keeper set == batch twin on documents") {
+    // the streaming half of the exact-dedup plane: documents arrive as
+    // a stream, keeper = min doc_id per content hash — a min-aggregate
+    // is arrival-order independent, so the replay must equal
+    // dedup_exact_docs' (content_hash, keeper_id) pairs exactly
+    // the fixture is a single parquet FILE; the file stream source
+    // wants a directory
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(sf("sf0.001") + "/documents.parquet").schema)
+      .parquet(dir)
+    val agg = stream.groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    val q = agg.writeStream.format("memory").queryName("sdedup_docs")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sdedup_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("dedup_exact_docs")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
 }
