@@ -88,6 +88,23 @@ class AnnSpec extends SparkTestBase {
       s"sq8=$viaSq8 float=$viaFloat")
   }
 
+  test("SQ8 index persists and reloads: searches equal the in-memory index") {
+    import org.apache.spark.sql.functions.col
+    val index = Ann.withSq8(Ann.buildIvf(emb, "embedding", k = 8), "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    Ann.persistIvf(index, path) // qvec/qnorm ride along, partitioned by cluster
+    val loaded = Ann.loadIvf(spark, path)
+    assert(loaded.assigned.columns.contains("qvec")
+      && loaded.assigned.columns.contains("qnorm"))
+    val a = Ann.searchIvfSq8(index, "embedding", query, topK = 5,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val b = Ann.searchIvfSq8(loaded, "embedding", query, topK = 5,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
   test("IVF scan prunes to the probed clusters only") {
     val index = Ann.buildIvf(emb, "embedding", k = 8)
     val probedOne = Ann.searchIvf(index, "embedding", query, topK = 5, nprobe = 1)
