@@ -249,6 +249,29 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("word kernels match the HOF pipelines on random space-laden strings (property)") {
+    // random strings over {a, b, space} — maximizes empty tokens,
+    // consecutive spaces, boundary spaces, duplicate grams
+    val textGen = Gen.listOf(Gen.oneOf('a', 'b', ' ')).map(_.mkString)
+    val kGen = Gen.chooseNum(1, 4)
+    forAllSampled(Gen.zip(textGen, kGen), n = 120) { case (text, k) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val toks = text.split(" ", -1).toSeq // Spark split keeps trailing empties
+      val expectAll =
+        (0 to toks.size - k).map(i => toks.slice(i, i + k).mkString(" "))
+      val gotAll = TextOps.wordGrams(u, k, 1)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(gotAll === expectAll, s"grams text='$text' k=$k")
+      val gotDistinct = TextOps.wordShingles(u, k)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(gotDistinct === expectAll.distinct, s"shingles text='$text' k=$k")
+      val gotStride = TextOps.wordGrams(u, k, 3)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(gotStride === expectAll.zipWithIndex.collect {
+        case (g, i) if i % 3 == 0 => g }, s"stride text='$text' k=$k")
+    }
+  }
+
   test("word_shingles registers in SQL and stays inside whole-stage codegen") {
     graft.functions.registerAll(spark)
     val out = spark.sql(

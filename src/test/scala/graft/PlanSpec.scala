@@ -102,6 +102,13 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
   }
 
+  test("dedup_incremental: asymmetric index join, no cartesian, anti-join keeps") {
+    val plan = executed("dedup_incremental")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
   test("rep_signals: both gram aggregations are partial+final") {
     val plan = executed("rep_signals")
     // two 2-level aggregations => at least 4 HashAggregates (partial+final each)
