@@ -57,4 +57,61 @@ object VecOps {
     }
     bits
   }
+
+  // ---- product quantization (PQ) kernels ----------------------------
+
+  /** Encode a float vector as m sub-codes: for each of the m
+    * contiguous d/m-dim subvectors, the index (0..|codebook|-1) of the
+    * nearest (L2) subspace centroid. `centers(sub)(c)` is centroid c of
+    * subspace sub. Returns byte[] (codebooks are <= 256 wide). */
+  def pqEncode(v: ArrayData, centers: Array[Array[Array[Float]]]): ArrayData = {
+    val m = centers.length
+    val out = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val cs = centers(sub)
+      val dsub = cs(0).length
+      val off = sub * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getFloat(off + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = best.toByte
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(b => b: Any))
+  }
+
+  /** ADC (asymmetric distance computation) cosine estimate from a PQ
+    * code: dot(q, x̂) and |x̂|² decompose over subspaces, so both are
+    * table lookups per sub-code. `dotLut(sub)(c)` = <q_sub, centroid>,
+    * `normLut(sub)(c)` = |centroid|². 0.0 on zero norms, mirroring
+    * [[cosine]]. */
+  def pqAdc(code: ArrayData, dotLut: Array[Array[Double]],
+      normLut: Array[Array[Double]], qNorm: Double): Double = {
+    val m = code.numElements()
+    var sumDot = 0.0
+    var sumNorm = 0.0
+    var sub = 0
+    while (sub < m) {
+      val c = code.getByte(sub) & 0xFF
+      sumDot += dotLut(sub)(c)
+      sumNorm += normLut(sub)(c)
+      sub += 1
+    }
+    val denom = qNorm * math.sqrt(sumNorm)
+    if (denom == 0.0) 0.0 else sumDot / denom
+  }
 }

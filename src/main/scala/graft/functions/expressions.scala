@@ -153,6 +153,41 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** PQ encoding of an array<float>: m sub-codes of the nearest subspace
+  * centroids. The codebook rides as a plan reference object (not an
+  * inlined literal — m·256·dsub floats would blow the generated-code
+  * constant pool), so the scan stays one codegen span. */
+case class PqEncode(child: Expression, centers: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.pqEncode(v.asInstanceOf[ArrayData], centers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCenters", centers, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.pqEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC cosine estimate from a PQ code against per-query lookup tables
+  * (computed driver-side per query: m·256 dot products). */
+case class PqAdcScore(child: Expression, dotLut: Array[Array[Double]],
+    normLut: Array[Array[Double]], qNorm: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.pqAdc(v.asInstanceOf[ArrayData], dotLut, normLut, qNorm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dRef = ctx.addReferenceObj("pqDotLut", dotLut, "double[][]")
+    val nRef = ctx.addReferenceObj("pqNormLut", normLut, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecOps.pqAdc($c, $dRef, $nRef, ${qNorm}D)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqAdcScore = copy(child = c)
+  override def prettyName: String = "pq_adc_score"
+}
+
 /** Random-hyperplane LSH bucket bits for an array<float> embedding. */
 case class RpBits(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {

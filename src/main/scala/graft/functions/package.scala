@@ -49,6 +49,13 @@ package object functions {
   def word_grams(c: Column, k: Int, stride: Int = 1): Column =
     col(WordGrams(expr(c), k, stride))
 
+  def pq_encode(c: Column, centers: Array[Array[Array[Float]]]): Column =
+    col(PqEncode(expr(c), centers))
+
+  def pq_adc_score(c: Column, dotLut: Array[Array[Double]],
+      normLut: Array[Array[Double]], qNorm: Double): Column =
+    col(PqAdcScore(expr(c), dotLut, normLut, qNorm))
+
   /** UUIDv7-style time-ordered id (the reference pins UUIDv7 for job
     * ids so that id sort order ≈ arrival order —
     * `/root/reference/internal/models/job.go:15,86-88`): 48-bit

@@ -188,6 +188,134 @@ object Ann {
       .drop("qscore")
   }
 
+  // ---- IVF-PQ: product-quantized codes inside the cluster-pruned ----
+  // index — m bytes per vector (vs d·4 float, d int8): at d=64, m=8
+  // that is 32× smaller than float32. Search is the same two-stage
+  // shape as SQ8 with ADC (asymmetric distance computation) as the
+  // integer-stage scorer: dot(q, x̂) and |x̂|² both decompose over
+  // subspaces into per-query lookup tables of m·|codebook| entries.
+
+  /** PQ codebook: `centers(sub)(c)` = centroid c of contiguous
+    * subspace sub (m subspaces of d/m dims each). */
+  final case class PqCodebook(m: Int, centers: Array[Array[Array[Float]]])
+
+  /** Fit m per-subspace codebooks with driver-local Lloyd's iterations
+    * on a bounded sample — PQ codebooks need a sketch of each
+    * subspace's density, not a full-table MLlib pass (same fit-side
+    * discipline as [[buildIvf]]). Sample rows stream once; subspaces
+    * fit in parallel on the driver. */
+  def fitPq(df: DataFrame, embCol: String, m: Int, codebookSize: Int = 256,
+      iters: Int = 8, seed: Long = 42L, maxFitRows: Int = 20000): PqCodebook = {
+    val n = df.count()
+    val frac = math.min(1.0, maxFitRows * 1.2 / math.max(1L, n))
+    val rows =
+      (if (frac < 1.0) df.sample(withReplacement = false, frac, seed) else df)
+        .select(col(embCol)).limit(maxFitRows)
+        .collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "fitPq: empty sample")
+    val d = rows(0).length
+    require(d % m == 0, s"fitPq: dim $d not divisible by m=$m")
+    val dsub = d / m
+    val centers = Array.tabulate(m) { sub =>
+      val pts = rows.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      localKmeans(pts, codebookSize, iters, seed + sub)
+    }
+    PqCodebook(m, centers)
+  }
+
+  /** Plain Lloyd's on driver-local points (sample-sized by
+    * construction). Deterministic seeded init; empty clusters keep
+    * their previous center (they simply never win assignments). */
+  private def localKmeans(points: Array[Array[Float]], k: Int,
+      iters: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val dsub = points(0).length
+    val centers = Array.tabulate(k)(i =>
+      points(if (points.length >= k) rnd.nextInt(points.length) else i % points.length).clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          val cent = centers(c)
+          while (i < dsub) { val df = v(i) - cent(i); dist += df * df; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.ofDim[Double](k, dsub)
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < dsub) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dsub) { centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Attach PQ codes to an IVF assignment: the persisted index then
+    * carries (cluster, pqcode byte[m]) beside the original columns —
+    * one codegen'd scan, codebook as a plan reference object. */
+  def withPq(index: IvfIndex, embCol: String, codebook: PqCodebook): IvfIndex =
+    IvfIndex(index.centers, index.assigned.withColumn("pqcode",
+      graft.functions.pq_encode(col(embCol), codebook.centers)))
+
+  /** Two-stage IVF-PQ search: probe `nprobe` clusters, ADC-rank the m
+    * byte codes via per-query lookup tables, keep `rescore`
+    * candidates, re-rank exactly on the float embeddings. With
+    * exhaustive probe + rescore the result is exact (the ADC stage
+    * only orders candidates that all survive the cut). */
+  def searchIvfPq(index: IvfIndex, embCol: String, query: Array[Float],
+      codebook: PqCodebook, topK: Int, nprobe: Int, rescore: Int = 100,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    require(index.assigned.columns.contains("pqcode"),
+      "index has no PQ codes; call withPq first")
+    val dsub = codebook.centers(0)(0).length
+    val dotLut = Array.tabulate(codebook.m, codebook.centers(0).length) { (sub, c) =>
+      val cent = codebook.centers(sub)(c)
+      var s = 0.0; var i = 0
+      while (i < dsub) { s += query(sub * dsub + i).toDouble * cent(i); i += 1 }
+      s
+    }
+    val normLut = Array.tabulate(codebook.m, codebook.centers(0).length) { (sub, c) =>
+      val cent = codebook.centers(sub)(c)
+      var s = 0.0; var i = 0
+      while (i < dsub) { s += cent(i).toDouble * cent(i); i += 1 }
+      s
+    }
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val probed = rankClusters(index.centers, query).take(nprobe)
+    val adc = graft.functions.pq_adc_score(col("pqcode"), dotLut, normLut, qNorm)
+    index.assigned
+      .filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))
+      .withColumn("qscore", adc)
+      .orderBy(col("qscore").desc +: tieBreak: _*)
+      .limit(rescore)
+      .withColumn("score", cosine_sim(col(embCol), typedLit(query.toSeq)))
+      .orderBy(col("score").desc +: tieBreak: _*)
+      .limit(topK)
+      .drop("qscore")
+  }
+
   /** Centroid ranking by cosine to the query (driver-side; centers are
     * k·d floats). */
   private def rankClusters(centers: Array[Array[Float]],

@@ -211,6 +211,17 @@ object Batch3 {
   })
   def ivfIndex(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex = ivfMemo(s, dir)
 
+  /** PQ-coded flavor of [[ivfIndex]] plus its codebook, memoized the
+    * same way (codebook fit + one encoding scan happen once per
+    * (session, dir); searches are table lookups after that). */
+  private val pqMemo = new SessionMemo[(graft.ops.Ann.IvfIndex, graft.ops.Ann.PqCodebook)]((s, dir) => {
+    val cb = graft.ops.Ann.fitPq(table(s, dir, "embeddings"), "embedding", m = 8)
+    val coded = graft.ops.Ann.withPq(ivfMemo(s, dir), "embedding", cb)
+    (coded.copy(assigned = coded.assigned.localCheckpoint(false)), cb)
+  })
+  def pqIndex(s: SparkSession, dir: String): (graft.ops.Ann.IvfIndex, graft.ops.Ann.PqCodebook) =
+    pqMemo(s, dir)
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- text statistics

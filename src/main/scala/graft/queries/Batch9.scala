@@ -227,6 +227,31 @@ object Batch9 {
              |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
       "IVF-SQ8: int8 codes in the index, integer first-stage scoring, exact float rescore (exhaustive probe+rescore = exact; pruned path AnnSpec-verified)"),
 
+    // ---- IVF-PQ on the oracle gate, same exactness construction as
+    // ann_ivf_sq8: exhaustive probe + exhaustive rescore means the ADC
+    // stage only ORDERS candidates that all survive the cut, so the
+    // float re-rank is exact and DuckDB-oracle-able. The production
+    // path (nprobe << k, rescore << n over m-byte codes — 32× smaller
+    // than float32 at d=64/m=8) is AnnSpec-verified.
+    "ann_ivf_pq" -> Q(
+      (s, dir) => {
+        val (idx, cb) = Batch3.pqIndex(s, dir)
+        val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val n = table(s, dir, "embeddings").count().toInt
+        graft.ops.Ann.searchIvfPq(idx, "embedding", q, cb,
+            topK = 20, nprobe = idx.centers.length, rescore = n,
+            tieBreak = Seq(col("vec_id")))
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "IVF-PQ: m-byte product-quantized codes, ADC first stage, exact float rescore (exhaustive = exact; pruned path AnnSpec-verified)"),
+
     // ---- PII-style masking: digit runs collapsed to '#' (the
     // redaction primitive; the synthetic props payload is the only
     // digit-bearing text column). Pure per-row regex — stays in

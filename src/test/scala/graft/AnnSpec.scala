@@ -88,6 +88,40 @@ class AnnSpec extends SparkTestBase {
       s"sq8=$viaSq8 float=$viaFloat")
   }
 
+  test("IVF-PQ with exhaustive rescore is exactly searchIvf") {
+    import org.apache.spark.sql.functions.col
+    val base = Ann.buildIvf(emb, "embedding", k = 8)
+    val cb = Ann.fitPq(emb, "embedding", m = 8)
+    val index = Ann.withPq(base, "embedding", cb)
+    val a = Ann.searchIvfPq(index, "embedding", query, cb, topK = 10,
+        nprobe = 3, rescore = 1000, tieBreak = Seq(col("vec_id")))
+      .select("vec_id", "score").collect().map(_.toString).toSeq
+    val b = Ann.searchIvf(index, "embedding", query, topK = 10,
+        nprobe = 3, tieBreak = Seq(col("vec_id")))
+      .select("vec_id", "score").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("IVF-PQ pruned rescore recalls most of the float top-k") {
+    import org.apache.spark.sql.functions.col
+    val base = Ann.buildIvf(emb, "embedding", k = 8)
+    val cb = Ann.fitPq(emb, "embedding", m = 8)
+    val index = Ann.withPq(base, "embedding", cb)
+    val viaPq = Ann.searchIvfPq(index, "embedding", query, cb, topK = 10,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val viaFloat = Ann.searchIvf(index, "embedding", query, topK = 10,
+        nprobe = 3, tieBreak = Seq(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // PQ is lossier than SQ8 (m bytes for the whole vector), so the
+    // bar is recall >= 7/10 with rescore=50 out of ~190 candidates,
+    // and the self-match must survive (it probes its own cluster and
+    // re-ranks on exact floats)
+    assert(viaPq.head === viaFloat.head, s"pq=$viaPq float=$viaFloat")
+    assert((viaPq.toSet & viaFloat.toSet).size >= 7,
+      s"pq=$viaPq float=$viaFloat")
+  }
+
   test("SQ8 index persists and reloads: searches equal the in-memory index") {
     import org.apache.spark.sql.functions.col
     val index = Ann.withSq8(Ann.buildIvf(emb, "embedding", k = 8), "embedding")
