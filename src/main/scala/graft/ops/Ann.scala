@@ -352,4 +352,27 @@ object Ann {
       .map(_.getSeq[Float](1).toArray)
     IvfIndex(centers, spark.read.parquet(s"$path/assigned"))
   }
+
+  /** Persist a PQ codebook beside an index (m·|codebook|·dsub floats —
+    * a tiny sidecar like the IVF centers). [[persistIvf]] already
+    * carries the `pqcode` column through `partitionBy(cluster)`, so
+    * persistIvf + persistPq is the complete build-once artifact. */
+  def persistPq(codebook: PqCodebook, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    codebook.centers.toIndexedSeq.zipWithIndex.flatMap { case (subCenters, sub) =>
+      subCenters.toIndexedSeq.zipWithIndex.map { case (c, ci) =>
+        (sub, ci, c.toIndexedSeq)
+      }
+    }.toDF("sub", "centroid", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+  }
+
+  def loadPq(spark: SparkSession, path: String): PqCodebook = {
+    val rows = spark.read.parquet(s"$path/pq_codebook")
+      .orderBy("sub", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val centers = Array.tabulate(m)(sub => rows.filter(_._1 == sub).map(_._2))
+    PqCodebook(m, centers)
+  }
 }

@@ -122,6 +122,27 @@ class AnnSpec extends SparkTestBase {
       s"pq=$viaPq float=$viaFloat")
   }
 
+  test("PQ index + codebook persist and reload: searches equal in-memory") {
+    import org.apache.spark.sql.functions.col
+    val cb = Ann.fitPq(emb, "embedding", m = 8)
+    val index = Ann.withPq(Ann.buildIvf(emb, "embedding", k = 8), "embedding", cb)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Ann.persistIvf(index, path) // pqcode column rides along
+    Ann.persistPq(cb, spark, path)
+    val loadedIdx = Ann.loadIvf(spark, path)
+    val loadedCb = Ann.loadPq(spark, path)
+    assert(loadedCb.m === cb.m)
+    assert(loadedCb.centers.map(_.map(_.toSeq).toSeq).toSeq
+      === cb.centers.map(_.map(_.toSeq).toSeq).toSeq)
+    val a = Ann.searchIvfPq(index, "embedding", query, cb, topK = 5,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val b = Ann.searchIvfPq(loadedIdx, "embedding", query, loadedCb, topK = 5,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
   test("SQ8 index persists and reloads: searches equal the in-memory index") {
     import org.apache.spark.sql.functions.col
     val index = Ann.withSq8(Ann.buildIvf(emb, "embedding", k = 8), "embedding")
