@@ -65,8 +65,18 @@ final class StmtQueue(kv: KvEngine, flushMs: Long = 50) {
       val b = pending; pending = Vector.empty; b
     }
     if (batch.nonEmpty) {
-      // one merge for every request drained this tick
-      kv.synchronized { kv.execute(batch.flatMap(_._2)) }
+      // one merge for every request drained this tick. A failing batch
+      // is LOGGED AND DROPPED, and the sequence still advances: the
+      // reference's queue is explicitly at-most-once (rqlite queue
+      // semantics; wire documents its data-loss windows), and the
+      // alternative — letting the flusher die — would strand every
+      // later ?wait at its timeout.
+      try kv.synchronized { kv.execute(batch.flatMap(_._2)) }
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[stmt-queue] dropped batch of ${batch.size} writes: ${e.getMessage}")
+      }
       lock.synchronized {
         appliedSeq = math.max(appliedSeq, batch.map(_._1).max)
         lock.notifyAll()
