@@ -84,11 +84,15 @@ package object functions {
     reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es(0),
-      es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"word_shingles: k must be an integer literal, got $other")
-      }), "scala_udf")
+    def litK(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument must be an integer literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), litK(es(1), "word_shingles")), "scala_udf")
+    reg.createOrReplaceTempFunction("word_grams",
+      es => WordGrams(es(0), litK(es(1), "word_grams"),
+        if (es.size > 2) litK(es(2), "word_grams") else 1), "scala_udf")
   }
 }

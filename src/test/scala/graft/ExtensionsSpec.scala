@@ -57,6 +57,15 @@ class ExtensionsSpec extends SparkTestBase {
       assert(err.getMessage.contains("literal") ||
         Option(err.getCause).exists(_.getMessage.contains("literal")))
 
+      // text kernels through pure SQL, including the optional stride
+      val ws = s.sql(
+        """SELECT word_shingles('a b a b c', 2) AS sh,
+          |  word_grams('a b a b c', 2) AS gr,
+          |  word_grams('a b c d e f', 2, 2) AS st""".stripMargin).head()
+      assert(ws.getSeq[String](0) === Seq("a b", "b a", "b c")) // distinct
+      assert(ws.getSeq[String](1) === Seq("a b", "b a", "a b", "b c")) // multiplicity
+      assert(ws.getSeq[String](2) === Seq("a b", "c d", "e f")) // stride 2
+
       // aggregates through pure SQL: heavy_hitters + top_k_by
       s.range(0, 100).selectExpr("id", "CAST(id % 3 AS STRING) AS tok",
         "CAST(id AS DOUBLE) AS v").createOrReplaceTempView("ext_rows")
