@@ -15,6 +15,28 @@ class KvSpec extends SparkTestBase {
     assert(StatementParser.parse("  set k v ") === Right(SetStmt("k", "v")))
   }
 
+  test("parser: never throws on arbitrary input; SET round-trips (property)") {
+    val rnd = new scala.util.Random(42)
+    val chars = "abkv \t\"'\\{}[]\n\u0000=;,:/%!$SETGDL0129"
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(24)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      // total: Left for garbage, Right for valid — never an exception
+      StatementParser.parse(s) match {
+        case Right(SetStmt(k, _))   => assert(k.nonEmpty)
+        case Right(DeleteStmt(k))   => assert(k.nonEmpty)
+        case Right(GetStmt(k))      => assert(k.nonEmpty)
+        case Left(err)              => assert(err.nonEmpty)
+      }
+    }
+    // SET k <anything without leading/trailing/double spaces> round-trips
+    (0 until 200).foreach { _ =>
+      val k = "k" + rnd.nextInt(1000)
+      val words = (0 until 1 + rnd.nextInt(4)).map(_ => "w" + rnd.nextInt(100))
+      val v = words.mkString(" ")
+      assert(StatementParser.parse(s"SET $k $v") === Right(SetStmt(k, v)))
+    }
+  }
+
   test("parser: DELETE/GET take exactly one key; garbage rejected") {
     assert(StatementParser.parse("DELETE k") === Right(DeleteStmt("k")))
     assert(StatementParser.parse("GET k") === Right(GetStmt("k")))
