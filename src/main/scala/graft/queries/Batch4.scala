@@ -53,6 +53,35 @@ object Batch4 {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       "pivot via conditional aggregation"),
 
+    // ---- weekly cohort retention: users grouped by first-purchase
+    // week, activity counted per week offset — the classic retention
+    // matrix. Two map-side-combinable aggregations + one equi-join on
+    // user_id, no window: at 100 TB both aggs shuffle by user once and
+    // the cohort side broadcasts (|users| << |events|). Week offsets
+    // are exact multiples of 7 days (both endpoints week-truncated),
+    // so the /7 division is exact in both engines.
+    "cohort_retention" -> Q(
+      (s, dir) => {
+        val p = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+        val fw = p.groupBy("user_id").agg(min(col("w")).as("cohort"))
+        p.join(fw, "user_id")
+          .groupBy(col("cohort"),
+            (datediff(col("w"), col("cohort")) / 7).cast("long").as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("active_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+             |  FROM events WHERE event_type = 'purchase'),
+             |fw AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1)
+             |SELECT cohort, (w - cohort) // 7 AS week_offset,
+             |  count(DISTINCT user_id) AS active_users
+             |FROM p JOIN fw USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "weekly cohort retention matrix (first-activity cohort x week offset; aggs + equi-join, no window)"),
+
     // ---- ntile / first_value / last_value windows (explicit ROWS frame)
     "win_ntile_bounds" -> Q(
       (s, dir) => {
