@@ -53,6 +53,49 @@ object Batch4 {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       "pivot via conditional aggregation"),
 
+    // ---- TPC-H Q7-shaped volume shipping: 6-way join with TWO nation
+    // dimension roles (supplier's and customer's), symmetric pair
+    // filter, per-year revenue. Plan shape: fact tables equi-join on
+    // keys, both nation roles BROADCAST (25 rows each), the pair
+    // filter prunes before aggregation — no shuffle carries more than
+    // the surviving fact rows at any scale.
+    "q7_volume_shipping" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1997-01-01")
+        val n1 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = table(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                  (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  year(l_shipdate) AS l_year,
+              |  CAST(sum(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE)
+              |    AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+              |  AND l_shipdate < TIMESTAMP '1997-01-01'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      "TPC-H Q7 shape: dual-role nation dims broadcast, symmetric pair filter, per-year revenue"),
+
     // ---- weekly cohort retention: users grouped by first-purchase
     // week, activity counted per week offset — the classic retention
     // matrix. Two map-side-combinable aggregations + one equi-join on
