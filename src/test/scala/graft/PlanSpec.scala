@@ -102,6 +102,19 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
   }
 
+  test("q7_volume_shipping: both nation roles broadcast, no cartesian") {
+    val plan = executed("q7_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+  }
+
+  test("cohort_retention: aggregations partial+final, no window") {
+    val plan = executed("cohort_retention")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
   test("dedup_incremental: asymmetric index join, no cartesian, anti-join keeps") {
     val plan = executed("dedup_incremental")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
