@@ -53,6 +53,45 @@ object Batch4 {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       "pivot via conditional aggregation"),
 
+    // ---- batch sessionization: 30-min-gap session ids via the
+    // classic lag + running-sum-of-starts idiom — the BATCH twin of
+    // stream_session (same gap semantics, session ids instead of
+    // session_window structs). One keyed window shuffle; the
+    // per-session rollup partial-aggregates map-side.
+    "sessionize" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |l AS (SELECT user_id, event_id, ts,
+             |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |      FROM e),
+             |c AS (SELECT user_id, ts,
+             |        CAST(sum(CASE WHEN prev_ts IS NULL
+             |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             |            THEN 1 ELSE 0 END) OVER (
+             |          PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |      FROM l)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "30-min-gap sessionization (lag + running start-count; batch twin of stream_session)"),
+
     // ---- TPC-H Q7-shaped volume shipping: 6-way join with TWO nation
     // dimension roles (supplier's and customer's), symmetric pair
     // filter, per-year revenue. Plan shape: fact tables equi-join on
