@@ -23,7 +23,12 @@ import org.apache.spark.sql.SparkSession
   *    `capped` / `missing` (watchdogged / never ran), and
   *    `amortized` (queries reading the shared memoized ngram-pair
   *    subtree, so their warm times exclude the mining cost that
-  *    `dedup_ngram_jaccard` pays in full).
+  *    `dedup_ngram_jaccard` pays in full);
+  *  - the stdout line is trimmed to GRAFT_BENCH_STDOUT_BUDGET (1800)
+  *    bytes — slowest queries kept, `q_elided` counting the rest —
+  *    because the driver's tail capture holds only 2000 chars and a
+  *    longer line loses its head (r4/r5 both parsed null); the FULL
+  *    line always lands in bench_out.json.
   *
   * Why min-per-query over passes: min over interleaved passes
   * approximates the uncontended runtime under noise bursts. The
@@ -139,6 +144,36 @@ object Bench {
         case _ => ()
       }
     }
+    // Phase 3b: baseline-aware rescue. A burst can hit BOTH the warmup
+    // and the timed pass of one query (round-5: join_anti printed
+    // 4.16 s against a 0.37 s baseline — warmup AND pass landed in the
+    // same steal window), which phase 3 cannot see because warmup
+    // itself is poisoned. BASELINE.md's min-of-3 table is independent
+    // evidence of the plan's uncontended runtime; any emitted value
+    // >5x it (and >1s absolute) gets one fair rerun, bounded to 8
+    // queries so a genuinely-regressed catalog can't eat the deadline.
+    val baselineSec: Map[String, Double] = try {
+      val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+      scala.io.Source.fromFile("BASELINE.md").getLines()
+        .collect { case Row(n, v) => n -> v.toDouble }.toMap
+    } catch { case _: Exception => Map.empty }
+    var rescues = 0
+    for (name <- names if rescues < 8 && elapsed < deadlineSec) {
+      val cur = (timed.get(name), warm.get(name)) match {
+        case (Some(t), Some(w)) => Some(math.min(t, w))
+        case (t, w)             => t.orElse(w)
+      }
+      (cur, baselineSec.get(name)) match {
+        case (Some(v), Some(b)) if v > 5 * b && v > 1.0 =>
+          rescues += 1
+          System.err.println(
+            f"[bench][rescue] $name $v%.2f s vs baseline $b%.2f s — rerunning")
+          runCapped(name, "rescue").foreach { s =>
+            if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
+          }
+        case _ => ()
+      }
+    }
     val best = names.flatMap { n =>
       val v = (timed.get(n), warm.get(n)) match {
         case (Some(t), Some(w)) => Some(math.min(t, w))
@@ -159,13 +194,11 @@ object Bench {
     val amortized = Seq("dedup_corpus", "dedup_clusters",
       "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk",
       "dedup_degree", "ann_ivf_sq8", "ann_ivf_pq")
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
-    // The one-line JSON grew past what the driver's tail capture holds
-    // (r4 lost the head of the line → "parsed": null). Persist it to a
-    // file too, so the totals stay machine-readable however stdout is
-    // truncated, and print it FIRST so a head capture also works.
-    println(json)
+    def render(queriesJson: String, extra: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$extra,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
+    val json = render(qs, "")
+    // Persist the FULL line to a file so the totals stay machine-
+    // readable however stdout is captured.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")),
@@ -173,6 +206,30 @@ object Bench {
     } catch {
       case e: Exception => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    // The driver keeps only the LAST 2000 chars of output, and sbt
+    // prints "[success] Total time: ..." (~80 chars) after us — a line
+    // longer than ~1900 bytes loses its head and parses as null
+    // (BENCH_r4/r5 both did). If the full line doesn't fit, emit a
+    // trimmed variant: slowest queries first, as many as fit in the
+    // budget, with q_n/q_elided marking the cut and bench_out.json
+    // holding the complete map.
+    val stdoutBudget = sys.env.getOrElse("GRAFT_BENCH_STDOUT_BUDGET", "1800").toInt
+    val line =
+      if (json.length <= stdoutBudget) json
+      else {
+        val bySlow = best.sortBy(-_._2)
+        val entries = collection.mutable.ArrayBuffer.empty[String]
+        // wrapper size without the queries entries, plus room for the
+        // q_n/q_elided fields (~30 chars)
+        var used = render("{}", "").length + 40
+        for ((k, v) <- bySlow) {
+          val e = "\"" + k + f"\":$v%.3f"
+          if (used + e.length + 1 <= stdoutBudget) { entries += e; used += e.length + 1 }
+        }
+        render(entries.mkString("{", ",", "}"),
+          s""","q_n":${best.size},"q_elided":${best.size - entries.size}""")
+      }
+    println(line)
     spark.stop()
   }
 }

@@ -224,14 +224,20 @@ object Ann {
   }
 
   /** Plain Lloyd's on driver-local points (sample-sized by
-    * construction). Deterministic seeded init; empty clusters keep
-    * their previous center (they simply never win assignments). */
+    * construction). Deterministic seeded init from k DISTINCT point
+    * indices (a seeded shuffle): sampling indices with replacement
+    * would duplicate initial centers with near-certainty at k=256
+    * over a 20k sample (birthday effect), and duplicated centroids
+    * converge to duplicated codewords, shrinking the effective
+    * codebook and recall (ADVICE round 5). Empty clusters keep their
+    * previous center (they simply never win assignments). */
   private def localKmeans(points: Array[Array[Float]], k: Int,
       iters: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     val dsub = points(0).length
+    val init = rnd.shuffle((0 until points.length).toVector)
     val centers = Array.tabulate(k)(i =>
-      points(if (points.length >= k) rnd.nextInt(points.length) else i % points.length).clone())
+      points(if (points.length >= k) init(i) else i % points.length).clone())
     val assign = new Array[Int](points.length)
     var it = 0
     while (it < iters) {

@@ -225,20 +225,39 @@ final class HttpService(
   private def queuedExecute(ex: HttpExchange, qp: Map[String, String],
       stmts: Seq[graft.kv.Statement]): Unit = {
     val seq = stmtQueue.write(stmts)
-    if (flag(qp, "wait") && !stmtQueue.waitFor(seq, timeoutMs(qp))) {
-      sendText(ex, 408, "queue wait timeout") // service.go:1147-1150
-    } else {
-      val root = mapper.createObjectNode()
-      root.putArray("results")
-      root.put("sequence_number", seq)
-      sendJson(ex, 200, mapper.writeValueAsString(root))
+    val wait =
+      if (flag(qp, "wait")) stmtQueue.waitFor(seq, timeoutMs(qp))
+      else graft.kv.StmtQueue.Applied
+    wait match {
+      case graft.kv.StmtQueue.TimedOut =>
+        sendText(ex, 408, "queue wait timeout") // service.go:1147-1150
+      case graft.kv.StmtQueue.Dropped =>
+        // the batch failed every retry and was lost; a 200 here would
+        // be success-for-a-lost-write, strictly worse than the
+        // reference's data-loss window (rqlite only closes the flush
+        // channel after a successful apply)
+        sendText(ex, 500, "queued write dropped")
+      case graft.kv.StmtQueue.Applied =>
+        val root = mapper.createObjectNode()
+        root.putArray("results")
+        root.put("sequence_number", seq)
+        sendJson(ex, 200, mapper.writeValueAsString(root))
     }
   }
 
-  /** rqlite boolean query params: present counts as true unless
-    * explicitly "false" (`?queue`, `?wait=true`). */
+  /** rqlite boolean query params: present counts as true unless the
+    * value parses false. Values follow Go strconv.ParseBool — 1/t/true
+    * (any case) are true, 0/f/false are false (service.go uses
+    * ParseBool on `?queue`, `?wait`) — so rqlite-ported clients
+    * sending `?wait=1` keep their semantics. Unparseable values are
+    * false, matching the reference's err → default-false handling. */
   private def flag(qp: Map[String, String], name: String): Boolean =
-    qp.get(name).exists(v => v.isEmpty || v.equalsIgnoreCase("true"))
+    qp.get(name).exists { v =>
+      v.isEmpty || (v.toLowerCase match {
+        case "1" | "t" | "true" => true
+        case _                  => false
+      })
+    }
 
   /** `?timeout=` as Go-ish duration (`5s`, `1500ms`); default 30s
     * (service.go defaultTimeout). */

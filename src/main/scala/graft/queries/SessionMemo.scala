@@ -20,13 +20,33 @@ import org.apache.spark.sql.SparkSession
   *
   * The walk is driver-side metadata only (no data read); non-local or
   * unreadable paths fingerprint to a constant, degrading to the plain
-  * memoize-forever behavior. [[clear]] remains the explicit nuke. */
+  * memoize-forever behavior. [[clear]] remains the explicit nuke.
+  *
+  * Cost + blind spot (ADVICE round 5): the fingerprint is cached per
+  * dir for [[SessionMemo.fpTtlMs]], so back-to-back catalog queries
+  * don't each pay a full `Files.walk` — only the first access per TTL
+  * window does. Known blind spots, accepted: a same-length rewrite
+  * landing within the same mtime millisecond fingerprints identically,
+  * and a rewrite inside the TTL window is seen one window late. Both
+  * only matter for in-session rewrites of the SAME dir, which the
+  * test suite does explicitly via [[clear]]. */
 final class SessionMemo[V](build: (SparkSession, String) => V) {
 
   private final case class Entry(fp: Long, value: V)
   private val m = new ConcurrentHashMap[(SparkSession, String), Entry]
+  private val fpCache = new ConcurrentHashMap[String, (Long, Long)] // dir -> (fp, atNanos)
 
   private def fingerprint(dir: String): Long = {
+    val now = System.nanoTime()
+    val cached = fpCache.get(dir)
+    if (cached != null && now - cached._2 < SessionMemo.fpTtlMs * 1000000L)
+      return cached._1
+    val fp = fingerprintUncached(dir)
+    fpCache.put(dir, (fp, now))
+    fp
+  }
+
+  private def fingerprintUncached(dir: String): Long = {
     try {
       val root = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.isDirectory(root)) return 0L
@@ -54,5 +74,14 @@ final class SessionMemo[V](build: (SparkSession, String) => V) {
       else Entry(fp, build(k._1, k._2))).value
   }
 
-  def clear(): Unit = m.clear()
+  def clear(): Unit = { m.clear(); fpCache.clear() }
+}
+
+object SessionMemo {
+  /** How long a computed dir fingerprint is trusted before re-walking.
+    * 5 s keeps a full catalog run (~100 queries) at a handful of walks
+    * while still catching any between-run rewrite. Re-read per access
+    * so tests (and operators that rewrite dirs in-session) can set
+    * `-Dgraft.memo.fp.ttl.ms=0` to force every access to re-walk. */
+  def fpTtlMs: Long = java.lang.Long.getLong("graft.memo.fp.ttl.ms", 5000L)
 }

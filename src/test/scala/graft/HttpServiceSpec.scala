@@ -167,6 +167,24 @@ class HttpServiceSpec extends SparkTestBase {
     assert(post("/db/execute?queue", """["FROB x"]""").statusCode() === 400)
   }
 
+  test("boolean params accept Go ParseBool forms (?wait=1, ?wait=t)") {
+    // rqlite clients send ?wait=1 — Go strconv.ParseBool accepts
+    // 1/t/true; a false parse here would silently skip the wait
+    val r = post("/db/execute?queue&wait=1&timeout=30s", """["SET pb one"]""")
+    assert(r.statusCode() === 200, r.body())
+    assert(get("/key?key=pb").body() === "one") // visible: the wait happened
+    val r2 = post("/db/execute?queue&wait=T&timeout=30s", """["SET pb two"]""")
+    assert(r2.statusCode() === 200, r2.body())
+    assert(get("/key?key=pb").body() === "two")
+    // explicit false forms skip the wait but still enqueue
+    val r3 = post("/db/execute?queue&wait=0", """["SET pb3 three"]""")
+    assert(r3.statusCode() === 200, r3.body())
+    val deadline = System.currentTimeMillis() + 10000
+    while (get("/key?key=pb3").body() == "nil"
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(get("/key?key=pb3").body() === "three")
+  }
+
   test("nodes reports the single-node topology") {
     val n = mapper.readTree(get("/nodes").body())
     assert(n.get("local").get("leader").asBoolean())

@@ -9,6 +9,11 @@ import graft.queries.SessionMemo
   * subtrees must not survive an in-session data rewrite). */
 class SessionMemoSpec extends SparkTestBase {
 
+  // the fingerprint TTL cache (ADVICE r5) would otherwise hide a
+  // rewrite that lands inside its window — this spec rewrites
+  // immediately, so force a re-walk on every access
+  sys.props("graft.memo.fp.ttl.ms") = "0"
+
   test("memo rebuilds after the dir's data is rewritten, not before") {
     val dir = Files.createTempDirectory("graftmemo").toString
     Files.write(Paths.get(dir, "part-0.parquet"), "v1-bytes".getBytes)
