@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.fnv64
+import graft.queries.Catalog.{Q, events, table}
+
+/** Query batch 10: training-corpus assembly operators — deterministic
+  * data mixing, sequence packing, token-budget selection — plus the
+  * Z-order layout key, HLL distinct sketching, and gaps-and-islands.
+  *
+  * The common thread is DETERMINISM AT SCALE: every sampling/selection
+  * decision here is a pure function of the row (hash buckets, window
+  * positions), never `rand()` — so task retries, speculative
+  * execution, and re-runs of a 100-TB job select byte-identical
+  * corpora, and the DuckDB oracle can replay each decision exactly.
+  */
+object Batch10 {
+
+  /** CASE expression both engines share: per-language keep-threshold
+    * out of 16384 hash buckets (power of two, so the signed
+    * `pmod`/unsigned `%` views of the FNV hash agree on the low 14
+    * bits — a 10000-bucket variant would NOT round-trip, since
+    * 2^64 % 10000 != 0 shifts every negative signed hash). */
+  private val mixRateSql =
+    """CASE lang WHEN 'en' THEN 13107 WHEN 'zh' THEN 8192
+      |WHEN 'de' THEN 4096 ELSE 6554 END""".stripMargin.replace("\n", " ")
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- deterministic data mixing: per-language hash sampling.
+    // The training-mixture primitive: down/up-weight sources by
+    // keeping doc_id-hash buckets below a per-language threshold.
+    // Stateless per row — no shuffle, no rand(), no driver state; at
+    // 100 TB this is a pure scan+filter that pushes into the reader,
+    // and reruns/retries keep the SAME documents (rand()-sampling
+    // does not survive task retries, and Bernoulli sampling by row
+    // position is not stable under file re-splits). The salt prefix
+    // decorrelates this sample from any other hash use of doc_id.
+    "sample_weighted" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .withColumn("bucket",
+            pmod(fnv64(concat(lit("mix:"), col("doc_id"))), lit(16384)))
+          .filter(col("bucket") < expr(mixRateSql))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      // FNV-1a 64 re-derived in DuckDB over the salted key (same
+      // recursive-CTE kernel as p2_fnv_partition; HUGEINT arithmetic
+      // mod 2^64, xor on the low byte only).
+      Some(s"""WITH RECURSIVE k AS (
+              |  SELECT DISTINCT 'mix:' || doc_id AS s FROM documents),
+              |fnv(s, i, h) AS (
+              |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
+              |  UNION ALL
+              |  SELECT s, i+1,
+              |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+              |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
+              |      * 1099511628211) % 18446744073709551616
+              |  FROM fnv WHERE i <= length(s)),
+              |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1)
+              |SELECT d.doc_id, d.lang, CAST(f.h % 16384 AS BIGINT) AS bucket
+              |FROM documents d JOIN final f ON f.s = 'mix:' || d.doc_id
+              |WHERE CAST(f.h % 16384 AS BIGINT) < $mixRateSql
+              |ORDER BY doc_id""".stripMargin),
+      "deterministic per-language hash sampling (training-data mixing; retry-stable, shuffle-free)"),
+
+    // ---- sequence packing: GPT-style document concatenation into
+    // fixed token-budget packs. pack_id = starting-token-offset div
+    // budget, from a per-language running token sum — one window over
+    // a (lang)-partitioned shuffle, no driver loop, no UDF. At 100 TB
+    // the window key (lang) is coarse; production would sub-shard the
+    // window key (lang, shard = hash(doc) % K) exactly like
+    // salted_agg, trading global pack contiguity for parallelism —
+    // packing only needs contiguity WITHIN a shard since packs never
+    // cross shard boundaries anyway.
+    "pack_sequences" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "documents")
+          .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("pack_id", expr("(cum - toks) div 512"))
+          .select(col("doc_id"), col("lang"), col("toks"), col("cum"),
+            col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, toks,
+             |    CAST(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum
+             |  FROM t)
+             |SELECT doc_id, lang, toks, cum, (cum - toks) // 512 AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin),
+      "fixed-budget sequence packing by running token offset (pretraining pack assembly)"),
+
+    // ---- token-budget corpus selection: per language, take the
+    // longest documents until a token budget is exhausted (the
+    // "select best N tokens per source" mixing step; here length
+    // stands in for the quality ordering — quality_score is its own
+    // catalog entry). The boundary document that CROSSES the budget
+    // is kept (its start offset is inside budget), matching how
+    // packing consumes it. Same single-window shape as
+    // pack_sequences; same sub-sharding story at scale.
+    "corpus_budget_take" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "documents")
+          .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .filter(col("cum") - col("toks") < 2000L)
+          .select(col("lang"), col("doc_id"), col("toks"), col("cum"))
+          .orderBy("lang", "cum")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, toks,
+             |    CAST(sum(toks) OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum
+             |  FROM t)
+             |SELECT lang, doc_id, toks, cum FROM c
+             |WHERE cum - toks < 2000 ORDER BY lang, cum""".stripMargin),
+      "greedy token-budget selection per language (quality-ordered corpus trimming)"),
+
+    // ---- Z-order (Morton) clustering key over (user bucket, hour of
+    // day) — the data-LAYOUT operator for 100 TB: writing files sorted
+    // by zkey makes parquet min/max footers selective on BOTH
+    // dimensions at once, so either predicate prunes files (a plain
+    // sort by user prunes only user predicates). The interleave is
+    // pure bit arithmetic — two shift/mask spreads — staying entirely
+    // inside whole-stage codegen; both engines evaluate the identical
+    // formula, so the key (and therefore the layout) is
+    // engine-portable. 8 bits per dimension = 256 buckets each,
+    // matching typical file-count granularity.
+    "zorder_key" -> Q(
+      (s, dir) => {
+        def spread(v: String): String = {
+          val a = s"(($v | shiftleft($v, 4)) & 3855)"
+          val b = s"(($a | shiftleft($a, 2)) & 13107)"
+          s"(($b | shiftleft($b, 1)) & 21845)"
+        }
+        events(s, dir)
+          .withColumn("xb", col("user_id") % 256)
+          .withColumn("yb", hour(col("ts")).cast("long"))
+          .withColumn("zkey",
+            expr(s"${spread("xb")} | shiftleft(${spread("yb")}, 1)"))
+          .select(col("event_id"), col("xb"), col("yb"), col("zkey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id % 256 AS xb,
+             |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS yb
+             |  FROM events),
+             |s AS (
+             |  SELECT event_id, xb, yb,
+             |    ((xb | (xb << 4)) & 3855) AS x1, ((yb | (yb << 4)) & 3855) AS y1
+             |  FROM b),
+             |s2 AS (
+             |  SELECT event_id, xb, yb,
+             |    ((x1 | (x1 << 2)) & 13107) AS x2, ((y1 | (y1 << 2)) & 13107) AS y2
+             |  FROM s),
+             |s3 AS (
+             |  SELECT event_id, xb, yb,
+             |    ((x2 | (x2 << 1)) & 21845) AS x3, ((y2 | (y2 << 1)) & 21845) AS y3
+             |  FROM s2)
+             |SELECT event_id, xb, yb, (x3 | (y3 << 1)) AS zkey
+             |FROM s3 ORDER BY event_id""".stripMargin),
+      "Z-order/Morton clustering key (two-dimension file-skipping layout)"),
+
+    // ---- HLL distinct sketch: approx_count_distinct is Spark's
+    // HyperLogLog++ — a MERGEABLE fixed-size sketch, so the aggregate
+    // is map-side combinable and the shuffle carries one ~KB sketch
+    // per (partition, group) instead of the distinct key set; exact
+    // distinct on a 100-TB key column shuffles the keys themselves.
+    // Approximate results are engine-specific (DuckDB's HLL rounds
+    // differently), so this entry takes the rows-only gate; the
+    // accuracy bound vs exact distinct is asserted in ScaleSpec.
+    "approx_distinct" -> Q(
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None,
+      "HLL++ approximate distinct users per event type (mergeable sketch; rows-only gate)"),
+
+    // ---- gaps-and-islands: maximal runs of consecutive active days
+    // per user (retention/streak analytics). The classic
+    // row_number-delta trick: consecutive days share (epoch_day - rn),
+    // so one window + one groupBy finds every maximal run — no
+    // self-join, no iteration; both shuffles key on user_id.
+    "gaps_islands" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+          .withColumn("grp",
+            datediff(col("d"), lit("1970-01-01").cast("date"))
+              - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("d")).as("start_day"), count(lit(1)).as("n_days"))
+          .filter(col("n_days") >= 2)
+          .select(col("user_id"), col("start_day"), col("n_days"))
+          .orderBy("user_id", "start_day")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, d,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+             |  FROM days),
+             |g AS (
+             |  SELECT user_id, d,
+             |    date_diff('day', DATE '1970-01-01', d) - rn AS grp FROM r)
+             |SELECT user_id, min(d) AS start_day,
+             |  CAST(count(*) AS BIGINT) AS n_days
+             |FROM g GROUP BY user_id, grp HAVING count(*) >= 2
+             |ORDER BY user_id, start_day""".stripMargin),
+      "gaps-and-islands: maximal consecutive-day streaks per user (row_number-delta)"),
+  )
+}

@@ -34,6 +34,63 @@ class ScaleSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("approx_distinct (HLL++) lands within 10% of exact distinct") {
+    val dir = sf("sf0.01")
+    val ev = graft.queries.Catalog.events(spark, dir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Catalog.queries("approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e <= 0.10,
+        s"$k: approx $a vs exact $e drifts past 10%")
+    }
+    // the scale point: the sketch aggregate must partial-aggregate
+    // (map-side combine) — the shuffle carries sketches, not keys
+    val plan = graft.queries.Catalog.queries("approx_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"expected map-side HLL partial aggregation, got:\n$plan")
+  }
+
+  test("sample_weighted is a pure scan+filter — no shuffle before the cut") {
+    val df = graft.queries.Catalog.queries("sample_weighted")(spark, sf("sf0.001"))
+    // the only exchange allowed is the final presentation orderBy
+    val plan = df.queryExecution.optimizedPlan.toString
+    val beforeSort = plan.linesIterator.dropWhile(l => !l.contains("Sort")).mkString("\n")
+    assert(!beforeSort.contains("Repartition") && !beforeSort.contains("Aggregate"),
+      s"sampling must not shuffle or aggregate:\n$plan")
+    // deterministic: two runs select identical documents
+    val a = df.collect().map(_.getLong(0)).toSeq
+    val b = graft.queries.Catalog.queries("sample_weighted")(spark, sf("sf0.001"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
+  test("zorder_key stays inside whole-stage codegen") {
+    val df = graft.queries.Catalog.queries("zorder_key")(spark, sf("sf0.001"))
+    val rows = df.collect() // finalize the AQE plan (1k rows at sf0.001)
+    // `*(n)` marks a WholeStageCodegen span in the final-plan string;
+    // the interleave Project must sit inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"expected the zkey Project inside a codegen span:\n$plan")
+    // Morton property: zkey of (x,y) deinterleaves back to (x,y)
+    rows.foreach { r =>
+      val (xb, yb, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      var (x, y, i) = (0L, 0L, 0)
+      while (i < 16) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      assert(x === xb && y === yb, s"zkey $z does not deinterleave to ($xb,$yb)")
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
