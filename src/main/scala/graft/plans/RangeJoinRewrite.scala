@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+
+/** Optimizer rule: a PURE range join — an inner join whose only
+  * cross-side condition bounds the difference of two integral columns
+  * to a constant-width band (`l.ts >= r.ts - w AND l.ts < r.ts`) —
+  * becomes a bucketized EQUI-join: both sides bucket their column to
+  * band-width grains, the banded side duplicates each row into the two
+  * buckets its band can touch (a band of width w spans at most 2
+  * buckets of width w — and always exactly 2 distinct ones, since an
+  * interval of length exactly w always straddles a bucket boundary, so
+  * the explode never produces duplicate join keys), and the original
+  * inequalities stay on as residual filters.
+  *
+  * Why: Spark plans a no-equi-key inner join as
+  * BroadcastNestedLoopJoin (or a cartesian) — O(|L|·|R|) comparisons
+  * and a broadcast of one ENTIRE side. At 100 TB that plan does not
+  * finish. The rewrite is the standard interval-bucketing shape
+  * ([[graft.queries.Batch8]] hand-writes it for `interval_join`):
+  * shuffle keys become (bucket), the join hash-partitions, and each
+  * row meets only rows within one band-width of it. Work drops to
+  * O(rows-per-bucket²) per bucket — proportional to the true output
+  * for time-local data — and parallelism scales with the number of
+  * buckets (= the time span / w), not 1.
+  *
+  * Fires only when provably safe:
+  *  - Inner join, non-streaming, and NO cross-side equality conjunct
+  *    (if an equi key exists Spark already plans a hash/sort-merge
+  *    join; rewriting would only add the 2x explode);
+  *  - exactly one band: one lower and one upper bound on the same
+  *    ordered attribute pair, both integral (int/long), band width
+  *    0 < w <= 2^42 (overflow headroom: bucket arithmetic adds w to
+  *    the column value);
+  *  - every other conjunct is kept verbatim in the new join condition,
+  *    and the band inequalities themselves are re-applied as residuals
+  *    (bucket equality is a superset relaxation, never a replacement).
+  *
+  * Null semantics are preserved: a null band column fails the original
+  * inequalities (excluded) and produces null buckets after the
+  * rewrite, which fail the bucket equality (excluded).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Max |band endpoint offset| — keeps `col + offset` far from Long
+    * overflow for any realistic epoch value. 2^42 us ≈ 50 days. */
+  private val maxW = 1L << 42
+
+  /** A conjunct normalized to a one-sided bound on (a - b):
+    * a - b <= hi (upper) or a - b >= lo (lower); strictness only
+    * shrinks the band, which bucket coverage doesn't depend on. */
+  private final case class Bound(a: Attribute, b: Attribute, k: Long,
+      isUpper: Boolean)
+
+  /** Parse `expr` as `attr + const` (const defaults 0). */
+  private def term(e: Expression): Option[(Attribute, Long)] = e match {
+    case a: Attribute if integral(a)                  => Some((a, 0L))
+    case Add(t, Literal(c, dt), _) =>
+      term(t).collect { case (a, c0) if integral0(dt) => (a, c0 + toL(c)) }
+    case Add(Literal(c, dt), t, _) =>
+      term(t).collect { case (a, c0) if integral0(dt) => (a, c0 + toL(c)) }
+    case Subtract(t, Literal(c, dt), _) =>
+      term(t).collect { case (a, c0) if integral0(dt) => (a, c0 - toL(c)) }
+    case _ => None
+  }
+  private def integral(a: Expression) =
+    a.dataType == LongType || a.dataType == IntegerType
+  private def integral0(dt: org.apache.spark.sql.types.DataType) =
+    dt == LongType || dt == IntegerType
+  private def toL(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  /** Normalize a comparison conjunct into a [[Bound]] on (a - b) for
+    * SOME orientation of its two attribute terms. cmp(a+c1, b+c2)
+    * becomes `a - b (cmp) c2 - c1`. */
+  private def bound(e: Expression): Option[Bound] = {
+    def mk(l: Expression, r: Expression, upper: Boolean): Option[Bound] =
+      for { (a, c1) <- term(l); (b, c2) <- term(r) }
+        yield Bound(a, b, c2 - c1, isUpper = upper)
+    e match {
+      case LessThan(l, r)           => mk(l, r, upper = true)
+      case LessThanOrEqual(l, r)    => mk(l, r, upper = true)
+      case GreaterThan(l, r)        => mk(l, r, upper = false)
+      case GreaterThanOrEqual(l, r) => mk(l, r, upper = false)
+      case _                        => None
+    }
+  }
+
+  /** Re-orient a bound to the canonical (x, y) attribute pair:
+    * a bound on (y - x) flips into one on (x - y). */
+  private def orient(bd: Bound, x: Attribute, y: Attribute): Option[Bound] =
+    if (bd.a.semanticEquals(x) && bd.b.semanticEquals(y)) Some(bd)
+    else if (bd.a.semanticEquals(y) && bd.b.semanticEquals(x))
+      Some(Bound(x, y, -bd.k, isUpper = !bd.isUpper))
+    else None
+
+  private def crossSide(a: Attribute, b: Attribute, j: Join): Boolean =
+    (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+      (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+
+  /** Floor-division bucket of an integral expression: exact because
+    * the numerator is reduced to an exact multiple of w first (pmod is
+    * non-negative, so truncating division equals floor division). */
+  private def fdiv(e: Expression, w: Long): Expression = {
+    val el = if (e.dataType == LongType) e else Cast(e, LongType)
+    val wl = Literal(w, LongType)
+    new IntegralDivide(new Subtract(el, new Pmod(el, wl)), wl)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), _)
+        if !j.left.isStreaming && !j.right.isStreaming =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasCrossEquality = conjuncts.exists {
+        case EqualTo(a: Attribute, b: Attribute) => crossSide(a, b, j)
+        case EqualNullSafe(a: Attribute, b: Attribute) => crossSide(a, b, j)
+        case _ => false
+      }
+      val bounds = conjuncts.flatMap(c => bound(c).map(c -> _))
+        .filter { case (_, bd) => crossSide(bd.a, bd.b, j) &&
+          bd.a.deterministic && bd.b.deterministic }
+      if (hasCrossEquality || bounds.isEmpty) j
+      else {
+        // canonical pair = first bound's orientation with x on the left
+        val (x0, y0) = (bounds.head._2.a, bounds.head._2.b)
+        val (x, y) =
+          if (left.outputSet.contains(x0)) (x0, y0) else (y0, x0)
+        val oriented = bounds.flatMap { case (c, bd) => orient(bd, x, y).map(c -> _) }
+        val uppers = oriented.collect { case (_, bd) if bd.isUpper => bd.k }
+        val lowers = oriented.collect { case (_, bd) if !bd.isUpper => bd.k }
+        if (uppers.isEmpty || lowers.isEmpty) j
+        else {
+          val hi = uppers.min
+          val lo = lowers.max
+          val w = hi - lo
+          if (w <= 0 || w > maxW || math.abs(hi) > maxW || math.abs(lo) > maxW) j
+          else {
+            // left: one bucket of x
+            val bucketL = Alias(fdiv(x, w), "__graft_rbucket_l")()
+            val leftProj = Project(left.output :+ bucketL, left)
+            // right: the band [y+lo, y+hi] touches exactly these buckets
+            val yl = if (y.dataType == LongType) (y: Expression) else Cast(y, LongType)
+            val arr = CreateArray(Seq(
+              fdiv(new Add(yl, Literal(lo, LongType)), w),
+              fdiv(new Add(yl, Literal(hi, LongType)), w)))
+            val bucketR = AttributeReference("__graft_rbucket_r", LongType,
+              nullable = arr.dataType.asInstanceOf[ArrayType].containsNull)()
+            val rightGen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(bucketR), right)
+            val newCond = (conjuncts :+
+              EqualTo(bucketL.toAttribute, bucketR)).reduce(And)
+            Project(left.output ++ right.output,
+              Join(leftProj, rightGen, Inner, Some(newCond), JoinHint.NONE))
+          }
+        }
+      }
+  }
+}

@@ -260,6 +260,8 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * right call for selective top-k (k << group size), which is what the
   * guarded pattern expresses. */
 class GraftOptimizations extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }

@@ -200,6 +200,61 @@ object Batch10 {
       None,
       "HLL++ approximate distinct users per event type (mergeable sketch; rows-only gate)"),
 
+    // ---- approximate quantiles: percentile_approx is Spark's
+    // Greenwald-Khanna sketch — bounded memory per group, mergeable,
+    // map-side combinable. Exact percentiles at 100 TB buffer every
+    // value per group; the sketch holds O((1/ε)·log(εn)) tuples for a
+    // guaranteed ε-rank error (accuracy=10000 → ε=1e-4). Sketch
+    // internals are engine-specific → rows-only gate; the rank-error
+    // bound vs exact percentiles is asserted in ScaleSpec.
+    "approx_quantiles" -> Q(
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"))
+          .select(col("event_type"),
+            col("q").getItem(0).as("p50"),
+            col("q").getItem(1).as("p95"),
+            col("q").getItem(2).as("p99"))
+          .orderBy("event_type")
+      },
+      None,
+      "Greenwald-Khanna approximate quantiles per event type (mergeable sketch; rows-only gate)"),
+
+    // ---- pure range join (no equi key): every click within 10
+    // minutes BEFORE any purchase, across all users — written as the
+    // naive inequality join. Spark's native plan for a no-equi-key
+    // join is BroadcastNestedLoopJoin: O(|clicks|·|purchases|)
+    // comparisons and a full broadcast of one side — dead at 100 TB.
+    // graft.plans.RangeJoinRewrite (active on the graded path)
+    // rewrites it to the bucketized equi-join automatically — the
+    // same shape interval_join hand-codes — so THIS entry is the
+    // oracle-gated proof the rule is result-identical, and PlanSpec
+    // asserts the nested-loop never appears.
+    "range_join_pure" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("us").as("c_us"))
+        clicks.join(purchases,
+            col("c_us") >= col("p_us") - 600000000L && col("c_us") < col("p_us"))
+          .select(col("purchase_id"), col("click_id"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+             |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'click') c
+             |  ON c.ts >= p.ts - INTERVAL 600 SECOND
+             | AND c.ts < p.ts
+             |ORDER BY purchase_id, click_id""".stripMargin),
+      "pure range join: naive inequality join auto-bucketized by RangeJoinRewrite (no nested-loop)"),
+
     // ---- gaps-and-islands: maximal runs of consecutive active days
     // per user (retention/streak analytics). The classic
     // row_number-delta trick: consecutive days share (epoch_day - rn),

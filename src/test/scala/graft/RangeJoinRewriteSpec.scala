@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftOptimizations
+
+/** RangeJoinRewrite: a pure band join (`l.t >= r.t - w AND l.t < r.t`,
+  * no equi key) becomes a bucketized equi-join — result-identical on
+  * every boundary case, never a nested-loop, and guarded off every
+  * unsafe shape. */
+class RangeJoinRewriteSpec extends SparkTestBase {
+
+  // second session sharing the context, with the optimizer rules
+  // injected (TopKRewriteSpec's builder dance)
+  private lazy val opt: SparkSession = {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-range-join-rewrite")
+      .withExtensions(new GraftOptimizations())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prev.foreach { p =>
+      SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+    }
+    s
+  }
+
+  /** Values dense around bucket boundaries of every plausible width,
+    * plus negatives (floor-division territory) and nulls. */
+  private def side(s: SparkSession, name: String, vs: Seq[java.lang.Long]): DataFrame = {
+    import s.implicits._
+    vs.zipWithIndex.map { case (v, i) => (s"$name$i", v) }.toDF(s"${name}_id", s"${name}_t")
+  }
+
+  private val lVals: Seq[java.lang.Long] =
+    Seq[java.lang.Long](-21L, -20L, -19L, -11L, -10L, -1L, 0L, 1L, 9L, 10L,
+      11L, 19L, 20L, 21L, 99L, 100L, null)
+  private val rVals: Seq[java.lang.Long] =
+    Seq[java.lang.Long](-20L, -10L, -5L, 0L, 5L, 10L, 15L, 20L, 25L, 100L,
+      105L, null)
+
+  private def pairs(df: DataFrame): Set[(String, String)] =
+    df.select("l_id", "r_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("rewrite fires and is result-identical to the nested-loop plan") {
+    for ((lowIncl, hiIncl) <- Seq((true, false), (false, true), (true, true), (false, false))) {
+      val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
+      val loC = if (lowIncl) col("l_t") >= col("r_t") - 10L else col("l_t") > col("r_t") - 10L
+      val hiC = if (hiIncl) col("l_t") <= col("r_t") else col("l_t") < col("r_t")
+      val joined = l.join(r, loC && hiC)
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_rbucket"), s"rule did not fire:\n$plan")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin") === false)
+      // ground truth from the session WITHOUT the rule
+      val lp = side(spark, "l", lVals); val rp = side(spark, "r", rVals)
+      val loP = if (lowIncl) col("l_t") >= col("r_t") - 10L else col("l_t") > col("r_t") - 10L
+      val hiP = if (hiIncl) col("l_t") <= col("r_t") else col("l_t") < col("r_t")
+      val expected = lp.join(rp, loP && hiP)
+      assert(pairs(joined) === pairs(expected), s"incl=($lowIncl,$hiIncl)")
+    }
+  }
+
+  test("band expressed as additions on either side rewrites too") {
+    val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
+    // r_t <= l_t + 10 AND r_t > l_t  ==  l_t >= r_t - 10 AND l_t < r_t
+    val joined = l.join(r, col("r_t") <= col("l_t") + 10L && col("r_t") > col("l_t"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+    val lp = side(spark, "l", lVals); val rp = side(spark, "r", rVals)
+    val expected = lp.join(rp, col("r_t") <= col("l_t") + 10L && col("r_t") > col("l_t"))
+    assert(pairs(joined) === pairs(expected))
+  }
+
+  test("extra non-band conjuncts survive as residuals") {
+    val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
+    val joined = l.join(r,
+      col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t") &&
+        col("l_id") =!= col("r_id"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+    val lp = side(spark, "l", lVals); val rp = side(spark, "r", rVals)
+    val expected = lp.join(rp,
+      col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t") &&
+        col("l_id") =!= col("r_id"))
+    assert(pairs(joined) === pairs(expected))
+  }
+
+  test("guard: a cross-side equi key means no rewrite (hash join already works)") {
+    val l = side(opt, "l", lVals).withColumn("k", col("l_t") % 3)
+    val r = side(opt, "r", rVals).withColumn("k2", col("r_t") % 3)
+    val joined = l.join(r,
+      col("k") === col("k2") &&
+        col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+  }
+
+  test("guard: one-sided bound (no band) means no rewrite") {
+    val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
+    val joined = l.join(r, col("l_t") < col("r_t"))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+  }
+
+  test("guard: outer joins are untouched") {
+    val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
+    val joined = l.join(r,
+      col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"), "left_outer")
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+  }
+
+  test("range_join_pure catalog entry bucketizes and matches the naive plan") {
+    val dir = sf("sf0.001")
+    val df = graft.queries.Catalog.queries("range_join_pure")(opt, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rbucket"), s"rule did not fire:\n$plan")
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"nested-loop survived:\n$phys")
+    // identical rows from the un-rewritten session
+    val naive = graft.queries.Catalog.queries("range_join_pure")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rewritten === naive) // both orderBy'd: sequence equality
+  }
+
+  test("empty-band and negative-width bounds are left alone") {
+    val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
+    // w = 0: l_t >= r_t AND l_t < r_t is unsatisfiable; rule must not divide by zero
+    val joined = l.join(r, col("l_t") >= col("r_t") && col("l_t") < col("r_t"))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+    assert(joined.count() === 0)
+  }
+}

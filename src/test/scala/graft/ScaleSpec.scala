@@ -56,6 +56,27 @@ class ScaleSpec extends SparkTestBase {
       s"expected map-side HLL partial aggregation, got:\n$plan")
   }
 
+  test("approx_quantiles lands within GK rank-error of exact percentiles") {
+    val dir = sf("sf0.01")
+    val approx = graft.queries.Catalog.queries("approx_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val ev = graft.queries.Catalog.events(spark, dir)
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> {
+        val q = r.getSeq[Double](1); (q(0), q(1))
+      }).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy=10000 → rank error 1e-4; on ~2k rows/group that is
+    // sub-rank, but value gaps make exact equality too strict — allow
+    // 1% relative drift as the loose envelope
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(math.abs(a50 - e50) / math.max(e50, 1e-9) < 0.01, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / math.max(e95, 1e-9) < 0.01, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("sample_weighted is a pure scan+filter — no shuffle before the cut") {
     val df = graft.queries.Catalog.queries("sample_weighted")(spark, sf("sf0.001"))
     // the only exchange allowed is the final presentation orderBy
