@@ -79,6 +79,48 @@ object Ann {
     IvfIndex(centers, assignByCosine(df, embCol, centers))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): compare embeddings only WITHIN their k-means
+    * cluster, drop one member of every near-duplicate pair
+    * (cosine >= tau). Work is a cluster-keyed self-join — O(sum c_i^2)
+    * comparisons instead of n^2 — and the paper's own scale lever
+    * applies unchanged: grow k with n so cluster sizes stay bounded,
+    * making the per-cluster quadratic a constant. Cross-cluster
+    * duplicates are the method's documented recall loss.
+    *
+    * Drop rule (deterministic, single-pass — no iterative connected
+    * components): drop x iff some same-cluster y with cos(x,y) >= tau
+    * precedes it in the (centroid-cosine, id) order. Keeping the
+    * LOWEST-centroid-cosine member of each pair follows the paper
+    * (they retain the cluster's "outliers" — low centroid similarity
+    * keeps diversity); the id tiebreak makes exact-duplicate pairs
+    * (equal centroid cosine) resolve deterministically. The kept set
+    * provably contains no same-cluster pair at >= tau: the (ccos, id)
+    * order is total, so one side of any such pair dominates and is
+    * dropped. One anti-join, no driver loop.
+    *
+    * Returns `index.assigned` minus dropped rows (original columns +
+    * `cluster`). */
+  def semanticDedup(index: IvfIndex, embCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    val centersLit = typedLit(index.centers.map(_.toSeq).toSeq)
+    val scored = index.assigned.withColumn("__ccos",
+      cosine_sim(col(embCol), element_at(centersLit, col("cluster") + 1)))
+    val x = scored.select(col(idCol).as("__xid"), col("cluster").as("__xc"),
+      col(embCol).as("__xe"), col("__ccos").as("__xs"))
+    val y = scored.select(col(idCol).as("__yid"), col("cluster").as("__yc"),
+      col(embCol).as("__ye"), col("__ccos").as("__ys"))
+    // y dominates x: earlier in the total (ccos, id) order
+    val dropped = x.join(y,
+        col("__xc") === col("__yc") && col("__xid") =!= col("__yid") &&
+          (col("__ys") < col("__xs") ||
+            (col("__ys") === col("__xs") && col("__yid") < col("__xid"))) &&
+          cosine_sim(col("__xe"), col("__ye")) >= tau)
+      .select(col("__xid")).distinct()
+    index.assigned.join(dropped,
+      index.assigned(idCol) === dropped("__xid"), "left_anti")
+  }
+
   /** Exact brute-force cosine top-k (baseline; also the in-cluster
     * scorer for IVF). `tieBreak` columns make the top-k cut
     * deterministic when scores collide at the boundary. */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,6 +18,22 @@ import graft.queries.Catalog.{Q, events, table}
   * corpora, and the DuckDB oracle can replay each decision exactly.
   */
 object Batch10 {
+
+  /** The dedup_embedding planting (Batch3): the fixture embeddings are
+    * mutually far apart, so near-dups are PLANTED — exact copies
+    * (vec_id+1000000, cos=1) and adjacent-component swaps
+    * (vec_id+2000000, genuine cos<1 near-dups by pure permutation). */
+  private[queries] def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val exactCopies = base.filter(col("vec_id") % 50 === 1)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val swapped = base.filter(col("vec_id") % 50 === 2)
+      .select((col("vec_id") + 2000000).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 2), element_at(col("embedding"), 1)),
+          slice(col("embedding"), lit(3), size(col("embedding")) - 2)).as("embedding"))
+    base.unionByName(exactCopies).unionByName(swapped)
+  }
 
   /** CASE expression both engines share: per-language keep-threshold
     * out of 16384 hash buckets (power of two, so the signed
@@ -199,6 +216,25 @@ object Batch10 {
       },
       None,
       "HLL++ approximate distinct users per event type (mergeable sketch; rows-only gate)"),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup restricted to
+    // k-means clusters — the embedding-space dedup that scales past
+    // LSH recall tuning: comparisons are a cluster-keyed self-join
+    // (sum c_i^2, bounded by growing k with n), never all-pairs.
+    // k-means centroids are not DuckDB-replicable → rows-only gate;
+    // the drop-rule invariants (exact copies always collapse, kept
+    // set has no same-cluster pair >= tau, deterministic) are
+    // asserted in AnnSpec.
+    "dedup_semantic" -> Q(
+      (s, dir) => {
+        val emb = plantedEmbeddings(s, dir)
+        val idx = graft.ops.Ann.buildIvf(emb, "embedding", k = 16)
+        graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
+          .select(col("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      },
+      None,
+      "SemDeDup: within-cluster embedding dedup at cos>=0.9 (keeps the centroid-far member; rows-only gate)"),
 
     // ---- approximate quantiles: percentile_approx is Spark's
     // Greenwald-Khanna sketch — bounded memory per group, mergeable,

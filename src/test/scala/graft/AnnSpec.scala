@@ -170,4 +170,37 @@ class AnnSpec extends SparkTestBase {
     assert(clusters.length === 1)
     assert(cnt(clusters.head) >= 5 || probedOne.count() === cnt(clusters.head))
   }
+
+  test("semanticDedup collapses exact copies and keeps no same-cluster pair >= tau") {
+    // plant exact copies (cos=1) of every 10th vector under new ids
+    val copies = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+    val planted = emb.select("vec_id", "embedding").unionByName(copies)
+    val index = Ann.buildIvf(planted, "embedding", k = 8)
+    val tau = 0.9
+    val kept = Ann.semanticDedup(index, "embedding", "vec_id", tau)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // every exact-copy pair collapses to its lower id (equal centroid
+    // cosine -> id tiebreak): the base survives, the clone never does
+    val baseIds = emb.filter($"vec_id" % 10 === 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    baseIds.foreach { b =>
+      assert(keptIds.contains(b), s"base $b was dropped")
+      assert(!keptIds.contains(b + 1000000), s"clone of $b survived")
+    }
+
+    // invariant: the kept set contains NO same-cluster pair at >= tau
+    val k1 = kept.select($"vec_id".as("a"), $"cluster".as("c"), $"embedding".as("ea"))
+    val k2 = kept.select($"vec_id".as("b"), $"cluster".as("c2"), $"embedding".as("eb"))
+    val bad = k1.join(k2, $"c" === $"c2" && $"a" < $"b" &&
+      graft.functions.cosine_sim($"ea", $"eb") >= tau).count()
+    assert(bad === 0L, s"$bad kept same-cluster pairs above tau")
+
+    // deterministic: a second pass over a fresh index keeps the same set
+    val again = Ann.semanticDedup(Ann.buildIvf(planted, "embedding", k = 8),
+      "embedding", "vec_id", tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again === keptIds)
+  }
 }
