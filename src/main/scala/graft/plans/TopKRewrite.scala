@@ -263,5 +263,6 @@ class GraftOptimizations extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

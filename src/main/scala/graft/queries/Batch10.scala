@@ -291,6 +291,43 @@ object Batch10 {
              |ORDER BY purchase_id, click_id""".stripMargin),
       "pure range join: naive inequality join auto-bucketized by RangeJoinRewrite (no nested-loop)"),
 
+    // ---- the custom physical as-of join (AsOfJoinExec): latest click
+    // at or before each purchase per user, as ONE sort-merge-style
+    // streaming pass — SMJ's exact shuffle (hash on user) + sort
+    // (user, time[, tiebreak]), zero pair materialization. The window
+    // reference plan joins every qualifying click to every purchase
+    // and row_numbers the blowup away; the operator never creates it.
+    // Tie rule (equal click times -> highest click_id) is explicit in
+    // both the operator's sort and the oracle's ORDER BY.
+    "asof_join_phys" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoin(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"))
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "backward as-of join via the custom AsOfJoinExec physical operator (SMJ-shaped single pass)"),
+
     // ---- gaps-and-islands: maximal runs of consecutive active days
     // per user (retention/streak analytics). The classic
     // row_number-delta trick: consecutive days share (epoch_day - rn),

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOf
+
+/** AsOfJoinExec: the custom physical backward as-of join. Verified
+  * against the window-over-inequality-join reference on real events
+  * data, plus targeted tie / unmatched / boundary cases. */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsDf = graft.queries.Catalog.events(spark, sf("sf0.001"))
+
+  test("matches the window reference on events (purchases asof clicks)") {
+    val ev = eventsDf.select($"event_id", $"user_id", $"event_type",
+      unix_micros($"ts").as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"us".as("p_us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"us".as("c_us"))
+
+    val got = AsOf.asofJoin(purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"))
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+
+    // reference: inequality join + row_number window (the plan shape
+    // the custom operator exists to avoid)
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy($"c_us".desc, $"click_id".desc)
+    val expected = purchases
+      .join(clicks, $"user_id" === $"c_user" && $"c_us" <= $"p_us", "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+
+    assert(got === expected)
+    assert(got.exists(_._2 == -1L) || expected.forall(_._2 != -1L)) // null path exercised consistently
+  }
+
+  test("physical plan is the custom operator, not a window or nested loop") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "rv")
+    val df = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("tie semantics: equal times resolve to the highest tiebreak") {
+    val l = Seq((1L, 100L, "p1")).toDF("k", "t", "lv")
+    val r = Seq((1L, 100L, 1L), (1L, 100L, 2L), (1L, 99L, 3L))
+      .toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L)) // t2=100 qualifies (<=), rid 2 beats rid 1
+  }
+
+  test("unmatched left rows keep a null right side; stale candidates don't leak") {
+    val l = Seq((1L, 100L, "has"), (2L, 100L, "none"), (3L, 1L, "early"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 50L, 7L), (3L, 10L, 8L)).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"k", $"rid").collect()
+      .map(rw => rw.getLong(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    assert(got === Map(1L -> 7L, 2L -> -1L, 3L -> -1L))
+    // k=2: no right rows at all; k=3: right row exists but t2 > t
+  }
+
+  test("several left rows per key reuse and upgrade the candidate") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"t", $"rid").collect().map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
+    assert(got === Map(10L -> 100L, 20L -> 200L, 30L -> 300L))
+  }
+}
