@@ -40,11 +40,16 @@ final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightTies: Seq[Attribute]) extends BinaryNode {
+    rightTies: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time column types must match")
+  require(tolerance.isEmpty ||
+      leftTime.dataType == org.apache.spark.sql.types.LongType,
+    "as-of tolerance requires a long (epoch-offset) time column")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,8 +59,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ties) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ties, tol) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +69,8 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightTies: Seq[Attribute]) extends BinaryExecNode {
+    rightTies: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -133,7 +139,13 @@ final case class AsOfJoinExec(
               advanceRight()
             } else scan = false // right is ahead of this left row
           }
-          resultProj(joined(lRow, if (candidate != null) candidate else nullRight))
+          // tolerance: the candidate is the LATEST qualifying right
+          // row, so if IT is out of tolerance every earlier one is
+          // further away — a single output-time check is exact
+          val use = candidate != null && tolerance.forall { tol =>
+            lTime.getLong(0) - rTimeProj(candidate).getLong(0) <= tol
+          }
+          resultProj(joined(lRow, if (use) candidate else nullRight))
         }
       }
     }
@@ -147,11 +159,17 @@ final case class AsOfJoinExec(
 /** Public API: backward as-of join by column names. Self-enabling — it
   * registers [[AsOfJoinStrategy]] on the session's experimental
   * strategies, so it works on any SparkSession (GraftOptimizations
-  * sessions get it injected too). */
+  * sessions get it injected too).
+  *
+  * `tolerance` (long time columns only): a match further than
+  * `tolerance` behind the left time becomes a null instead — pandas
+  * `merge_asof(tolerance=...)`. Forward as-of = backward as-of over
+  * NEGATED time columns (and a negated tiebreak for last-wins ties);
+  * nearest = coalesce of the two by smaller distance. */
 object AsOf {
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame, leftKeys: Seq[String],
       rightKeys: Seq[String], leftTime: String, rightTime: String,
-      rightTies: Seq[String] = Nil): DataFrame = {
+      rightTies: Seq[String] = Nil, tolerance: Option[Long] = None): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -165,6 +183,6 @@ object AsOf {
     Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      rightTies.map(resolve(rPlan, _))))
+      rightTies.map(resolve(rPlan, _)), tolerance))
   }
 }

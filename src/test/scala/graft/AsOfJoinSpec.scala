@@ -74,6 +74,17 @@ class AsOfJoinSpec extends SparkTestBase {
     // k=2: no right rows at all; k=3: right row exists but t2 > t
   }
 
+  test("tolerance nulls out matches older than the window") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b")).toDF("k", "t", "lv")
+    val r = Seq((1L, 95L, 7L)).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"),
+        tolerance = Some(10L))
+      .select($"t", $"rid").collect()
+      .map(rw => rw.getLong(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    // t=100: click at 95 is within 10; t=200: 105 behind -> null
+    assert(got === Map(100L -> 7L, 200L -> -1L))
+  }
+
   test("several left rows per key reuse and upgrade the candidate") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)).toDF("k2", "t2", "rid")
