@@ -185,4 +185,23 @@ object AsOf {
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
       rightTies.map(resolve(rPlan, _)), tolerance))
   }
+
+  /** Forward as-of: EARLIEST right row with time >= left time — the
+    * documented negation of the backward pass (long time columns
+    * only). Tiebreaks pass through UN-negated: the merge keeps the
+    * LAST qualifying row in (time, tie) ascending order, which for
+    * equal times is already the HIGHEST tiebreak in either direction.
+    * The negation columns never escape: the result schema equals
+    * `leftDf ++ rightDf` exactly. */
+  def asofJoinForward(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
+      rightTime: String, rightTies: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nlt = "__graft_neg_lt"; val nrt = "__graft_neg_rt"
+    val l = leftDf.withColumn(nlt, -col(leftTime))
+    val r = rightDf.withColumn(nrt, -col(rightTime))
+    asofJoin(l, r, leftKeys, rightKeys, nlt, nrt, rightTies, tolerance)
+      .drop(nlt, nrt)
+  }
 }

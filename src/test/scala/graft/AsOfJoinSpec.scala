@@ -85,6 +85,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Map(100L -> 7L, 200L -> -1L))
   }
 
+  test("forward as-of: earliest right at or after, ties to highest tiebreak") {
+    val l = Seq((1L, 100L, "a"), (1L, 300L, "b")).toDF("k", "t", "lv")
+    val r = Seq((1L, 150L, 1L), (1L, 150L, 2L), (1L, 50L, 9L)).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoinForward(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"t", $"rid").collect()
+      .map(rw => rw.getLong(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    // t=100 -> earliest at/after is 150 (tie -> rid 2); t=300 -> none
+    assert(got === Map(100L -> 2L, 300L -> -1L))
+    // schema round-trips exactly (negation columns dropped)
+    val cols = AsOf.asofJoinForward(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .columns.toSeq
+    assert(cols === Seq("k", "t", "lv", "k2", "t2", "rid"))
+  }
+
   test("several left rows per key reuse and upgrade the candidate") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)).toDF("k2", "t2", "rid")

@@ -130,6 +130,25 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(rewritten === naive) // both orderBy'd: sequence equality
   }
 
+  test("randomized: rewrite equals naive over random values and widths") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val w = 1L + rnd.nextInt(40)
+      val lv: Seq[java.lang.Long] =
+        Seq.fill(150)(Long.box(rnd.nextLong() % 300)) :+ (null: java.lang.Long)
+      val rv: Seq[java.lang.Long] =
+        Seq.fill(150)(Long.box(rnd.nextLong() % 300)) :+ (null: java.lang.Long)
+      val l = side(opt, "l", lv); val r = side(opt, "r", rv)
+      val joined = l.join(r,
+        col("l_t") >= col("r_t") - w && col("l_t") < col("r_t"))
+      assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+      val lp = side(spark, "l", lv); val rp = side(spark, "r", rv)
+      val expected = lp.join(rp,
+        col("l_t") >= col("r_t") - w && col("l_t") < col("r_t"))
+      assert(pairs(joined) === pairs(expected), s"trial $trial w=$w")
+    }
+  }
+
   test("empty-band and negative-width bounds are left alone") {
     val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
     // w = 0: l_t >= r_t AND l_t < r_t is unsatisfiable; rule must not divide by zero
