@@ -338,6 +338,50 @@ object Batch10 {
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "backward as-of join via the custom AsOfJoinExec physical operator (SMJ-shaped single pass)"),
 
+    // ---- LATERAL correlated subquery: per-nation top-2 customers by
+    // balance. The SQL-surface twin of the top-k-per-group idiom —
+    // Spark decorrelates the per-row LIMIT subquery instead of
+    // executing it per outer row; deliberately run through spark.sql
+    // so the LATERAL parser/decorrelation path itself is on the gate.
+    "lateral_topk" -> Q(
+      (s, dir) => {
+        table(s, dir, "nation").createOrReplaceTempView("nation_v")
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT n.n_name, c.c_name, c.c_acctbal
+                |FROM nation_v n,
+                |LATERAL (SELECT c_name, c_acctbal FROM customer_v
+                |         WHERE c_nationkey = n.n_nationkey
+                |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+                |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, c.c_name, c.c_acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_name, c_acctbal FROM customer
+             |         WHERE c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+             |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin),
+      "correlated LATERAL top-2 per nation (decorrelated, not per-row execution)"),
+
+    // ---- UNPIVOT (wide -> long): the melt operator for
+    // metrics-per-column tables; per-row, shuffle-free.
+    "unpivot_metrics" -> Q(
+      (s, dir) => {
+        table(s, dir, "part")
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("p_size").cast("long").as("p_size"),
+              floor(col("p_retailprice")).as("p_retailprice")),
+            "metric", "val")
+          .orderBy("p_partkey", "metric")
+      },
+      Some("""SELECT p_partkey, metric, val FROM (
+             |  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+             |    CAST(floor(p_retailprice) AS BIGINT) AS p_retailprice
+             |  FROM part)
+             |UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+             |ORDER BY p_partkey, metric""".stripMargin),
+      "UNPIVOT/melt wide metrics to long (per-row, no shuffle)"),
+
     // ---- gaps-and-islands: maximal runs of consecutive active days
     // per user (retention/streak analytics). The classic
     // row_number-delta trick: consecutive days share (epoch_day - rn),
