@@ -19,6 +19,11 @@ import graft.queries.Catalog.{Q, events, table}
   */
 object Batch10 {
 
+  // the catalog's decimal-exact numeric policy (see Catalog scaladoc)
+  private val d4 = org.apache.spark.sql.types.DecimalType(18, 4)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(d4)
+  private def decSql(c: String) = s"CAST($c AS DECIMAL(18,4))"
+
   /** The dedup_embedding planting (Batch3): the fixture embeddings are
     * mutually far apart, so near-dups are PLANTED — exact copies
     * (vec_id+1000000, cos=1) and adjacent-component swaps
@@ -337,6 +342,42 @@ object Batch10 {
              |    ON c.user_id = p.user_id AND c.ts <= p.ts)
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "backward as-of join via the custom AsOfJoinExec physical operator (SMJ-shaped single pass)"),
+
+    // ---- TPC-H Q9-shaped profit rollup: 5-table star join
+    // (lineitem ⋈ supplier ⋈ part ⋈ orders ⋈ nation) with a part-name
+    // predicate, profit aggregated by (nation, order year). Spark-first
+    // shape: the fact table streams once; part/supplier/nation are
+    // broadcast dims (the p_name filter prunes part BEFORE broadcast);
+    // orders rides the only real shuffle. Decimal-exact profit per the
+    // catalog's numeric policy.
+    "q9_profit" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val sup = table(s, dir, "supplier")
+        val prt = table(s, dir, "part").filter(col("p_name").contains("a"))
+        val ord = table(s, dir, "orders")
+        val nat = table(s, dir, "nation")
+        li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg((sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+            .cast("double").as("profit"))
+          .select(col("nation"), col("o_year"), col("profit"))
+          .orderBy("nation", "o_year")
+      },
+      Some(s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              |  CAST(sum(${decSql("l_extendedprice")} *
+              |    (1 - ${decSql("l_discount")})) AS DOUBLE) AS profit
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin),
+      "TPC-H Q9-shaped profit by nation and year (broadcast dims, one fact shuffle)"),
 
     // ---- LATERAL correlated subquery: per-nation top-2 customers by
     // balance. The SQL-surface twin of the top-k-per-group idiom —

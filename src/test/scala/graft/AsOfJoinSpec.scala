@@ -45,6 +45,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.exists(_._2 == -1L) || expected.forall(_._2 != -1L)) // null path exercised consistently
   }
 
+  test("catalog asof_join_phys: exactly one exchange per side, no window") {
+    val df = graft.queries.Catalog.queries("asof_join_phys")(spark, sf("sf0.001"))
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // SMJ's shuffle budget: one hash exchange per side (plus the
+    // presentation sort's range exchange) — nothing quadratic. AQE's
+    // toString repeats the tree under "== Initial Plan ==": count the
+    // final section only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$finalPlan")
+  }
+
   test("physical plan is the custom operator, not a window or nested loop") {
     val l = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "rv")
