@@ -79,13 +79,48 @@ object Ops {
 
   /** Registry for config-driven transform chains
     * (`"transforms": "uppercase,extract_event_time"`). */
+  // ---- training-data cleaning ops over the Job payload column, so
+  // config-driven pipelines (the reference's own transform-stage
+  // mechanism) can run corpus preparation end-to-end by name. All
+  // per-row + codegen'd: no shuffle, no state, retry-stable.
+
+  /** Collapse digit runs in the payload to '#' (the PII-redaction
+    * primitive; mirrors the `pii_mask` catalog kernel). */
+  def piiMask(payloadCol: String = "payload"): Op =
+    df => df.withColumn(payloadCol,
+      regexp_replace(col(payloadCol), "[0-9]+", "#"))
+
+  /** Annotate whitespace token count (the `token_count` kernel). */
+  def tokenCount(payloadCol: String = "payload",
+      out: String = "n_tokens"): Op =
+    df => df.withColumn(out, size(split(col(payloadCol), " ")))
+
+  /** Drop records whose payload is shorter than `minChars` — the
+    * cheapest quality cut, applied before anything expensive. */
+  def qualityFilter(minChars: Int = 16, payloadCol: String = "payload"): Op =
+    df => df.filter(length(col(payloadCol)) >= minChars)
+
+  /** Deterministic hash sampling at `keep`/16384 (the `sample_weighted`
+    * kernel: FNV low-14-bits vs a threshold — power-of-two modulus,
+    * rand()-free, so retries and re-runs keep identical records). */
+  def hashSample(keep: Int = 8192, payloadCol: String = "payload",
+      salt: String = "mix:"): Op = {
+    require(keep >= 0 && keep <= 16384, "keep is out of 16384")
+    df => df.filter(
+      pmod(fnv64(concat(lit(salt), col(payloadCol))), lit(16384)) < keep)
+  }
+
   val registry: Map[String, Op] = Map(
     "identity" -> identity[DataFrame] _,
     "uppercase" -> uppercasePayload(),
     "extract_event_time" -> extractEventTime(),
     "to_job" -> toJobEnvelope(),
     "cdc_latest" -> cdcLatestPerKey(),
-    "round_robin" -> roundRobin())
+    "round_robin" -> roundRobin(),
+    "pii_mask" -> piiMask(),
+    "token_count" -> tokenCount(),
+    "quality_filter" -> qualityFilter(),
+    "hash_sample" -> hashSample())
 
   def chain(names: Seq[String]): Op = {
     val ops = names.map(n => registry.getOrElse(n.trim,

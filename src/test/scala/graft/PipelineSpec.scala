@@ -93,6 +93,27 @@ class PipelineSpec extends SparkTestBase {
     assert(graft.ops.Ops.chain(Seq("round_robin"))(df).count() === 64)
   }
 
+  test("training-data cleaning ops chain by name through the registry") {
+    val df = Seq(
+      "call me at 5551234 maybe",              // digits to mask
+      "short",                                  // fails quality_filter (<16 chars)
+      "a perfectly reasonable training document with enough text",
+      "another document with numbers 42 and 7 inside it")
+      .toDF("payload")
+    val out = graft.ops.Ops.chain(
+      Seq("quality_filter", "pii_mask", "token_count"))(df)
+    val rows = out.collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(rows.length === 3) // "short" cut by the quality filter
+    assert(rows.forall { case (p, _) => !p.exists(_.isDigit) }) // masked
+    assert(rows.forall { case (p, n) => n === p.split(" ").length })
+    // deterministic hash sampling composes too, and keeps a subset
+    val sampled = graft.ops.Ops.chain(
+      Seq("quality_filter", "hash_sample"))(df).count()
+    val again = graft.ops.Ops.chain(
+      Seq("quality_filter", "hash_sample"))(df).count()
+    assert(sampled === again && sampled <= 3)
+  }
+
   test("es-like sink: upsert by _id is idempotent, latest wins") {
     val index = tmp() + "/index"
     val b1 = Seq("""{"_id":"1","v":"a"}""", """{"_id":"2","v":"b"}""").toDF("payload")
