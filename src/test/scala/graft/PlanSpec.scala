@@ -109,6 +109,16 @@ class PlanSpec extends SparkTestBase {
       plan.take(3000))
   }
 
+  test("q9_profit: part predicate pushed to scan, dims broadcast, partial agg") {
+    val plan = executed("q9_profit")
+    // the p_name filter must reach the parquet scan, not sit above it
+    assert(plan.contains("StringContains(p_name,a)"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+  }
+
   test("cohort_retention: aggregations partial+final, no window") {
     val plan = executed("cohort_retention")
     assert(!plan.contains("Window"), plan.take(3000))
