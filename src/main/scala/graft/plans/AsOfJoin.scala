@@ -106,17 +106,26 @@ final case class AsOfJoinExec(
 
       new Iterator[InternalRow] {
         // the right cursor: one row lookahead, copied because Unsafe
-        // rows are reused by the underlying iterator
-        private var rRow: UnsafeRow =
-          if (rIter.hasNext) rIter.next().asInstanceOf[UnsafeRow].copy() else null
-        private var rKey: UnsafeRow = if (rRow != null) rKeyProj(rRow).copy() else null
+        // rows are reused by the underlying iterator. SQL join
+        // semantics: a null key or null time can never match
+        // (`k = k2` and `t2 <= t` are both null-rejecting), so such
+        // right rows are skipped here — they sort nulls-first, so
+        // skipping preserves the merge invariant.
+        private var rRow: UnsafeRow = null
+        private var rKey: UnsafeRow = null
+        advanceRight()
         // latest qualifying right row for the current left key
         private var candidate: UnsafeRow = null
         private var candidateKey: UnsafeRow = null
 
         private def advanceRight(): Unit = {
-          rRow = if (rIter.hasNext) rIter.next().asInstanceOf[UnsafeRow].copy() else null
-          rKey = if (rRow != null) rKeyProj(rRow).copy() else null
+          var valid = false
+          while (!valid) {
+            rRow = if (rIter.hasNext) rIter.next().asInstanceOf[UnsafeRow].copy() else null
+            rKey = if (rRow != null) rKeyProj(rRow).copy() else null
+            valid = rRow == null ||
+              (!rKey.anyNull && !rTimeProj(rRow).isNullAt(0))
+          }
         }
 
         override def hasNext: Boolean = lIter.hasNext
@@ -124,10 +133,17 @@ final case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
+          val lTimeRow = lTimeProj(lRow)
+          // a null left key or time matches nothing (same
+          // null-rejecting comparisons); emit the null right side
+          // without touching the cursor — null keys sort first, so
+          // the merge state is untouched by skipping them
+          if (lKey.anyNull || lTimeRow.isNullAt(0))
+            return resultProj(joined(lRow, nullRight))
           // a candidate held from a previous, smaller key is stale
           if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0)
             candidate = null
-          val lTime = lTimeProj(lRow).copy()
+          val lTime = lTimeRow.copy()
           var scan = true
           while (scan && rRow != null) {
             val c = keyOrd.compare(rKey, lKey)
@@ -175,7 +191,16 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = leftDf.queryExecution.analyzed
-    val rPlan = rightDf.queryExecution.analyzed
+    // self-join hygiene (Dataset.join does this via DeduplicateRelations;
+    // splicing raw analyzed plans must do it by hand): shared exprIds
+    // across sides would make the join output ambiguous, so re-instance
+    // every right attribute behind an aliasing Project when the sides
+    // overlap — names are preserved, so resolution below is unchanged.
+    val rPlan0 = rightDf.queryExecution.analyzed
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     def resolve(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -343,6 +343,77 @@ object Batch10 {
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "backward as-of join via the custom AsOfJoinExec physical operator (SMJ-shaped single pass)"),
 
+    // ---- as-of with tolerance: same operator, but a candidate more
+    // than 10 minutes behind the purchase becomes a null instead
+    // (pandas merge_asof(tolerance=...)). The operator checks only the
+    // FINAL candidate — the latest qualifying click — which is exact:
+    // if IT is out of tolerance, every earlier one is further away.
+    // The oracle says the same thing as a band condition on the join.
+    "asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoin(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"),
+            tolerance = Some(600000000L))
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id AND c.ts <= p.ts
+             |   AND c.ts >= p.ts - INTERVAL 600 SECOND)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "as-of join with a 10-minute tolerance (stale matches become null)"),
+
+    // ---- forward as-of: EARLIEST click at or after each purchase —
+    // the documented time-negation of the backward operator (same
+    // physical plan, no extra shuffle). Ties (equal click times) keep
+    // the highest click_id in BOTH directions, so the oracle orders
+    // ts ASC, event_id DESC.
+    "asof_forward" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoinForward(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"))
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts ASC, c.event_id DESC) AS rn
+             |  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id AND c.ts >= p.ts)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "forward as-of join (earliest at-or-after match via the negated backward pass)"),
+
     // ---- TPC-H Q9-shaped profit rollup: 5-table star join
     // (lineitem ⋈ supplier ⋈ part ⋈ orders ⋈ nation) with a part-name
     // predicate, profit aggregated by (nation, order year). Spark-first

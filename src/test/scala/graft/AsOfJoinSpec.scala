@@ -114,6 +114,51 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(cols === Seq("k", "t", "lv", "k2", "t2", "rid"))
   }
 
+  test("null keys and times never match, matching SQL join semantics") {
+    // right rows with null key or null time are skipped; left rows with
+    // null key or null time join the null right side — exactly what the
+    // window/SQL oracle does (`c.k = p.k AND c.t <= p.t` rejects nulls)
+    val l = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 100L, "match"), (null, 100L, "nullkey"), (2L, null, "nulltime"),
+      (3L, 100L, "onlynullright")).toDF("k", "t", "lv")
+    val r = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 50L, 7L),          // the one legitimate candidate
+      (1L, null, 99L),        // null time: never a candidate
+      (null, 40L, 98L),       // null key: never a candidate
+      (3L, null, 97L)         // k=3's only right row has a null time
+    ).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    assert(got === Map("match" -> 7L, "nullkey" -> -1L,
+      "nulltime" -> -1L, "onlynullright" -> -1L))
+    // tolerance path stays safe with nulls in play (no null-time
+    // candidate ever reaches the getLong tolerance check)
+    val tol = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"),
+        tolerance = Some(60L))
+      .select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    assert(tol === Map("match" -> 7L, "nullkey" -> -1L,
+      "nulltime" -> -1L, "onlynullright" -> -1L))
+  }
+
+  test("self-join: duplicate exprIds are re-instanced, result is correct") {
+    // previous-event-per-key: a table as-of-joined to ITSELF with a
+    // strictly-earlier guard is the classic self-join shape; without
+    // attribute dedup the right side's exprIds collide with the left's
+    val df = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L),
+      (2L, 15L, 400L)).toDF("k", "t", "rid")
+    val out = AsOf.asofJoin(df, df, Seq("k"), Seq("k"), "t", "t", Seq("rid"))
+    // schema carries both sides' columns, all exprIds distinct
+    val exprIds = out.queryExecution.analyzed.output.map(_.exprId)
+    assert(exprIds.distinct.size === exprIds.size, s"duplicate exprIds: $exprIds")
+    // t2 <= t includes the row itself, and ties resolve to the highest
+    // tiebreak — the self match (same t, highest rid among <= t) wins
+    val got = out.collect()
+    assert(got.length === 4)
+    got.foreach { rw => assert(rw.getLong(2) === rw.getLong(5)) } // rid == matched rid
+  }
+
   test("several left rows per key reuse and upgrade the candidate") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)).toDF("k2", "t2", "rid")
