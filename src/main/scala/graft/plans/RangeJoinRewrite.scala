@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DayTimeIntervalType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: a PURE range join — an inner join whose only
   * cross-side condition bounds the difference of two integral columns
@@ -33,9 +33,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   *    (if an equi key exists Spark already plans a hash/sort-merge
   *    join; rewriting would only add the 2x explode);
   *  - exactly one band: one lower and one upper bound on the same
-  *    ordered attribute pair, both integral (int/long), band width
-  *    0 < w <= 2^42 (overflow headroom: bucket arithmetic adds w to
-  *    the column value);
+  *    ordered attribute pair, both int/long/timestamp (timestamps are
+  *    µs longs internally — the natural `ts >= ts - INTERVAL ...`
+  *    spelling buckets on `unix_micros`), band width 0 < w <= 2^42;
   *  - every other conjunct is kept verbatim in the new join condition,
   *    and the band inequalities themselves are re-applied as residuals
   *    (bucket equality is a superset relaxation, never a replacement).
@@ -43,11 +43,22 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * Null semantics are preserved: a null band column fails the original
   * inequalities (excluded) and produces null buckets after the
   * rewrite, which fail the bucket equality (excluded).
+  *
+  * Overflow: bucket arithmetic never computes `col ± offset` directly —
+  * floor division is a truncating `div` with a sign correction, and
+  * `floor((y+k)/w)` decomposes as `floor(y/w) + floor((pmod(y,w)+k)/w)`
+  * whose residue term is bounded by w + |k| << Long range — so for any
+  * data on which the ORIGINAL condition is well-defined (no overflow of
+  * its own `a + c` terms), the bucket cover is exact over the full Long
+  * domain. Rows whose original condition itself overflows are the one
+  * remaining caveat: ANSI mode would raise on them only if their bucket
+  * pair collides (the residual re-evaluates the original conjuncts).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Max |band endpoint offset| — keeps `col + offset` far from Long
-    * overflow for any realistic epoch value. 2^42 us ≈ 50 days. */
+  /** Max band width / |endpoint offset| — bounds [[fdivAdd]]'s residue
+    * term (pmod + k < w + |k| <= 2^43) and keeps the bucket count
+    * meaningful. 2^42 µs ≈ 50 days of timestamp band. */
   private val maxW = 1L << 42
 
   /** A conjunct normalized to a one-sided bound on (a - b):
@@ -56,7 +67,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private final case class Bound(a: Attribute, b: Attribute, k: Long,
       isUpper: Boolean)
 
-  /** Parse `expr` as `attr + const` (const defaults 0). */
+  /** Parse `expr` as `attr + const` (const defaults 0; µs for
+    * timestamps — `ts - INTERVAL '600' SECOND` optimizes to
+    * `TimestampAddInterval(ts, Literal(-600000000, DayTimeInterval))`
+    * and day-time interval values are stored as µs longs). */
   private def term(e: Expression): Option[(Attribute, Long)] = e match {
     case a: Attribute if integral(a)                  => Some((a, 0L))
     case Add(t, Literal(c, dt), _) =>
@@ -65,10 +79,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       term(t).collect { case (a, c0) if integral0(dt) => (a, c0 + toL(c)) }
     case Subtract(t, Literal(c, dt), _) =>
       term(t).collect { case (a, c0) if integral0(dt) => (a, c0 - toL(c)) }
+    case TimestampAddInterval(t, Literal(us: Long, _: DayTimeIntervalType), _) =>
+      term(t).map { case (a, c0) => (a, c0 + us) }
     case _ => None
   }
   private def integral(a: Expression) =
-    a.dataType == LongType || a.dataType == IntegerType
+    a.dataType == LongType || a.dataType == IntegerType ||
+      a.dataType == TimestampType
   private def integral0(dt: org.apache.spark.sql.types.DataType) =
     dt == LongType || dt == IntegerType
   private def toL(v: Any): Long = v match {
@@ -104,13 +121,37 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
       (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
 
-  /** Floor-division bucket of an integral expression: exact because
-    * the numerator is reduced to an exact multiple of w first (pmod is
-    * non-negative, so truncating division equals floor division). */
-  private def fdiv(e: Expression, w: Long): Expression = {
-    val el = if (e.dataType == LongType) e else Cast(e, LongType)
+  /** The band column as a long: timestamps via their internal µs view
+    * (`Cast(ts, long)` would truncate to SECONDS — wrong unit). */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType      => e
+    case TimestampType => UnixMicros(e)
+    case _             => Cast(e, LongType)
+  }
+
+  /** Overflow-free floor division of a long expression by w > 0:
+    * truncating `div`, corrected down by one for a negative dividend
+    * with a non-zero remainder. No add/subtract touches the column
+    * value, so the full Long domain buckets exactly. */
+  private def fdiv(el: Expression, w: Long): Expression = {
     val wl = Literal(w, LongType)
-    new IntegralDivide(new Subtract(el, new Pmod(el, wl)), wl)
+    val q = new IntegralDivide(el, wl)
+    If(And(LessThan(el, Literal(0L, LongType)),
+        Not(EqualTo(new Remainder(el, wl), Literal(0L, LongType)))),
+      Add(q, Literal(-1L, LongType), EvalMode.LEGACY), q)
+  }
+
+  /** floor((e + k) / w) WITHOUT computing e + k (which can overflow):
+    * e = w·floor(e/w) + pmod(e,w), so it equals
+    * floor(e/w) + floor((pmod(e,w) + k)/w), whose residue term is
+    * bounded by w + |k| <= 2^43 — far from Long range. The outer add is
+    * LEGACY (wrapping) so rows for which even the ORIGINAL condition
+    * overflows get a garbage-but-non-failing bucket; the residual
+    * filters re-evaluate the original conjuncts on any collision. */
+  private def fdivAdd(el: Expression, k: Long, w: Long): Expression = {
+    val resid = Add(new Pmod(el, Literal(w, LongType)), Literal(k, LongType),
+      EvalMode.LEGACY)
+    Add(fdiv(el, w), fdiv(resid, w), EvalMode.LEGACY)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -142,13 +183,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if (w <= 0 || w > maxW || math.abs(hi) > maxW || math.abs(lo) > maxW) j
           else {
             // left: one bucket of x
-            val bucketL = Alias(fdiv(x, w), "__graft_rbucket_l")()
+            val bucketL = Alias(fdiv(asLong(x), w), "__graft_rbucket_l")()
             val leftProj = Project(left.output :+ bucketL, left)
             // right: the band [y+lo, y+hi] touches exactly these buckets
-            val yl = if (y.dataType == LongType) (y: Expression) else Cast(y, LongType)
+            val yl = asLong(y)
             val arr = CreateArray(Seq(
-              fdiv(new Add(yl, Literal(lo, LongType)), w),
-              fdiv(new Add(yl, Literal(hi, LongType)), w)))
+              fdivAdd(yl, lo, w),
+              fdivAdd(yl, hi, w)))
             val bucketR = AttributeReference("__graft_rbucket_r", LongType,
               nullable = arr.dataType.asInstanceOf[ArrayType].containsNull)()
             val rightGen = Generate(Explode(arr), unrequiredChildIndex = Nil,

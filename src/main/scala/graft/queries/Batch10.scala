@@ -306,6 +306,36 @@ object Batch10 {
              |ORDER BY purchase_id, click_id""".stripMargin),
       "pure range join: naive inequality join auto-bucketized by RangeJoinRewrite (no nested-loop)"),
 
+    // ---- the same band join written the way a user actually writes
+    // it: directly on TIMESTAMP columns with an INTERVAL bound, no
+    // hand-conversion to µs. TimestampType is a µs long internally, so
+    // RangeJoinRewrite buckets it via unix_micros and the INTERVAL
+    // literal's µs value — before round 7 this spelling silently
+    // planned a BroadcastNestedLoopJoin (the rule guarded to int/long)
+    // while only the pre-converted range_join_pure got the rewrite.
+    "range_join_ts" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("event_type"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+        clicks.join(purchases,
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
+              col("c_ts") < col("p_ts"))
+          .select(col("purchase_id"), col("click_id"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+             |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'click') c
+             |  ON c.ts >= p.ts - INTERVAL 600 SECOND
+             | AND c.ts < p.ts
+             |ORDER BY purchase_id, click_id""".stripMargin),
+      "band join on raw timestamp columns with an INTERVAL bound (µs-bucketized by RangeJoinRewrite)"),
+
     // ---- the custom physical as-of join (AsOfJoinExec): latest click
     // at or before each purchase per user, as ONE sort-merge-style
     // streaming pass — SMJ's exact shuffle (hash on user) + sort

@@ -149,6 +149,73 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("timestamp band with INTERVAL bound rewrites and matches the naive plan") {
+    def tsSide(s: SparkSession, name: String, base: Long, offs: Seq[Long]): DataFrame = {
+      import s.implicits._
+      offs.zipWithIndex.map { case (o, i) =>
+        (s"$name$i", new java.sql.Timestamp(base + o)) }
+        .toDF(s"${name}_id", s"${name}_t")
+    }
+    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+    // offsets in ms, dense around the 10-minute (600 s) boundary
+    val lOffs = Seq(-601000L, -600000L, -599999L, -300000L, -1L, 0L, 1L, 5L)
+    val rOffs = Seq(-600000L, -1000L, 0L, 1000L, 599999L, 600000L, 601000L)
+    val l = tsSide(opt, "l", base, lOffs); val r = tsSide(opt, "r", base, rOffs)
+    val joined = l.join(r,
+      col("l_t") >= col("r_t") - expr("INTERVAL 600 SECONDS") &&
+        col("l_t") < col("r_t"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rbucket"), s"timestamp rule did not fire:\n$plan")
+    assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val lp = tsSide(spark, "l", base, lOffs); val rp = tsSide(spark, "r", base, rOffs)
+    val expected = lp.join(rp,
+      col("l_t") >= col("r_t") - expr("INTERVAL 600 SECONDS") &&
+        col("l_t") < col("r_t"))
+    assert(pairs(joined) === pairs(expected))
+  }
+
+  test("values within w of Long.MIN/MAX bucket exactly (no silently dropped matches)") {
+    // the old `el - pmod(el, w)` / `y + hi` arithmetic overflowed for
+    // column values within ~w of the Long domain edges, producing wrong
+    // buckets whose residual filters silently DROPPED genuine matches;
+    // the floor-div + residue decomposition never touches the raw value
+    val w = 10L
+    val lv: Seq[java.lang.Long] = Seq(
+      Long.MinValue, Long.MinValue + 1, Long.MinValue + 7, Long.MinValue + 15,
+      Long.MaxValue - 15, Long.MaxValue - 7, Long.MaxValue - 1, Long.MaxValue,
+      -5L, 0L, 5L)
+    // r stays >= MIN+w so the ORIGINAL `r_t - 10` is itself well-defined
+    // (ANSI would rightly raise on it otherwise, in both plans)
+    val rv: Seq[java.lang.Long] = Seq(
+      Long.MinValue + 10, Long.MinValue + 12, Long.MinValue + 20,
+      Long.MaxValue - 12, Long.MaxValue - 4, Long.MaxValue,
+      -3L, 0L, 7L)
+    val l = side(opt, "l", lv); val r = side(opt, "r", rv)
+    val joined = l.join(r, col("l_t") >= col("r_t") - w && col("l_t") < col("r_t"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+    val lp = side(spark, "l", lv); val rp = side(spark, "r", rv)
+    val expected = lp.join(rp, col("l_t") >= col("r_t") - w && col("l_t") < col("r_t"))
+    assert(pairs(joined) === pairs(expected))
+    // sanity: the edge fixture really exercises matches near both edges
+    assert(pairs(expected).nonEmpty)
+  }
+
+  test("range_join_ts catalog entry bucketizes on raw timestamps, no nested loop") {
+    val dir = sf("sf0.001")
+    val df = graft.queries.Catalog.queries("range_join_ts")(opt, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rbucket"), s"rule did not fire:\n$plan")
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"nested-loop survived:\n$phys")
+    // identical rows to the µs-pre-converted entry (same band, same data)
+    val viaUs = graft.queries.Catalog.queries("range_join_pure")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaTs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTs === viaUs)
+  }
+
   test("empty-band and negative-width bounds are left alone") {
     val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
     // w = 0: l_t >= r_t AND l_t < r_t is unsatisfiable; rule must not divide by zero
