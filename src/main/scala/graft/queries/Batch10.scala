@@ -40,17 +40,34 @@ object Batch10 {
     base.unionByName(exactCopies).unionByName(swapped)
   }
 
+  /** SemDeDup's k: target cluster size ~100 (k = n/100) with NO small
+    * constant ceiling — the paper's scale lever is precisely that k
+    * GROWS with n so the within-cluster quadratic pair scan stays
+    * ~constant work per row. The only cap is k-means-fit practicality
+    * (2^20 centroids ≈ the most a coarse quantizer fit can carry);
+    * past it mean cluster size grows linearly again, but at 2^20
+    * clusters that slope starts at n ≈ 10^8, not n ≈ 25k as the old
+    * min(256, ...) cap did. */
+  private[graft] def semanticK(n: Long): Int =
+    math.max(16L, math.min(1L << 20, n / 100)).toInt
+
+  /** Fit-sample size for [[semanticK]]'s k: ~20 sample points per
+    * centroid, floored at the default 100k and capped at 2M rows so
+    * the MLlib fit stays bounded; past the cap the fit sees fewer
+    * points per centroid and degrades gracefully (centroid quality,
+    * not correctness — assignment still covers every row). */
+  private[graft] def semanticFitRows(k: Int): Int =
+    math.max(100000, math.min(2000000, 20 * k))
+
   /** Memoized SemDeDup result per (session, dir) — the k-means fit +
     * within-cluster pair scan run once; later invocations read the
-    * checkpointed keep-set (bench marks the entry `amortized`).
-    * k scales with n (the SemDeDup paper's lever): cluster size stays
-    * ~100, so the per-cluster quadratic pair scan stays ~constant
-    * work per row at any corpus size. */
+    * checkpointed keep-set (bench marks the entry `amortized`). */
   private val semanticMemo = new SessionMemo[DataFrame]((s, dir) => {
     val emb = plantedEmbeddings(s, dir)
     val n = emb.count()
-    val k = math.max(16, math.min(256, (n / 100).toInt))
-    val idx = graft.ops.Ann.buildIvf(emb, "embedding", k = k)
+    val k = semanticK(n)
+    val idx = graft.ops.Ann.buildIvf(emb, "embedding", k = k,
+      maxFitRows = semanticFitRows(k))
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint(false)
@@ -107,73 +124,113 @@ object Batch10 {
 
     // ---- sequence packing: GPT-style document concatenation into
     // fixed token-budget packs. pack_id = starting-token-offset div
-    // budget, from a per-language running token sum — one window over
-    // a (lang)-partitioned shuffle, no driver loop, no UDF. At 100 TB
-    // the window key (lang) is coarse; production would sub-shard the
-    // window key (lang, shard = hash(doc) % K) exactly like
-    // salted_agg, trading global pack contiguity for parallelism —
-    // packing only needs contiguity WITHIN a shard since packs never
-    // cross shard boundaries anyway.
+    // budget, from a running token sum — one window, no driver loop,
+    // no UDF. The window key is NOT bare (lang): that collapses
+    // parallelism to the number of languages, so at 100 TB one
+    // reducer would sort and scan an entire language's corpus. The
+    // key is (lang, shard = fnv64('shard:'||doc_id) % 8) — packs only
+    // need contiguity WITHIN a shard (they never cross shard
+    // boundaries), so sub-sharding trades nothing but global pack
+    // numbering for K× parallelism, stays deterministic (hash shard,
+    // no rand()), and the oracle re-derives the identical shards.
+    // At 100 TB K scales with cluster width; 8 here keeps the sf0.01
+    // fixture's per-shard runs non-trivial.
     "pack_sequences" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        val w = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, dir, "documents")
+          .withColumn("shard",
+            pmod(fnv64(concat(lit("shard:"), col("doc_id"))), lit(8)))
           .withColumn("toks", size(split(col("text"), " ")).cast("long"))
           .withColumn("cum", sum(col("toks")).over(w))
           .withColumn("pack_id", expr("(cum - toks) div 512"))
-          .select(col("doc_id"), col("lang"), col("toks"), col("cum"),
-            col("pack_id"))
+          .select(col("doc_id"), col("lang"), col("shard"), col("toks"),
+            col("cum"), col("pack_id"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-             |  FROM documents),
+      // same recursive-CTE FNV-1a kernel as sample_weighted, salted
+      // 'shard:' (mod 8 is a power of two, so the HUGEINT % and the
+      // signed pmod views agree)
+      Some("""WITH RECURSIVE k AS (
+             |  SELECT DISTINCT 'shard:' || doc_id AS s FROM documents),
+             |fnv(s, i, h) AS (
+             |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
+             |  UNION ALL
+             |  SELECT s, i+1,
+             |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+             |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616
+             |  FROM fnv WHERE i <= length(s)),
+             |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1),
+             |t AS (
+             |  SELECT d.doc_id, d.lang, CAST(f.h % 8 AS BIGINT) AS shard,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+             |  FROM documents d JOIN final f ON f.s = 'shard:' || d.doc_id),
              |c AS (
-             |  SELECT doc_id, lang, toks,
-             |    CAST(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |  SELECT doc_id, lang, shard, toks,
+             |    CAST(sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |      AS cum
              |  FROM t)
-             |SELECT doc_id, lang, toks, cum, (cum - toks) // 512 AS pack_id
+             |SELECT doc_id, lang, shard, toks, cum,
+             |  (cum - toks) // 512 AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin),
-      "fixed-budget sequence packing by running token offset (pretraining pack assembly)"),
+      "fixed-budget sequence packing over (lang, hash-shard) windows (parallel pack assembly)"),
 
-    // ---- token-budget corpus selection: per language, take the
-    // longest documents until a token budget is exhausted (the
-    // "select best N tokens per source" mixing step; here length
-    // stands in for the quality ordering — quality_score is its own
-    // catalog entry). The boundary document that CROSSES the budget
-    // is kept (its start offset is inside budget), matching how
-    // packing consumes it. Same single-window shape as
-    // pack_sequences; same sub-sharding story at scale.
+    // ---- token-budget corpus selection: take the longest documents
+    // until a token budget is exhausted (the "select best N tokens
+    // per source" mixing step; length stands in for the quality
+    // ordering — quality_score is its own catalog entry). Same
+    // sub-sharded window as pack_sequences: the per-language budget
+    // splits evenly across the K hash shards (250 × 8 = 2000), so
+    // selection is a per-shard greedy prefix — deterministic,
+    // oracle-replicable, and never a one-reducer-per-language sort.
+    // The boundary document that CROSSES its shard budget is kept
+    // (its start offset is inside budget), matching how packing
+    // consumes it.
     "corpus_budget_take" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy(col("lang"))
+        val w = Window.partitionBy(col("lang"), col("shard"))
           .orderBy(col("n_chars").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, dir, "documents")
+          .withColumn("shard",
+            pmod(fnv64(concat(lit("shard:"), col("doc_id"))), lit(8)))
           .withColumn("toks", size(split(col("text"), " ")).cast("long"))
           .withColumn("cum", sum(col("toks")).over(w))
-          .filter(col("cum") - col("toks") < 2000L)
-          .select(col("lang"), col("doc_id"), col("toks"), col("cum"))
-          .orderBy("lang", "cum")
+          .filter(col("cum") - col("toks") < 250L)
+          .select(col("lang"), col("shard"), col("doc_id"), col("toks"),
+            col("cum"))
+          .orderBy("lang", "shard", "cum")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang, n_chars,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-             |  FROM documents),
+      Some("""WITH RECURSIVE k AS (
+             |  SELECT DISTINCT 'shard:' || doc_id AS s FROM documents),
+             |fnv(s, i, h) AS (
+             |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
+             |  UNION ALL
+             |  SELECT s, i+1,
+             |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+             |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616
+             |  FROM fnv WHERE i <= length(s)),
+             |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1),
+             |t AS (
+             |  SELECT d.doc_id, d.lang, CAST(f.h % 8 AS BIGINT) AS shard,
+             |    d.n_chars,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+             |  FROM documents d JOIN final f ON f.s = 'shard:' || d.doc_id),
              |c AS (
-             |  SELECT doc_id, lang, toks,
-             |    CAST(sum(toks) OVER (PARTITION BY lang
+             |  SELECT doc_id, lang, shard, toks,
+             |    CAST(sum(toks) OVER (PARTITION BY lang, shard
              |      ORDER BY n_chars DESC, doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |      AS cum
              |  FROM t)
-             |SELECT lang, doc_id, toks, cum FROM c
-             |WHERE cum - toks < 2000 ORDER BY lang, cum""".stripMargin),
-      "greedy token-budget selection per language (quality-ordered corpus trimming)"),
+             |SELECT lang, shard, doc_id, toks, cum FROM c
+             |WHERE cum - toks < 250 ORDER BY lang, shard, cum""".stripMargin),
+      "greedy token-budget selection per (lang, hash-shard) (parallel quality-ordered trimming)"),
 
     // ---- Z-order (Morton) clustering key over (user bucket, hour of
     // day) — the data-LAYOUT operator for 100 TB: writing files sorted

@@ -171,6 +171,45 @@ class AnnSpec extends SparkTestBase {
     assert(cnt(clusters.head) >= 5 || probedOne.count() === cnt(clusters.head))
   }
 
+  test("semanticK: k tracks n/100 with no small ceiling; cluster size stays bounded") {
+    import graft.queries.Batch10
+    // unit: the old min(256, ...) cap is gone — k keeps tracking n/100
+    // far past it, so mean cluster size stays ~100 until the k-means
+    // fit-practicality ceiling at 2^20 clusters (n ~ 1e8)
+    assert(Batch10.semanticK(1000L) === 16)
+    assert(Batch10.semanticK(100000L) === 1000)
+    assert(Batch10.semanticK(100000000L) === 1000000)
+    assert(100000000L / Batch10.semanticK(100000000L) === 100L)
+    assert(Batch10.semanticK(10000000000L) === (1 << 20)) // ceiling only
+    // the fit sample scales with k (20 pts/centroid, bounded)
+    assert(Batch10.semanticFitRows(16) === 100000)
+    assert(Batch10.semanticFitRows(50000) === 1000000)
+    assert(Batch10.semanticFitRows(1 << 20) === 2000000)
+
+    // executed: growing n grows k, and the mean NON-EMPTY cluster size
+    // stays bounded instead of scaling with n (the 100-TB property the
+    // old cap broke)
+    def meanAndClusters(df: org.apache.spark.sql.DataFrame): (Double, Int) = {
+      val n = df.count()
+      val k = Batch10.semanticK(n)
+      val idx = Ann.buildIvf(df, "embedding", k = math.max(k, 16))
+      val sizes = idx.assigned.groupBy("cluster").count()
+        .collect().map(_.getLong(1))
+      (n.toDouble / sizes.length, sizes.length)
+    }
+    val base = emb.select($"vec_id", $"embedding")
+    val grown = (0 until 8).map(i =>
+        base.select(($"vec_id" + i * 1000000L).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    val (meanBase, kBase) = meanAndClusters(base)
+    val (meanGrown, kGrown) = meanAndClusters(grown)
+    assert(kGrown > kBase, s"k did not grow with n: $kBase -> $kGrown")
+    // mean cluster size holds the ~100 target (2x slack) at BOTH
+    // sizes — with the old 256 cap it would instead scale with n
+    assert(meanBase <= 200 && meanGrown <= 200,
+      s"mean cluster size off target: $meanBase -> $meanGrown")
+  }
+
   test("semanticDedup collapses exact copies and keeps no same-cluster pair >= tau") {
     // plant exact copies (cos=1) of every 10th vector under new ids
     val copies = emb.filter($"vec_id" % 10 === 0)

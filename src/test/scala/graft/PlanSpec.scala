@@ -138,6 +138,26 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
   }
 
+  test("pack_sequences / corpus_budget_take: windows keyed (lang, shard), not bare lang") {
+    for (name <- Seq("pack_sequences", "corpus_budget_take")) {
+      val df = Catalog.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      // the running-sum window must partition on the hash shard too —
+      // a bare (lang) key collapses parallelism to #languages at 100 TB
+      val winLine = plan.linesIterator
+        .find(_.contains("windowspecdefinition")).getOrElse("")
+      assert(winLine.contains("lang") && winLine.contains("shard"),
+        s"$name window key not sub-sharded:\n$winLine")
+      // and the sharding genuinely splits every language's window input
+      // (each fixture language has >= 64 docs across 8 hash shards)
+      val shardsPerLang = df.select("lang", "shard").distinct()
+        .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(shardsPerLang.nonEmpty && shardsPerLang.forall(_._2 >= 4),
+        s"$name shards per lang: ${shardsPerLang.mkString(",")}")
+    }
+  }
+
   test("ann_int8_topk: single scan + TakeOrdered in the quantized domain") {
     val plan = executed("ann_int8_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
