@@ -58,6 +58,34 @@ object VecOps {
     bits
   }
 
+  /** Index of the max-cosine centroid, first-wins on ties (the same
+    * rule as `array_position(sims, array_max(sims))`, which this
+    * kernel replaces: per-center cosines use the exact [[cosine]]
+    * arithmetic, so results are bit-identical to the literal-inlined
+    * expression tree it supersedes). */
+  def argmaxCosine(v: ArrayData, centers: Array[Array[Float]]): Int = {
+    val nv = norm(v)
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < centers.length) {
+      val cent = centers(c)
+      var dot = 0.0
+      var nc = 0.0
+      var i = 0
+      val m = math.min(v.numElements(), cent.length)
+      while (i < m) { dot += v.getFloat(i).toDouble * cent(i); i += 1 }
+      i = 0
+      while (i < cent.length) { nc += cent(i).toDouble * cent(i); i += 1 }
+      val s =
+        if (nv == 0.0 || nc == 0.0) 0.0
+        else math.max(-1.0, math.min(1.0, dot / (nv * math.sqrt(nc))))
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   // ---- product quantization (PQ) kernels ----------------------------
 
   /** Encode a float vector as m sub-codes: for each of the m

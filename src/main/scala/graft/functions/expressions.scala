@@ -153,6 +153,27 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Argmax-cosine centroid assignment for an array<float> vector. The
+  * k·d center floats ride as a plan REFERENCE OBJECT, not inlined
+  * literals: at k=256, d=64 the literal form is ~16k constants whose
+  * generated code grows with k·d toward the 64KB JVM method limit
+  * (silent interpreted fallback past it), and any filter pushed
+  * through the projection DUPLICATES the whole literal tree into the
+  * scan's data filters. One kernel call keeps the scan a single
+  * compact WholeStageCodegen span at any k. */
+case class ArgMaxCosine(child: Expression, centers: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.argmaxCosine(v.asInstanceOf[ArrayData], centers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxCenters", centers, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.argmaxCosine($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): ArgMaxCosine = copy(child = c)
+  override def prettyName: String = "argmax_cosine"
+}
+
 /** PQ encoding of an array<float>: m sub-codes of the nearest subspace
   * centroids. The codebook rides as a plan reference object (not an
   * inlined literal — m·256·dsub floats would blow the generated-code

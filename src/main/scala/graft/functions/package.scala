@@ -49,6 +49,11 @@ package object functions {
   def word_grams(c: Column, k: Int, stride: Int = 1): Column =
     col(WordGrams(expr(c), k, stride))
 
+  /** Index of the max-cosine centroid (first wins ties); centers ride
+    * as a plan reference object, codegen-safe at any k. */
+  def argmax_cosine(c: Column, centers: Array[Array[Float]]): Column =
+    col(ArgMaxCosine(expr(c), centers))
+
   def pq_encode(c: Column, centers: Array[Array[Array[Float]]]): Column =
     col(PqEncode(expr(c), centers))
 

@@ -47,17 +47,18 @@ object Ann {
   })
 
   /** Assign every row to its max-cosine center via the codegen'd
-    * expression — the k·d center floats ride inside the generated code
-    * (literal folding), so executors need no broadcast and the scan
-    * stays in one WholeStageCodegen span. Ties resolve to the lowest
-    * cluster id (array_position returns the first match). */
+    * [[graft.functions.ArgMaxCosine]] expression. The centers ride as
+    * ONE plan reference object (the pq_adc_score pattern), not k
+    * inlined literal arrays: the literal form's generated code grows
+    * with k·d toward the 64KB JVM method limit (silent interpreted
+    * fallback past it), and a pushed-down filter on `cluster`
+    * duplicates the whole literal tree into the scan — with
+    * semanticK-sized k (up to 2^20) that plan doesn't even print.
+    * Ties resolve to the lowest cluster id (first max wins),
+    * bit-identical to the old array_position(sims, array_max(sims)). */
   def assignByCosine(df: DataFrame, embCol: String,
-      centers: Array[Array[Float]]): DataFrame = {
-    val sims = array(centers.map(c =>
-      cosine_sim(col(embCol), typedLit(c.toSeq))).toIndexedSeq: _*)
-    df.withColumn("cluster",
-      (array_position(sims, array_max(sims)) - 1).cast("int"))
-  }
+      centers: Array[Array[Float]]): DataFrame =
+    df.withColumn("cluster", graft.functions.argmax_cosine(col(embCol), centers))
 
   /** Fit a k-means coarse quantizer on a bounded sample, then assign
     * every row to its nearest (max-cosine) centroid. `assigned` keeps

@@ -84,9 +84,12 @@ object Scale {
     val keyed = df.withColumn("__zx", xBucket.cast("long"))
       .withColumn("__zy", yBucket.cast("long"))
       .withColumn("__zkey", expr(zorderExpr("__zx", "__zy")))
+    // the key orders the write and then leaves: the produced dataset
+    // keeps the CALLER's schema exactly (the layout lives in the file
+    // boundaries + footer stats, not in an extra column)
     keyed.repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
-      .drop("__zx", "__zy")
+      .drop("__zx", "__zy", "__zkey")
       .write.mode("overwrite").parquet(path)
   }
 }

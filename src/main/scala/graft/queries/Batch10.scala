@@ -78,7 +78,7 @@ object Batch10 {
     * `pmod`/unsigned `%` views of the FNV hash agree on the low 14
     * bits — a 10000-bucket variant would NOT round-trip, since
     * 2^64 % 10000 != 0 shifts every negative signed hash). */
-  private val mixRateSql =
+  private[graft] val mixRateSql =
     """CASE lang WHEN 'en' THEN 13107 WHEN 'zh' THEN 8192
       |WHEN 'de' THEN 4096 ELSE 6554 END""".stripMargin.replace("\n", " ")
 
@@ -95,10 +95,10 @@ object Batch10 {
     // decorrelates this sample from any other hash use of doc_id.
     "sample_weighted" -> Q(
       (s, dir) => {
-        table(s, dir, "documents")
-          .withColumn("bucket",
-            pmod(fnv64(concat(lit("mix:"), col("doc_id"))), lit(16384)))
-          .filter(col("bucket") < expr(mixRateSql))
+        // the shared batch/streaming operator — StreamingSpec runs the
+        // SAME call on a documents stream and proves row-set equality
+        graft.streaming.Streaming
+          .sampleWeighted(table(s, dir, "documents"), "doc_id", mixRateSql)
           .select(col("doc_id"), col("lang"), col("bucket"))
           .orderBy("doc_id")
       },

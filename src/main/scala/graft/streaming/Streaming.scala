@@ -54,6 +54,22 @@ object Streaming {
       .groupBy(session_window(col(timeCol), gap) +: groupCols: _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Deterministic training-mixture sampling (the sample_weighted
+    * catalog operator), usable VERBATIM on batch or streaming frames:
+    * keep a row iff its salted-FNV hash bucket (of `buckets`) falls
+    * below the per-row `rateSql` threshold. The decision is a pure
+    * function of the row — no state, no watermark, no rand() — so a
+    * re-processed micro-batch, a task retry, or a backfill selects the
+    * SAME rows, and the batch and streaming paths of one pipeline
+    * agree row-for-row (StreamingSpec proves set equality). `buckets`
+    * should stay a power of two so signed/unsigned hash views agree. */
+  def sampleWeighted(df: DataFrame, idCol: String, rateSql: String,
+      buckets: Int = 16384, salt: String = "mix:"): DataFrame =
+    df.withColumn("bucket",
+        pmod(graft.functions.fnv64(concat(lit(salt), col(idCol))),
+          lit(buckets)))
+      .filter(col("bucket") < expr(rateSql))
+
   /** Q10 queued-writes semantics: micro-batch the stream through a
     * user function; the batchId is the reference's `sequence_number`
     * (service.go:1106-1159). Caller starts the returned writer. */

@@ -171,6 +171,60 @@ class AnnSpec extends SparkTestBase {
     assert(cnt(clusters.head) >= 5 || probedOne.count() === cnt(clusters.head))
   }
 
+  test("assignByCosine at k=256 d=64: whole-stage codegen survives, argmax matches") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(256, 64)(rnd.nextFloat() * 2f - 1f)
+    val assigned = Ann.assignByCosine(
+      emb.select($"vec_id", $"embedding"), "embedding", centers)
+    assigned.collect() // settle AQE so codegen spans print
+    val plan = assigned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the centers ride as a reference object: the projection stays a
+    // codegen'd span (starred) and the plan doesn't inline 16k floats
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")), plan.take(2000))
+    assert(plan.length < 4000, s"plan inlines the centers (len=${plan.length})")
+    // parity with a driver-side argmax (first max wins) on sample rows
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); i += 1
+      }
+      i = 0; while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0
+      else math.max(-1.0, math.min(1.0, d / (math.sqrt(na) * math.sqrt(nb))))
+    }
+    assigned.filter($"vec_id" % 100 === 7).collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val expect = centers.indices.maxBy(i => cos(v, centers(i)))
+      assert(r.getInt(2) === expect, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("IVF-SQ8/PQ two-stage search: both cuts are TakeOrdered, never a global sort") {
+    import org.apache.spark.sql.functions.col
+    val sq8 = Ann.withSq8(Ann.buildIvf(emb, "embedding", k = 8), "embedding")
+    val cb = Ann.fitPq(emb, "embedding", m = 8)
+    val pq = Ann.withPq(Ann.buildIvf(emb, "embedding", k = 8), "embedding", cb)
+    val searches = Seq(
+      "sq8" -> Ann.searchIvfSq8(sq8, "embedding", query, topK = 10,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id"))),
+      "pq" -> Ann.searchIvfPq(pq, "embedding", query, cb, topK = 10,
+        nprobe = 3, rescore = 50, tieBreak = Seq(col("vec_id"))))
+    for ((name, df) <- searches) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // quantized cut (rescore) AND exact cut (topK) both bounded
+      // heaps, no global Sort + Exchange for either ranking
+      val takes = "TakeOrderedAndProject".r.findAllIn(plan).size
+      assert(takes >= 2, s"$name: expected 2 TakeOrdered, plan:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$name plans a global sort:\n${plan.take(2000)}")
+    }
+  }
+
   test("semanticK: k tracks n/100 with no small ceiling; cluster size stays bounded") {
     import graft.queries.Batch10
     // unit: the old min(256, ...) cap is gone — k keeps tracking n/100

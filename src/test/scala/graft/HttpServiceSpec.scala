@@ -185,6 +185,36 @@ class HttpServiceSpec extends SparkTestBase {
     assert(get("/key?key=pb3").body() === "three")
   }
 
+  test("flag/timeout corners: ?wait=t, ?wait=F, unparseable flags, bad durations") {
+    // lowercase t is true (Go ParseBool)
+    val rt = post("/db/execute?queue&wait=t&timeout=30s", """["SET fc one"]""")
+    assert(rt.statusCode() === 200, rt.body())
+    assert(get("/key?key=fc").body() === "one") // visible: the wait happened
+    // F is an explicit false: no wait, still enqueued
+    val rf = post("/db/execute?queue&wait=F", """["SET fc2 two"]""")
+    assert(rf.statusCode() === 200, rf.body())
+    // an unparseable flag value is false (ParseBool err → default),
+    // never a 4xx/5xx
+    val ry = post("/db/execute?queue&wait=yes", """["SET fc3 three"]""")
+    assert(ry.statusCode() === 200, ry.body())
+    // a bad duration falls back to the 30s default instead of erroring:
+    // the wait still blocks and the write is visible on return
+    val rb = post("/db/execute?queue&wait&timeout=bogus", """["SET fc4 four"]""")
+    assert(rb.statusCode() === 200, rb.body())
+    assert(get("/key?key=fc4").body() === "four")
+    // a zero deadline is race-legal: applied-in-time (200) or the
+    // reference's 408, never a 5xx
+    val rz = post("/db/execute?queue&wait&timeout=0s", """["SET fc5 five"]""")
+    assert(rz.statusCode() === 200 || rz.statusCode() === 408, rz.body())
+    // the un-waited writes flush through the queue
+    val deadline = System.currentTimeMillis() + 10000
+    while ((get("/key?key=fc2").body() == "nil"
+        || get("/key?key=fc3").body() == "nil")
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(get("/key?key=fc2").body() === "two")
+    assert(get("/key?key=fc3").body() === "three")
+  }
+
   test("nodes reports the single-node topology") {
     val n = mapper.readTree(get("/nodes").body())
     assert(n.get("local").get("leader").asBoolean())

@@ -138,6 +138,28 @@ class StreamingSpec extends SparkTestBase {
     (stream, dir)
   }
 
+  test("sample_weighted twin: the mixing filter on a documents stream == batch rows") {
+    // the training-mixture primitive is stateless (pure row hash), so
+    // the SAME Streaming.sampleWeighted call runs on the stream — no
+    // state, no watermark — and must select the identical document set
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val mixed = graft.streaming.Streaming.sampleWeighted(
+        stream, "doc_id", graft.queries.Batch10.mixRateSql)
+      .select($"doc_id", $"lang", $"bucket")
+    val q = mixed.writeStream.format("memory").queryName("eq_mix")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("sample_weighted")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("stream_tumbling twin: real streaming window agg == oracled batch rows") {
     val (stream, _) = eventsStream()
     val agg = stream

@@ -13,11 +13,14 @@ import graft.ops.Scale
 class ZOrderSpec extends SparkTestBase {
   import spark.implicits._
 
+  private def parquetFiles(path: String): Array[String] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+
   /** Per-file [min,max] coverage fraction of each 0..255 dimension,
     * worst dimension per file, averaged over files. */
   private def meanWorstCoverage(path: String): Double = {
-    val files = new java.io.File(path).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    val files = parquetFiles(path)
     assert(files.length >= 4, s"expected several files, got ${files.length}")
     val covs = files.map { f =>
       val r = spark.read.parquet(f)
@@ -51,9 +54,18 @@ class ZOrderSpec extends SparkTestBase {
     assert(xCov > 0.9, f"x-sort worst-dim coverage $xCov%.2f (y unbounded)")
     assert(zCov < xCov - 0.15, f"z-order ($zCov%.2f) must beat x-sort ($xCov%.2f)")
 
-    // and the key column round-trips the Morton property
-    val bad = spark.read.parquet(zdir)
-      .filter(expr(Scale.zorderExpr("x", "y")) =!= $"__zkey").count()
-    assert(bad === 0L)
+    // schema hygiene: the Morton key and its helpers order the write
+    // but never leak into the written dataset
+    val written = spark.read.parquet(zdir)
+    assert(written.columns.toSeq === Seq("x", "y", "payload"),
+      written.columns.mkString(","))
+    // within every file, rows are sorted by the (recomputed) key — the
+    // ordering the dropped column established survives in the layout
+    parquetFiles(zdir).foreach { f =>
+      val keys = spark.read.parquet(f)
+        .select(expr(Scale.zorderExpr("x", "y")).cast("long").as("zk"))
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"file $f not z-sorted")
+    }
   }
 }
