@@ -41,14 +41,15 @@ final case class AsOfJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightTies: Seq[Attribute],
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    nearest: Boolean = false) extends BinaryNode {
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time column types must match")
-  require(tolerance.isEmpty ||
+  require((tolerance.isEmpty && !nearest) ||
       leftTime.dataType == org.apache.spark.sql.types.LongType,
-    "as-of tolerance requires a long (epoch-offset) time column")
+    "as-of tolerance/nearest requires a long (epoch-offset) time column")
   require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,8 +60,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ties, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ties, tol, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ties, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -70,7 +71,8 @@ final case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightTies: Seq[Attribute],
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -93,6 +95,8 @@ final case class AsOfJoinExec(
     val keyTypes = lk.map(_.dataType)
     val timeType = lt.dataType
     val out = output
+    val near = nearest
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -158,10 +162,38 @@ final case class AsOfJoinExec(
           // tolerance: the candidate is the LATEST qualifying right
           // row, so if IT is out of tolerance every earlier one is
           // further away — a single output-time check is exact
-          val use = candidate != null && tolerance.forall { tol =>
-            lTime.getLong(0) - rTimeProj(candidate).getLong(0) <= tol
-          }
-          resultProj(joined(lRow, if (use) candidate else nullRight))
+          val chosen: InternalRow =
+            if (!near) {
+              if (candidate != null && tol.forall { t =>
+                lTime.getLong(0) - rTimeProj(candidate).getLong(0) <= t
+              }) candidate else null
+            } else {
+              // nearest: when the backward scan stops, the cursor IS
+              // the key's earliest future row — the forward candidate
+              // costs nothing (read, never consumed: later left rows
+              // still need it). Distances saturate on (adversarial)
+              // overflow rather than wrapping; backward wins ties.
+              val lT = lTime.getLong(0)
+              val bDist =
+                if (candidate == null) Long.MaxValue
+                else {
+                  val d = lT - rTimeProj(candidate).getLong(0)
+                  if (d < 0) Long.MaxValue - 1 else d
+                }
+              val fOk = rRow != null && keyOrd.compare(rKey, lKey) == 0
+              val fDist =
+                if (!fOk) Long.MaxValue
+                else {
+                  val d = rTimeProj(rRow).getLong(0) - lT
+                  if (d < 0) Long.MaxValue - 1 else d
+                }
+              val (row, dist) =
+                if (bDist <= fDist) (candidate, bDist) else (rRow, fDist)
+              if (row != null && dist != Long.MaxValue && tol.forall(dist <= _))
+                row
+              else null
+            }
+          resultProj(joined(lRow, if (chosen != null) chosen else nullRight))
         }
       }
     }
@@ -185,7 +217,8 @@ final case class AsOfJoinExec(
 object AsOf {
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame, leftKeys: Seq[String],
       rightKeys: Seq[String], leftTime: String, rightTime: String,
-      rightTies: Seq[String] = Nil, tolerance: Option[Long] = None): DataFrame = {
+      rightTies: Seq[String] = Nil, tolerance: Option[Long] = None,
+      nearest: Boolean = false): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -208,8 +241,26 @@ object AsOf {
     Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      rightTies.map(resolve(rPlan, _)), tolerance))
+      rightTies.map(resolve(rPlan, _)), tolerance, nearest))
   }
+
+  /** Nearest as-of (pandas merge_asof direction='nearest'): the closer
+    * of the backward and forward matches per left row, backward
+    * winning distance ties. Long (epoch-offset) time columns only —
+    * distances must be computable. Costs exactly the backward pass:
+    * when the merge's scan stops, the right cursor is already the
+    * key's earliest future row. Tie detail: among equal FUTURE times
+    * the cursor holds the first row in (time, ties) order, so forward
+    * ties resolve to the LOWEST tiebreak, while backward ties keep the
+    * highest (the backward candidate overwrites) — both directions'
+    * rules are fixed and oracle-checked. `tolerance` bounds the chosen
+    * distance in either direction. */
+  def asofJoinNearest(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
+      rightTime: String, rightTies: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(leftDf, rightDf, leftKeys, rightKeys, leftTime, rightTime,
+      rightTies, tolerance, nearest = true)
 
   /** Forward as-of: EARLIEST right row with time >= left time — the
     * documented negation of the backward pass (long time columns

@@ -501,6 +501,49 @@ object Batch10 {
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "forward as-of join (earliest at-or-after match via the negated backward pass)"),
 
+    // ---- nearest as-of: the closer of the backward/forward click per
+    // purchase (pandas merge_asof direction='nearest'), computed in
+    // the SAME single merge pass — the forward candidate is the right
+    // cursor the backward scan already stopped on. Tie rules are fixed
+    // and mirrored in the oracle's ORDER BY: backward beats forward at
+    // equal distance; equal backward times keep the highest click_id,
+    // equal forward times the lowest.
+    "asof_nearest" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoinNearest(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"))
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      // classification and distance both at µs precision (the engines'
+      // shared truncated view), never raw ns
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+             |      abs(c.us - p.us),
+             |      CASE WHEN c.us <= p.us THEN 0 ELSE 1 END,
+             |      CASE WHEN c.us <= p.us THEN -c.event_id
+             |           ELSE c.event_id END) AS rn
+             |  FROM (SELECT event_id, user_id,
+             |          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id,
+             |          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "nearest as-of join (closer of backward/forward, backward wins ties; one merge pass)"),
+
     // ---- TPC-H Q9-shaped profit rollup: 5-table star join
     // (lineitem ⋈ supplier ⋈ part ⋈ orders ⋈ nation) with a part-name
     // predicate, profit aggregated by (nation, order year). Spark-first

@@ -159,6 +159,69 @@ class AsOfJoinSpec extends SparkTestBase {
     got.foreach { rw => assert(rw.getLong(2) === rw.getLong(5)) } // rid == matched rid
   }
 
+  test("nearest as-of: closer side wins, backward wins ties, tolerance bounds both") {
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 310L, "c"),
+      (2L, 50L, "d"), (3L, 10L, "e")).toDF("k", "t", "lv")
+    val r = Seq(
+      (1L, 90L, 1L),   // 10 behind t=100
+      (1L, 105L, 2L),  // 5 ahead of t=100  -> nearest for a
+      (1L, 195L, 3L),  // 5 behind t=200; forward 205 is also 5 -> backward wins
+      (1L, 205L, 4L),  //
+      (1L, 400L, 5L),  // 90 ahead of t=310 vs 105 behind -> forward wins for c
+      (3L, 1000L, 9L)  // only match for e is 990 ahead
+    ).toDF("k2", "t2", "rid")
+    def run(tol: Option[Long]) =
+      AsOf.asofJoinNearest(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"), tol)
+        .select($"lv", $"rid").collect()
+        .map(rw => rw.getString(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    assert(run(None) === Map("a" -> 2L, "b" -> 3L, "c" -> 5L, "d" -> -1L, "e" -> 9L))
+    // tolerance 50 drops every match further than 50 in EITHER
+    // direction (c: 105 behind / 90 ahead; e: 990 ahead)
+    assert(run(Some(50L)) === Map("a" -> 2L, "b" -> 3L, "c" -> -1L,
+      "d" -> -1L, "e" -> -1L))
+  }
+
+  test("nearest tie rules: backward keeps highest tiebreak, forward the lowest") {
+    val l = Seq((1L, 100L, "back"), (2L, 100L, "fwd")).toDF("k", "t", "lv")
+    val r = Seq(
+      (1L, 100L, 1L), (1L, 100L, 2L),  // dist 0 = backward; highest rid wins
+      (2L, 150L, 5L), (2L, 150L, 6L)   // equal future times; cursor = lowest rid
+    ).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoinNearest(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+    assert(got === Map("back" -> 2L, "fwd" -> 5L))
+  }
+
+  test("nearest matches the two-pass backward/forward composition on events") {
+    val ev = eventsDf.select($"event_id", $"user_id", $"event_type",
+      unix_micros($"ts").as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"us".as("p_us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"us".as("c_us"))
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"purchase_id", $"click_id", $"c_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    val near = toMapOf(AsOf.asofJoinNearest(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id")))
+    val back = toMapOf(AsOf.asofJoin(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id")))
+    val pTime = purchases.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // composition reference: nearest distance == min of the two passes'
+    // distances (forward tie details differ from asofJoinForward's
+    // highest-tiebreak rule, so compare distances, not ids)
+    val fwd = toMapOf(AsOf.asofJoinForward(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id")))
+    near.foreach { case (pid, n) =>
+      val dist = (m: Option[(Long, Long)]) =>
+        m.map(c => math.abs(c._2 - pTime(pid))).getOrElse(Long.MaxValue)
+      assert(dist(n) === math.min(dist(back(pid)), dist(fwd(pid))), s"purchase $pid")
+    }
+    assert(near.values.exists(_.isDefined))
+  }
+
   test("several left rows per key reuse and upgrade the candidate") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)).toDF("k2", "t2", "rid")
