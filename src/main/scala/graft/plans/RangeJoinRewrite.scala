@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DayTimeIntervalType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DayTimeIntervalType, IntegerType, LongType, TimestampType}
 
 /** Optimizer rule: a PURE range join — an inner join whose only
   * cross-side condition bounds the difference of two integral columns
@@ -33,9 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, DayTimeIntervalType, IntegerType, 
   *    (if an equi key exists Spark already plans a hash/sort-merge
   *    join; rewriting would only add the 2x explode);
   *  - exactly one band: one lower and one upper bound on the same
-  *    ordered attribute pair, both int/long/timestamp (timestamps are
-  *    µs longs internally — the natural `ts >= ts - INTERVAL ...`
-  *    spelling buckets on `unix_micros`), band width 0 < w <= 2^42;
+  *    ordered attribute pair, both int/long/timestamp/date (timestamps
+  *    are µs longs internally — the natural `ts >= ts - INTERVAL ...`
+  *    spelling buckets on `unix_micros`; dates are epoch-day ints, so
+  *    `d >= date_sub(d2, n)` buckets on `unix_date`), band width
+  *    0 < w <= 2^42;
   *  - every other conjunct is kept verbatim in the new join condition,
   *    and the band inequalities themselves are re-applied as residuals
   *    (bucket equality is a superset relaxation, never a replacement).
@@ -81,11 +83,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       term(t).collect { case (a, c0) if integral0(dt) => (a, c0 - toL(c)) }
     case TimestampAddInterval(t, Literal(us: Long, _: DayTimeIntervalType), _) =>
       term(t).map { case (a, c0) => (a, c0 + us) }
+    // date ± int days (DateType is epoch-days internally)
+    case DateAdd(t, Literal(d: Int, IntegerType)) =>
+      term(t).map { case (a, c0) => (a, c0 + d) }
+    case DateSub(t, Literal(d: Int, IntegerType)) =>
+      term(t).map { case (a, c0) => (a, c0 - d) }
     case _ => None
   }
   private def integral(a: Expression) =
     a.dataType == LongType || a.dataType == IntegerType ||
-      a.dataType == TimestampType
+      a.dataType == TimestampType || a.dataType == DateType
   private def integral0(dt: org.apache.spark.sql.types.DataType) =
     dt == LongType || dt == IntegerType
   private def toL(v: Any): Long = v match {
@@ -125,7 +132,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * (`Cast(ts, long)` would truncate to SECONDS — wrong unit). */
   private def asLong(e: Expression): Expression = e.dataType match {
     case LongType      => e
-    case TimestampType => UnixMicros(e)
+    case TimestampType => UnixMicros(e)   // µs view; Cast would give SECONDS
+    case DateType      => Cast(UnixDate(e), LongType) // epoch days (int)
     case _             => Cast(e, LongType)
   }
 

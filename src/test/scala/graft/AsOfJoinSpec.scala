@@ -222,6 +222,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(near.values.exists(_.isDefined))
   }
 
+  test("backward as-of works directly on timestamp time columns") {
+    // the no-tolerance merge is type-agnostic (natural ordering over
+    // the internal µs long) — no unix_micros pre-conversion required
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b")).toDF("k", "t", "lv")
+    val r = Seq((1L, ts("2024-01-01 09:30:00"), 7L),
+      (1L, ts("2024-01-01 11:00:00"), 8L),
+      (1L, ts("2024-01-01 13:00:00"), 9L)).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+    assert(got === Map("a" -> 7L, "b" -> 8L))
+  }
+
   test("several left rows per key reuse and upgrade the candidate") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
     val r = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 25L, 300L)).toDF("k2", "t2", "rid")

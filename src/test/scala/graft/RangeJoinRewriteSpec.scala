@@ -174,6 +174,27 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(pairs(joined) === pairs(expected))
   }
 
+  test("date band with date_sub bound rewrites and matches the naive plan") {
+    def dateSide(s: SparkSession, name: String, offs: Seq[Int]): DataFrame = {
+      import s.implicits._
+      offs.zipWithIndex.map { case (o, i) =>
+        (s"$name$i", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 15).plusDays(o))) }
+        .toDF(s"${name}_id", s"${name}_t")
+    }
+    val lOffs = Seq(-8, -7, -6, -1, 0, 1, 6, 7, 8, 30)
+    val rOffs = Seq(-7, -3, 0, 3, 7, 14, 29, 31)
+    val l = dateSide(opt, "l", lOffs); val r = dateSide(opt, "r", rOffs)
+    val joined = l.join(r,
+      col("l_t") >= date_sub(col("r_t"), 7) && col("l_t") < col("r_t"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rbucket"), s"date rule did not fire:\n$plan")
+    val lp = dateSide(spark, "l", lOffs); val rp = dateSide(spark, "r", rOffs)
+    val expected = lp.join(rp,
+      col("l_t") >= date_sub(col("r_t"), 7) && col("l_t") < col("r_t"))
+    assert(pairs(joined) === pairs(expected))
+    assert(pairs(expected).nonEmpty)
+  }
+
   test("values within w of Long.MIN/MAX bucket exactly (no silently dropped matches)") {
     // the old `el - pmod(el, w)` / `y + hi` arithmetic overflowed for
     // column values within ~w of the Long domain edges, producing wrong
