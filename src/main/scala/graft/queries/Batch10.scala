@@ -232,6 +232,57 @@ object Batch10 {
              |WHERE cum - toks < 250 ORDER BY lang, shard, cum""".stripMargin),
       "greedy token-budget selection per (lang, hash-shard) (parallel quality-ordered trimming)"),
 
+    // ---- EXACT global token-budget selection, two-phase: the
+    // original single-window semantics (global greedy prefix in
+    // (n_chars DESC, doc_id) order until the per-language budget B is
+    // spent) WITHOUT the one-reducer-per-language window. Phase 1
+    // prunes per (lang, shard): a row whose WITHIN-SHARD running
+    // start is already >= B can never be globally selected (its
+    // shard predecessors alone exhaust the budget, and they all
+    // precede it globally too). Phase 2 runs the global window over
+    // the survivors only — provably <= K·(B + max_toks) tokens per
+    // language, a constant w.r.t. corpus size — and its running sum
+    // is EXACT for every truly-selected row: if any pruned row
+    // preceded a survivor globally, that survivor's in-phase-1
+    // predecessors already carry >= B tokens, so the phase-2 filter
+    // rejects it; no false positives, no misses. The oracle is the
+    // plain unsharded global window — semantics are identical, so
+    // DuckDB needs no shard replay.
+    "corpus_budget_exact" -> Q(
+      (s, dir) => {
+        val budget = 2000L
+        val wShard = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wGlobal = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "documents")
+          .withColumn("shard",
+            pmod(fnv64(concat(lit("shard:"), col("doc_id"))), lit(8)))
+          .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+          .withColumn("scum", sum(col("toks")).over(wShard))
+          .filter(col("scum") - col("toks") < budget)
+          .withColumn("cum", sum(col("toks")).over(wGlobal))
+          .filter(col("cum") - col("toks") < budget)
+          .select(col("lang"), col("doc_id"), col("toks"), col("cum"))
+          .orderBy("lang", "cum")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, toks,
+             |    CAST(sum(toks) OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum
+             |  FROM t)
+             |SELECT lang, doc_id, toks, cum FROM c
+             |WHERE cum - toks < 2000 ORDER BY lang, cum""".stripMargin),
+      "exact global token-budget selection via bounded two-phase windows (shard prune + tiny global pass)"),
+
     // ---- Z-order (Morton) clustering key over (user bucket, hour of
     // day) — the data-LAYOUT operator for 100 TB: writing files sorted
     // by zkey makes parquet min/max footers selective on BOTH

@@ -158,6 +158,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("corpus_budget_exact: sharded prune phase + global pass equals the direct window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Catalog.queries("corpus_budget_exact")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // two window phases; the pruning one is keyed (lang, shard)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.size >= 2, plan.take(3000))
+    assert(winLines.exists(_.contains("shard")), s"no sharded prune window:\n$plan")
+    // exactness: identical rows to the naive single global window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = Catalog.table(spark, dir, "documents")
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") - col("toks") < 2000L)
+      .select(col("lang"), col("doc_id"), col("toks"), col("cum"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(df) === rows(ref) && rows(ref).nonEmpty)
+  }
+
   test("ann_int8_topk: single scan + TakeOrdered in the quantized domain") {
     val plan = executed("ann_int8_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
