@@ -244,6 +244,62 @@ object AsOf {
       rightTies.map(resolve(rPlan, _)), tolerance, nearest))
   }
 
+  /** Skew-resistant backward as-of: the documented mitigation for a
+    * hot key (AQE's skew split covers only SMJ/SHJ, not this custom
+    * node). Both sides shard by (key, wb = time div windowSize), and
+    * each left window w additionally sees the CARRY — the latest right
+    * row from any window before w — so the within-shard backward as-of
+    * over keys (key, wb) returns exactly the global answer while the
+    * hot key's rows spread over its time windows.
+    *
+    * Construction (all composition of tested pieces, long times only):
+    *  1. per (rightKeys, wb) keep the last (time, ties) row — one row
+    *     per window, a bounded aggregate (WindowTopKRewrite turns the
+    *     row_number filter into the RowTopK combine when active);
+    *  2. as-of join the left's DISTINCT (key, wb) set against those
+    *     per-window lasts at time wb-1 — the carry per left window;
+    *     both inputs hold one row per (key, window), so this inner
+    *     as-of is tiny regardless of row counts;
+    *  3. union carries (re-tagged to their target window) with the
+    *     right side and run the ordinary as-of with (key, wb) keys.
+    * A window with no earlier right rows carries nothing; tolerance
+    * still applies to the REAL time at step 3, so a stale carry nulls
+    * out exactly like the unsharded operator. Window assignment uses
+    * truncating `div` — any monotone time partition preserves
+    * semantics; alignment only affects balance. */
+  def asofJoinSharded(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
+      rightTime: String, rightTies: Seq[String] = Nil, windowSize: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(windowSize > 0, "asofJoinSharded: windowSize must be > 0")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val lwb = "__graft_lwb"; val rwb = "__graft_rwb"
+    val rCols = rightDf.columns.toSeq
+    val l = leftDf.withColumn(lwb, expr(s"`$leftTime` div ${windowSize}L"))
+    val r = rightDf.withColumn(rwb, expr(s"`$rightTime` div ${windowSize}L"))
+    // 1: each (key, window)'s last (time, ties) row
+    val wr = Window.partitionBy((rightKeys :+ rwb).map(col): _*)
+      .orderBy(col(rightTime).desc +: rightTies.map(c => col(c).desc): _*)
+    val rLast = r.withColumn("__graft_rn", row_number().over(wr))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    // 2: carry per left window = latest per-window last with wb < w
+    val lWins = l.select((leftKeys :+ lwb).map(col): _*).distinct()
+      .withColumn("__graft_prev", col(lwb) - 1)
+    val joined = asofJoin(lWins, rLast, leftKeys, rightKeys,
+      "__graft_prev", rwb, Nil, None)
+    // positional rename sidesteps duplicate names from the self-ish join
+    val names = lWins.columns.map("w_" + _) ++ rLast.columns.map("c_" + _)
+    val carries = joined.toDF(names.toIndexedSeq: _*)
+      .filter(col("c_" + rightTime).isNotNull)
+      .select(rCols.map(c => col("c_" + c).as(c)) :+ col("w_" + lwb).as(rwb): _*)
+    // 3: within-shard as-of over (key, window)
+    val rAll = r.select((rCols :+ rwb).map(col): _*).unionByName(carries)
+    asofJoin(l, rAll, leftKeys :+ lwb, rightKeys :+ rwb, leftTime, rightTime,
+        rightTies, tolerance)
+      .drop(lwb, rwb)
+  }
+
   /** Nearest as-of (pandas merge_asof direction='nearest'): the closer
     * of the backward and forward matches per left row, backward
     * winning distance ties. Long (epoch-offset) time columns only —

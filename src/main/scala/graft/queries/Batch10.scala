@@ -481,6 +481,45 @@ object Batch10 {
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "backward as-of join via the custom AsOfJoinExec physical operator (SMJ-shaped single pass)"),
 
+    // ---- skew-resistant as-of: the SAME query as asof_join_phys but
+    // through AsOf.asofJoinSharded — both sides shard on (user, hour
+    // window), each window carries the previous windows' last click
+    // across the boundary, and the within-shard as-of reassembles the
+    // exact global answer. This is the hot-key lever the plain
+    // operator documents (AQE skew-split covers only SMJ/SHJ): one
+    // user producing 10% of all events spreads over its time windows
+    // instead of one straggler partition. Same oracle as
+    // asof_join_phys — the sharding must be invisible in the result.
+    "asof_sharded" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoinSharded(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"),
+            windowSize = 3600000000L)
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "skew-sharded as-of join ((key, time-window) shards + boundary carries; result-identical)"),
+
     // ---- as-of with tolerance: same operator, but a candidate more
     // than 10 minutes behind the purchase becomes a null instead
     // (pandas merge_asof(tolerance=...)). The operator checks only the

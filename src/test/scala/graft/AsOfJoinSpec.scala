@@ -222,6 +222,55 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(near.values.exists(_.isDefined))
   }
 
+  test("sharded as-of equals the plain operator on events, for several window sizes") {
+    val ev = eventsDf.select($"event_id", $"user_id", $"event_type",
+      unix_micros($"ts").as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"us".as("p_us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"us".as("c_us"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"purchase_id", $"click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val plain = rows(AsOf.asofJoin(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id")))
+    // hour-ish, day-ish, and huge (single-window degenerate) shards
+    for (w <- Seq(3600000000L, 86400000000L, Long.MaxValue / 4)) {
+      val sharded = rows(AsOf.asofJoinSharded(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id"),
+        windowSize = w))
+      assert(sharded === plain, s"windowSize=$w")
+    }
+    // tolerance flows through to the real-time check
+    val tolPlain = rows(AsOf.asofJoin(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id"),
+      tolerance = Some(600000000L)))
+    val tolSharded = rows(AsOf.asofJoinSharded(purchases, clicks,
+      Seq("user_id"), Seq("c_user"), "p_us", "c_us", Seq("click_id"),
+      windowSize = 3600000000L, tolerance = Some(600000000L)))
+    assert(tolSharded === tolPlain)
+  }
+
+  test("sharded as-of: carries cross empty windows; shuffle keys include the window") {
+    // one hot key, right rows only in early windows — left rows many
+    // windows later must still find the carry
+    val l = Seq((1L, 5L, "w0"), (1L, 95L, "w9"), (1L, 73L, "w7"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 3L, 30L), (1L, 8L, 80L)).toDF("k2", "t2", "rid")
+    val df = AsOf.asofJoinSharded(l, r, Seq("k"), Seq("k2"), "t", "t2",
+      Seq("rid"), windowSize = 10L)
+    val got = df.select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+    // w0: sees its own window's rows up to t=5 -> rid 30; later windows
+    // (7 and 9, windows 1..6,8 empty of rights) carry rid 80 forward
+    assert(got === Map("w0" -> 30L, "w7" -> 80L, "w9" -> 80L))
+    // the final as-of shuffles on (key, window) — the skew lever
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_lwb"), plan.take(2000))
+    // schema round-trips: no internal columns leak
+    assert(df.columns.toSeq === Seq("k", "t", "lv", "k2", "t2", "rid"))
+  }
+
   test("backward as-of works directly on timestamp time columns") {
     // the no-tolerance merge is type-agnostic (natural ordering over
     // the internal µs long) — no unix_micros pre-conversion required
