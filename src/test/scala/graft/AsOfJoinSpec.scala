@@ -271,6 +271,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("k", "t", "lv", "k2", "t2", "rid"))
   }
 
+  test("randomized: sharded as-of equals plain over random hot-key data and windows") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      // one deliberately hot key (half of all rows) among a few others
+      def key() = if (rnd.nextBoolean()) 1L else 2L + rnd.nextInt(3)
+      val l = Seq.fill(120)((key(), rnd.nextInt(1000).toLong, rnd.nextLong()))
+        .toDF("k", "t", "lid")
+      val r = Seq.fill(120)((key(), rnd.nextInt(1000).toLong, rnd.nextLong()))
+        .toDF("k2", "t2", "rid")
+      val w = 1L + rnd.nextInt(300)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"lid", $"rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val plain = rows(AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid")))
+      val sharded = rows(AsOf.asofJoinSharded(l, r, Seq("k"), Seq("k2"),
+        "t", "t2", Seq("rid"), windowSize = w))
+      assert(sharded === plain, s"trial $trial windowSize=$w")
+    }
+  }
+
   test("backward as-of works directly on timestamp time columns") {
     // the no-tolerance merge is type-agnostic (natural ordering over
     // the internal µs long) — no unix_micros pre-conversion required
