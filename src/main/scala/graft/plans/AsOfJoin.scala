@@ -275,6 +275,9 @@ object AsOf {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val lwb = "__graft_lwb"; val rwb = "__graft_rwb"
+    val reserved = Seq(lwb, rwb, "__graft_rn", "__graft_prev")
+    require(!(leftDf.columns ++ rightDf.columns).exists(reserved.contains),
+      s"asofJoinSharded: input columns collide with reserved names $reserved")
     val rCols = rightDf.columns.toSeq
     val l = leftDf.withColumn(lwb, expr(s"`$leftTime` div ${windowSize}L"))
     val r = rightDf.withColumn(rwb, expr(s"`$rightTime` div ${windowSize}L"))
