@@ -36,6 +36,23 @@ import org.apache.spark.sql.SparkSession
   * JIT) upper-bounds steady-state, so a timed pass printing above it
   * is provably noise, and any timed value >5x its warmup gets one
   * rerun before emitting.
+  *
+  * Round-8 hardening against the r7 failure mode (one multi-minute
+  * steal burst spanning the SAME alphabetical stretch of both the
+  * warmup and the timed pass, so neither the >5x-warmup check nor the
+  * per-query rerun could see it, and the end-of-run rescues starved
+  * at the deadline):
+  *  - every phase visits queries in an independently seeded-shuffled
+  *    order (GRAFT_BENCH_SEED), so a contiguous burst poisons
+  *    DIFFERENT queries in each phase and min-per-query recovers;
+  *  - the timed pass runs headline queries (q1..q9_profit) FIRST, so
+  *    the flagship numbers can never fall into the shrinking
+  *    end-of-deadline cap (r7 emitted q9_profit warmup-only);
+  *  - warmup + timed phases stop at deadline - GRAFT_BENCH_RESCUE_SEC
+  *    (default 150 s), reserving a guaranteed window for the rescue
+  *    phases instead of letting them inherit whatever is left;
+  *  - baseline rescues run worst-ratio-first, so the queries most
+  *    above their BASELINE.md floor get the reserved window first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,6 +61,12 @@ object Bench {
     val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "1").toInt
     val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "900").toLong
     val capSec = sys.env.getOrElse("GRAFT_BENCH_QUERY_CAP_SEC", "90").toLong
+    // reserved tail window for the rescue phases (3/3b): the measuring
+    // phases stop this early so a noisy run still gets its reruns
+    val rescueReserveSec =
+      math.min(sys.env.getOrElse("GRAFT_BENCH_RESCUE_SEC", "150").toLong,
+        deadlineSec / 3)
+    val seed = sys.env.getOrElse("GRAFT_BENCH_SEED", "8").toLong
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val spark = SparkSession.builder()
@@ -103,6 +126,16 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // independently shuffled visit order per phase: a contiguous
+    // CPU-steal burst then lands on DIFFERENT queries in warmup vs each
+    // timed pass, so min(warmup, timed) sheds it (r7's burst hit the
+    // same alphabetical stretch of both phases and survived the min)
+    val rng = new scala.util.Random(seed)
+    def shuffled: Seq[String] = rng.shuffle(names)
+    // headline queries lead the timed pass so the flagship numbers are
+    // measured long before the end-of-deadline cap can shrink
+    val headline = names.filter(_.matches("q[0-9]+_.*"))
+    val measureDeadline = deadlineSec - rescueReserveSec
     // Phase 1: warm up EVERYTHING first (JIT compilation of Spark's own
     // hot paths dominates the first ~30s of a fresh JVM; interleaving
     // warmup and timing attributes that storm to whichever queries run
@@ -112,16 +145,17 @@ object Bench {
     var cut = false
     val warm = collection.mutable.LinkedHashMap.empty[String, Double]
     val timed = collection.mutable.LinkedHashMap.empty[String, Double]
-    for (name <- names) {
-      if (elapsed >= deadlineSec) cut = true
+    for (name <- shuffled) {
+      if (elapsed >= measureDeadline) cut = true
       else runCapped(name, "warmup").foreach(warm(name) = _)
     }
     // Phase 2: timed passes against a settled JVM, min per query,
-    // stopping once the deadline is reached.
-    for (i <- 1 to passes; name <- names) {
-      if (elapsed >= deadlineSec) {
+    // stopping once the measuring window closes.
+    for (i <- 1 to passes;
+         name <- headline ++ shuffled.filterNot(headline.contains)) {
+      if (elapsed >= measureDeadline) {
         if (!cut) System.err.println(
-          f"[bench] deadline ${deadlineSec}s reached at $elapsed%.0f s — emitting with times so far")
+          f"[bench] measuring window ${measureDeadline}s reached at $elapsed%.0f s — rescue phases next")
         cut = true
       } else runCapped(name, s"pass$i").foreach { s =>
         if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
@@ -160,21 +194,27 @@ object Bench {
       scala.io.Source.fromFile("BASELINE.md").getLines()
         .collect { case Row(n, v) => n -> v.toDouble }.toMap
     } catch { case _: Exception => Map.empty }
-    var rescues = 0
-    for (name <- names if rescues < 12 && elapsed < deadlineSec) {
+    // worst-ratio-first: the queries furthest above their floor claim
+    // the reserved rescue window before milder suspects; two rounds so
+    // a rescue that ITSELF landed in a burst gets one more chance.
+    def overFloor: Seq[(String, Double, Double)] = names.flatMap { name =>
       val cur = (timed.get(name), warm.get(name)) match {
         case (Some(t), Some(w)) => Some(math.min(t, w))
         case (t, w)             => t.orElse(w)
       }
       (cur, baselineSec.get(name)) match {
-        case (Some(v), Some(b)) if v > 3 * b && v > 0.8 =>
-          rescues += 1
-          System.err.println(
-            f"[bench][rescue] $name $v%.2f s vs baseline $b%.2f s — rerunning")
-          runCapped(name, "rescue").foreach { s =>
-            if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
-          }
-        case _ => ()
+        case (Some(v), Some(b)) if v > 3 * b && v > 0.8 => Some((name, v, b))
+        case _                                          => None
+      }
+    }.sortBy { case (_, v, b) => -(v / b) }
+    var rescues = 0
+    for (round <- 1 to 2; (name, v, b) <- overFloor
+         if rescues < 24 && elapsed < deadlineSec) {
+      rescues += 1
+      System.err.println(
+        f"[bench][rescue$round] $name $v%.2f s vs baseline $b%.2f s — rerunning")
+      runCapped(name, "rescue").foreach { s =>
+        if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
       }
     }
     val best = names.flatMap { n =>

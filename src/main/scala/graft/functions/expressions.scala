@@ -172,6 +172,19 @@ case class ArgMaxCosine(child: Expression, centers: Array[Array[Float]])
   }
   override protected def withNewChildInternal(c: Expression): ArgMaxCosine = copy(child = c)
   override def prettyName: String = "argmax_cosine"
+  // array fields compare by reference in the synthesized case-class
+  // equals, which defeats subexpression elimination / plan
+  // canonicalization for semantically identical kernels — compare the
+  // center CONTENTS instead
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgMaxCosine => child == a.child &&
+      java.util.Arrays.deepEquals(
+        centers.asInstanceOf[Array[AnyRef]], a.centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])
 }
 
 /** PQ encoding of an array<float>: m sub-codes of the nearest subspace
@@ -189,6 +202,16 @@ case class PqEncode(child: Expression, centers: Array[Array[Array[Float]]])
   }
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
   override def prettyName: String = "pq_encode"
+  // content equality (see ArgMaxCosine)
+  override def equals(other: Any): Boolean = other match {
+    case a: PqEncode => child == a.child &&
+      java.util.Arrays.deepEquals(
+        centers.asInstanceOf[Array[AnyRef]], a.centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])
 }
 
 /** ADC cosine estimate from a PQ code against per-query lookup tables
@@ -207,6 +230,19 @@ case class PqAdcScore(child: Expression, dotLut: Array[Array[Double]],
   }
   override protected def withNewChildInternal(c: Expression): PqAdcScore = copy(child = c)
   override def prettyName: String = "pq_adc_score"
+  // content equality (see ArgMaxCosine)
+  override def equals(other: Any): Boolean = other match {
+    case a: PqAdcScore => child == a.child && qNorm == a.qNorm &&
+      java.util.Arrays.deepEquals(
+        dotLut.asInstanceOf[Array[AnyRef]], a.dotLut.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(
+        normLut.asInstanceOf[Array[AnyRef]], a.normLut.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Double.box(qNorm),
+      Int.box(java.util.Arrays.deepHashCode(dotLut.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.deepHashCode(normLut.asInstanceOf[Array[AnyRef]])))
 }
 
 /** Random-hyperplane LSH bucket bits for an array<float> embedding. */

@@ -215,6 +215,20 @@ final case class AsOfJoinExec(
   * NEGATED time columns (and a negated tiebreak for last-wins ties);
   * nearest = coalesce of the two by smaller distance. */
 object AsOf {
+  /** The sharded/forward/nearest compositions manipulate the time
+    * column arithmetically (`div` windowing, negation), so they demand
+    * LongType up front — without this, a date/timestamp time column
+    * only fails deep inside analysis with an opaque `div` error. */
+  private def requireLongTime(df: DataFrame, name: String, op: String): Unit = {
+    val dt = df.columns.find(_ == name)
+      .map(_ => df.schema(name).dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$op: no column '$name' in [${df.columns.mkString(",")}]"))
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"$op: time column '$name' must be LONG (epoch offset), got $dt — " +
+        "convert with unix_micros()/unix_millis() first")
+  }
+
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame, leftKeys: Seq[String],
       rightKeys: Seq[String], leftTime: String, rightTime: String,
       rightTies: Seq[String] = Nil, tolerance: Option[Long] = None,
@@ -272,6 +286,8 @@ object AsOf {
       rightTime: String, rightTies: Seq[String] = Nil, windowSize: Long,
       tolerance: Option[Long] = None): DataFrame = {
     require(windowSize > 0, "asofJoinSharded: windowSize must be > 0")
+    requireLongTime(leftDf, leftTime, "asofJoinSharded")
+    requireLongTime(rightDf, rightTime, "asofJoinSharded")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val lwb = "__graft_lwb"; val rwb = "__graft_rwb"
@@ -333,6 +349,12 @@ object AsOf {
       rightTime: String, rightTies: Seq[String] = Nil,
       tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    requireLongTime(leftDf, leftTime, "asofJoinForward")
+    requireLongTime(rightDf, rightTime, "asofJoinForward")
+    // negation is loud on the one unrepresentable value: -Long.MinValue
+    // overflows, and under ANSI (the default) Spark raises rather than
+    // wrapping — a time column at the domain edge cannot silently
+    // produce a wrong join
     val nlt = "__graft_neg_lt"; val nrt = "__graft_neg_rt"
     val l = leftDf.withColumn(nlt, -col(leftTime))
     val r = rightDf.withColumn(nrt, -col(rightTime))

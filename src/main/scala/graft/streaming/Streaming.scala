@@ -64,11 +64,19 @@ object Streaming {
     * agree row-for-row (StreamingSpec proves set equality). `buckets`
     * should stay a power of two so signed/unsigned hash views agree. */
   def sampleWeighted(df: DataFrame, idCol: String, rateSql: String,
-      buckets: Int = 16384, salt: String = "mix:"): DataFrame =
+      buckets: Int = 16384, salt: String = "mix:"): DataFrame = {
+    // `bucket` is part of the OUTPUT contract (the catalog and its
+    // oracle both read it), so it cannot be __graft_-prefixed away —
+    // refuse inputs that already carry one instead of silently
+    // overwriting the caller's column
+    require(!df.columns.contains("bucket"),
+      "sampleWeighted: input already has a 'bucket' column (it would be " +
+        "overwritten by the sampling bucket output); rename it first")
     df.withColumn("bucket",
         pmod(graft.functions.fnv64(concat(lit(salt), col(idCol))),
           lit(buckets)))
       .filter(col("bucket") < expr(rateSql))
+  }
 
   /** Q10 queued-writes semantics: micro-batch the stream through a
     * user function; the batchId is the reference's `sequence_number`

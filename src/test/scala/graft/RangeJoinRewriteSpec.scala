@@ -237,6 +237,53 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(viaTs === viaUs)
   }
 
+  test("original-arithmetic overflow rows: emitted pairs still satisfy the true predicate") {
+    // The one documented divergence (RangeJoinRewrite.scala): when the
+    // ORIGINAL `r_t - w` itself overflows Long (r_t within w of
+    // Long.MinValue), ANSI's naive plan raises, while the rewritten
+    // plan may instead drop the row (error only if the garbage bucket
+    // collides). This pins the SAFE side of that envelope: whatever
+    // the rewritten plan emits, every pair satisfies the true
+    // predicate under overflow-free (BigInt) arithmetic — the
+    // divergence can lose a would-have-raised row, never fabricate a
+    // match.
+    val w = 10L
+    val lv: Seq[java.lang.Long] = Seq(
+      Long.MinValue, Long.MinValue + 3, Long.MinValue + 9, Long.MinValue + 11,
+      -5L, 0L, 5L, Long.MaxValue - 5, Long.MaxValue)
+    // r_t values BELOW MinValue + w: the original `r_t - 10` overflows
+    val rv: Seq[java.lang.Long] = Seq(
+      Long.MinValue + 2, Long.MinValue + 5, Long.MinValue + 9,
+      -3L, 0L, 7L, Long.MaxValue)
+    val l = side(opt, "l", lv); val r = side(opt, "r", rv)
+    val joined = l.join(r, col("l_t") >= col("r_t") - w && col("l_t") < col("r_t"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+    scala.util.Try {
+      joined.select("l_id", "r_id", "l_t", "r_t").collect()
+    } match {
+      case scala.util.Failure(_) =>
+        // raised like the naive ANSI plan would — no divergence at all
+        succeed
+      case scala.util.Success(rows) =>
+        val lMap = lv.zipWithIndex.collect { case (v, i) if v != null => s"l$i" -> v }.toMap
+        val rMap = rv.zipWithIndex.collect { case (v, i) if v != null => s"r$i" -> v }.toMap
+        rows.foreach { row =>
+          val lt = BigInt(lMap(row.getString(0)))
+          val rt = BigInt(rMap(row.getString(1)))
+          assert(lt >= rt - w && lt < rt,
+            s"rewrite fabricated a non-matching pair: ${row.getString(0)}=${lt} ${row.getString(1)}=${rt}")
+        }
+        // rows that DON'T overflow the original arithmetic must all be
+        // present (the divergence is confined to overflow rows)
+        val safe = for {
+          (lid, lt) <- lMap.toSeq; (rid, rt) <- rMap.toSeq
+          if rt >= Long.MinValue + w && lt >= rt - w && lt < rt
+        } yield (lid, rid)
+        val got = rows.map(row => (row.getString(0), row.getString(1))).toSet
+        safe.foreach { p => assert(got.contains(p), s"safe pair $p missing") }
+    }
+  }
+
   test("empty-band and negative-width bounds are left alone") {
     val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
     // w = 0: l_t >= r_t AND l_t < r_t is unsatisfiable; rule must not divide by zero
