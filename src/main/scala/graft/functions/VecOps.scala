@@ -58,6 +58,35 @@ object VecOps {
     bits
   }
 
+  /** Cosine of a vector against centroid `cluster` of a center table
+    * riding as a plan reference object — the scoring twin of
+    * [[argmaxCosine]]. Bit-identical to
+    * `cosine(v, element_at(centersLiteral, cluster+1))`, which it
+    * replaces: the literal form inlines all k·d center floats into the
+    * plan tree (unprintable and unshippable at SemDeDup-scale k).
+    * An out-of-range cluster id throws, like ANSI `element_at`. */
+  def centroidCosine(v: ArrayData, cluster: Int, centers: Array[Array[Float]]): Double = {
+    if (cluster < 0 || cluster >= centers.length)
+      throw new ArrayIndexOutOfBoundsException(
+        s"centroid_cosine: cluster $cluster out of [0, ${centers.length})")
+    val cent = centers(cluster)
+    // the exact [[cosine]] arithmetic, with the centroid side read
+    // from the float[] instead of an ArrayData
+    val na = norm(v)
+    var nb = 0.0
+    var i = 0
+    while (i < cent.length) { val x = cent(i).toDouble; nb += x * x; i += 1 }
+    val nbs = math.sqrt(nb)
+    if (na == 0.0 || nbs == 0.0) 0.0
+    else {
+      var d = 0.0
+      i = 0
+      val n = math.min(v.numElements(), cent.length)
+      while (i < n) { d += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+      math.max(-1.0, math.min(1.0, d / (na * nbs)))
+    }
+  }
+
   /** Index of the max-cosine centroid, first-wins on ties (the same
     * rule as `array_position(sims, array_max(sims))`, which this
     * kernel replaces: per-center cosines use the exact [[cosine]]
@@ -84,6 +113,42 @@ object VecOps {
       c += 1
     }
     best
+  }
+
+  /** Second-level assignment for a two-level (hierarchical) quantizer:
+    * the GLOBAL cluster id `cell * k2 + j` where j is the max-cosine
+    * sub-centroid of `subCenters(cell)` (first wins ties, the
+    * [[argmaxCosine]] rule). All cells must have the same width k2 —
+    * the builder pads short/empty cells — so the flat id is
+    * `centers(cluster)`-addressable. Cost is O(k2·d) per row: with the
+    * coarse pass's O(k1·d) that is O(2·sqrt(k)·d) per row total,
+    * against O(k·d) for a flat argmax. */
+  def argmaxCosineCell(v: ArrayData, cell: Int,
+      subCenters: Array[Array[Array[Float]]]): Int = {
+    if (cell < 0 || cell >= subCenters.length)
+      throw new ArrayIndexOutOfBoundsException(
+        s"argmax_cosine_cell: cell $cell out of [0, ${subCenters.length})")
+    val sub = subCenters(cell)
+    val nv = norm(v)
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < sub.length) {
+      val cent = sub(c)
+      var dot = 0.0
+      var nc = 0.0
+      var i = 0
+      val m = math.min(v.numElements(), cent.length)
+      while (i < m) { dot += v.getFloat(i).toDouble * cent(i); i += 1 }
+      i = 0
+      while (i < cent.length) { nc += cent(i).toDouble * cent(i); i += 1 }
+      val s =
+        if (nv == 0.0 || nc == 0.0) 0.0
+        else math.max(-1.0, math.min(1.0, dot / (nv * math.sqrt(nc))))
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    cell * subCenters(0).length + best
   }
 
   // ---- product quantization (PQ) kernels ----------------------------

@@ -187,6 +187,73 @@ case class ArgMaxCosine(child: Expression, centers: Array[Array[Float]])
       java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])
 }
 
+/** Second-level assignment of a two-level quantizer: the global
+  * cluster id `cell * k2 + argmax_j cos(v, subCenters(cell)(j))`. The
+  * k1·k2·d sub-center floats ride as a plan reference object (see
+  * [[ArgMaxCosine]] for why literals don't survive large k). */
+case class ArgMaxCosineCell(left: Expression, right: Expression,
+    centers: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    VecOps.argmaxCosineCell(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], centers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subCenters", centers, "float[][][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VecOps.argmaxCosineCell($v, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgMaxCosineCell =
+    copy(left = l, right = r)
+  override def prettyName: String = "argmax_cosine_cell"
+  // content equality (see ArgMaxCosine)
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgMaxCosineCell => left == a.left && right == a.right &&
+      java.util.Arrays.deepEquals(
+        centers.asInstanceOf[Array[AnyRef]], a.centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Int.box(java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])))
+}
+
+/** Cosine of an array<float> vector against centroid `cluster` of a
+  * center table riding as a plan REFERENCE OBJECT — the scoring twin
+  * of [[ArgMaxCosine]]. Replaces
+  * `cosine_sim(v, element_at(typedLit(centers), cluster + 1))`, whose
+  * literal form inlines all k·d center floats into the plan: with
+  * SemDeDup-scale k (up to 2^20 centroids × d floats ≈ 256 MB) that
+  * plan neither prints nor ships to executors, and any filter pushed
+  * through the projection duplicates the whole literal tree. Results
+  * are bit-identical to the literal form (same double arithmetic). */
+case class CentroidCosine(left: Expression, right: Expression,
+    centers: Array[Array[Float]])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any, cluster: Any): Any =
+    VecOps.centroidCosine(v.asInstanceOf[ArrayData],
+      cluster.asInstanceOf[Int], centers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidCenters", centers, "float[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.VecOps.centroidCosine($v, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "centroid_cosine"
+  // content equality (see ArgMaxCosine)
+  override def equals(other: Any): Boolean = other match {
+    case a: CentroidCosine => left == a.left && right == a.right &&
+      java.util.Arrays.deepEquals(
+        centers.asInstanceOf[Array[AnyRef]], a.centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Int.box(java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])))
+}
+
 /** PQ encoding of an array<float>: m sub-codes of the nearest subspace
   * centroids. The codebook rides as a plan reference object (not an
   * inlined literal — m·256·dsub floats would blow the generated-code

@@ -54,6 +54,19 @@ package object functions {
   def argmax_cosine(c: Column, centers: Array[Array[Float]]): Column =
     col(ArgMaxCosine(expr(c), centers))
 
+  /** Two-level assignment: global id `cell * k2 + argmax_j` over
+    * `centers(cell)`; sub-centers ride as a plan reference object. */
+  def argmax_cosine_cell(v: Column, cell: Column,
+      centers: Array[Array[Array[Float]]]): Column =
+    col(ArgMaxCosineCell(expr(v), expr(cell), centers))
+
+  /** Cosine against centroid `cluster` of a center table; centers ride
+    * as a plan reference object, codegen-safe at any k (the scoring
+    * twin of [[argmax_cosine]]). */
+  def centroid_cosine(v: Column, cluster: Column,
+      centers: Array[Array[Float]]): Column =
+    col(CentroidCosine(expr(v), expr(cluster), centers))
+
   def pq_encode(c: Column, centers: Array[Array[Array[Float]]]): Column =
     col(PqEncode(expr(c), centers))
 

@@ -60,11 +60,10 @@ object Ann {
       centers: Array[Array[Float]]): DataFrame =
     df.withColumn("cluster", graft.functions.argmax_cosine(col(embCol), centers))
 
-  /** Fit a k-means coarse quantizer on a bounded sample, then assign
-    * every row to its nearest (max-cosine) centroid. `assigned` keeps
-    * the original columns plus `cluster`. */
-  def buildIvf(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
-      maxFitRows: Int = 100000): IvfIndex = {
+  /** MLlib k-means centers from a bounded sample of `df` (the fit-side
+    * discipline shared by the flat and hierarchical builds). */
+  private def fitCentersMl(df: DataFrame, embCol: String, k: Int,
+      seed: Long, maxFitRows: Int): Array[Array[Float]] = {
     // one column-pruned count to size the sample fraction (parquet
     // answers this from footer metadata, not a data scan)
     val n = df.count()
@@ -76,9 +75,151 @@ object Ann {
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("cluster")
       .fit(featured)
-    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Fit a k-means coarse quantizer on a bounded sample, then assign
+    * every row to its nearest (max-cosine) centroid. `assigned` keeps
+    * the original columns plus `cluster`. */
+  def buildIvf(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+      maxFitRows: Int = 100000): IvfIndex = {
+    val centers = fitCentersMl(df, embCol, k, seed, maxFitRows)
     IvfIndex(centers, assignByCosine(df, embCol, centers))
   }
+
+  /** A two-level build: the flat [[IvfIndex]] (centers addressable by
+    * the global cluster id) plus the fit's shape and measured Lloyd
+    * cost, so callers (and specs) can verify the fit stayed bounded. */
+  final case class HierIvf(index: IvfIndex, k1: Int, k2: Int,
+      sampleTarget: Long, subLloydDistComps: Long)
+
+  /** Deterministic lexicographic order on float vectors — cell samples
+    * are sorted with it before Lloyd so the fit is independent of
+    * shuffle arrival order. */
+  private val vecOrd: Ordering[Array[Float]] = new Ordering[Array[Float]] {
+    override def compare(a: Array[Float], b: Array[Float]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var c = 0
+      while (c == 0 && i < n) {
+        c = java.lang.Float.compare(a(i), b(i))
+        i += 1
+      }
+      if (c != 0) c else a.length - b.length
+    }
+  }
+
+  private def l2NormalizeF(a: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) a.clone()
+    else {
+      val out = new Array[Float](a.length)
+      i = 0
+      while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Two-level hierarchical coarse quantizer — the fit that REACHES
+    * SemDeDup-scale k (up to 2^20), where a flat Lloyd cannot: flat
+    * k-means is O(sample·k·d) per iteration (~10^17 flops at k=2^20,
+    * d=64 with a meaningful sample), runs on the driver via MLlib, and
+    * its bounded sample leaves ~2 points per centroid at the top. The
+    * standard IVF construction instead fits k1 ≈ sqrt(k) coarse
+    * centers (tiny MLlib problem), partitions a sqrt-scaled sample by
+    * coarse cell, and fits k2 ≈ sqrt(k) sub-centers per cell with a
+    * LOCAL Lloyd inside `mapGroups` — k1 independent, bounded,
+    * executor-side fits instead of one driver-side monolith:
+    *  - total fit work is O(sample·k2·d) = O(sample·sqrt(k)·d), a
+    *    sqrt(k) reduction, and it parallelizes over cells;
+    *  - every cell sees `pointsPerCentroid` sample points per
+    *    sub-centroid (the per-LEVEL sample sizing), capped at
+    *    4×k2×pointsPerCentroid per cell so one hot cell cannot drag a
+    *    straggler;
+    *  - assignment composes two bounded argmax passes
+    *    (O(2·sqrt(k)·d) per row vs O(k·d) flat), both codegen'd with
+    *    centers as plan reference objects;
+    *  - determinism: seeded sample, cells sorted lexicographically
+    *    before Lloyd, per-cell seed = seed + cell — shuffle arrival
+    *    order never reaches the fit.
+    * Cluster ids are `cell*k2 + j`, addressable in the returned flat
+    * `centers` (empty cells keep their coarse center, duplicated —
+    * they simply never win scoring that matters). The flat table is
+    * k·d floats (≤ 256 MB at the 2^20 ceiling) — a broadcast-sized
+    * artifact, shipped once per stage as a reference object. */
+  def buildIvfHierarchical(df: DataFrame, embCol: String, k: Int,
+      seed: Long = 42L, pointsPerCentroid: Int = 20,
+      coarseFitRows: Int = 200000, iters: Int = 8): HierIvf = {
+    require(k >= 4, s"buildIvfHierarchical: k must be >= 4, got $k")
+    require(pointsPerCentroid >= 1 && iters >= 1,
+      "buildIvfHierarchical: pointsPerCentroid and iters must be >= 1")
+    val k1Req = math.ceil(math.sqrt(k.toDouble)).toInt
+    val spark = df.sparkSession
+    import spark.implicits._
+    // level-1: a small MLlib problem (k1 centers from ~20·k1 points);
+    // MLlib may return FEWER than requested centers on degenerate
+    // samples (duplicate points), so the level sizes derive from the
+    // table actually fitted
+    val coarse = fitCentersMl(df, embCol, k1Req, seed,
+      math.min(coarseFitRows, math.max(1000, 20 * k1Req)))
+    val k1 = coarse.length
+    val k2 = math.ceil(k.toDouble / k1).toInt
+    val kTotal = k1 * k2 // >= k; the caller gets at LEAST k clusters
+    // level-2 sample: pointsPerCentroid per FINAL centroid, distributed
+    // (never collected whole — each cell collects only its own slice)
+    val n = df.count()
+    val sampleTarget = math.min(pointsPerCentroid.toLong * kTotal, n)
+    val frac = math.min(1.0, sampleTarget * 1.2 / math.max(1L, n))
+    val cellCap = 4 * pointsPerCentroid * k2
+    val perCell = (if (frac < 1.0) df.sample(withReplacement = false, frac, seed + 1) else df)
+      .select(col(embCol).as("__emb"))
+      .withColumn("__cell", graft.functions.argmax_cosine(col("__emb"), coarse))
+      .as[(Seq[Float], Int)]
+      .groupByKey(_._2)
+      .mapGroups { (cell, it) =>
+        val pts = it.map(_._1.toArray).toArray
+        java.util.Arrays.sort(pts, vecOrd)
+        val use = pts.take(cellCap).map(l2NormalizeF)
+        val cents = localKmeans(use, k2, iters, seed + 2 + cell)
+        (cell, cents.map(_.toSeq).toSeq, use.length.toLong * k2 * iters)
+      }
+      .collect()
+    val subByCell = perCell.map { case (cell, cs, _) =>
+      cell -> cs.map(_.toArray).toArray
+    }.toMap
+    val flat = Array.tabulate(kTotal) { id =>
+      subByCell.get(id / k2) match {
+        case Some(cs) => cs(id % k2)
+        case None     => coarse(id / k2) // cell empty in the sample
+      }
+    }
+    val subCenters = Array.tabulate(k1)(c =>
+      Array.tabulate(k2)(j => flat(c * k2 + j)))
+    val cellCol = "__graft_cell"
+    require(!df.columns.contains(cellCol),
+      s"buildIvfHierarchical: input collides with reserved column $cellCol")
+    val assigned = df
+      .withColumn(cellCol, graft.functions.argmax_cosine(col(embCol), coarse))
+      .withColumn("cluster",
+        graft.functions.argmax_cosine_cell(col(embCol), col(cellCol), subCenters))
+      .drop(cellCol)
+    HierIvf(IvfIndex(flat, assigned), k1, k2, sampleTarget,
+      perCell.map(_._3).sum)
+  }
+
+  /** The build the catalog uses: flat MLlib fit while k is small
+    * enough that a single Lloyd problem is cheap and well-sampled;
+    * past `hierThreshold` the two-level fit takes over (flat cost
+    * grows O(k) per sample point AND the capped sample starves the
+    * centroids — the round-7 verdict's "un-capped k is not fittable"
+    * finding). */
+  def buildIvfAuto(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+      maxFitRows: Int = 100000, hierThreshold: Int = 4096): IvfIndex =
+    if (k <= hierThreshold) buildIvf(df, embCol, k, seed, maxFitRows)
+    else buildIvfHierarchical(df, embCol, k, seed).index
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): compare embeddings only WITHIN their k-means
@@ -104,9 +245,13 @@ object Ann {
     * `cluster`). */
   def semanticDedup(index: IvfIndex, embCol: String, idCol: String,
       tau: Double): DataFrame = {
-    val centersLit = typedLit(index.centers.map(_.toSeq).toSeq)
+    // centroid scoring rides the centers as ONE plan reference object
+    // (the argmax_cosine pattern): the previous
+    // element_at(typedLit(centers), cluster+1) spelling inlined all
+    // k·d floats as a literal — at semanticK-scale k (2^20 × d ≈
+    // 256 MB) that plan neither prints nor ships
     val scored = index.assigned.withColumn("__ccos",
-      cosine_sim(col(embCol), element_at(centersLit, col("cluster") + 1)))
+      graft.functions.centroid_cosine(col(embCol), col("cluster"), index.centers))
     val x = scored.select(col(idCol).as("__xid"), col("cluster").as("__xc"),
       col(embCol).as("__xe"), col("__ccos").as("__xs"))
     val y = scored.select(col(idCol).as("__yid"), col("cluster").as("__yc"),
