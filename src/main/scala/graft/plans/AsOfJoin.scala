@@ -319,6 +319,99 @@ object AsOf {
       .drop(lwb, rwb)
   }
 
+  /** Skew-resistant FORWARD as-of: the sharded composition over
+    * negated time columns — negation turns "earliest at-or-after"
+    * into "latest at-or-before", `div` stays a monotone partition of
+    * the negated domain (truncating division is order-preserving),
+    * and the backward carries become carries from the FOLLOWING real
+    * window. Tie rules match [[asofJoinForward]] exactly (equal times
+    * keep the highest tiebreak); tolerance bounds the forward
+    * distance. Same 3-exchange budget as [[asofJoinSharded]]. */
+  def asofJoinShardedForward(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
+      rightTime: String, rightTies: Seq[String] = Nil, windowSize: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    requireLongTime(leftDf, leftTime, "asofJoinShardedForward")
+    requireLongTime(rightDf, rightTime, "asofJoinShardedForward")
+    val nlt = "__graft_neg_lt"; val nrt = "__graft_neg_rt"
+    val l = leftDf.withColumn(nlt, -col(leftTime))
+    val r = rightDf.withColumn(nrt, -col(rightTime))
+    asofJoinSharded(l, r, leftKeys, rightKeys, nlt, nrt, rightTies,
+        windowSize, tolerance)
+      .drop(nlt, nrt)
+  }
+
+  /** Skew-resistant NEAREST as-of: the sharded composition with
+    * carries from BOTH directions. Each (key, window) shard sees its
+    * own right rows plus (a) the latest right row from any earlier
+    * window and (b) the earliest right row from any later window, so
+    * the within-shard nearest merge reconstructs the global
+    * backward/forward candidates exactly:
+    *  - backward carry = as-of over one-row-per-window "lasts"
+    *    (the [[asofJoinSharded]] step 2, verbatim);
+    *  - forward carry = FORWARD as-of over one-row-per-window
+    *    "firsts" ((time, ties) ASC per window — nearest resolves
+    *    forward ties to the LOWEST tiebreak, so the carry must too);
+    *  - windows are monotone in time, so a carry can never outrank an
+    *    own-window row on the wrong side.
+    * Tie rules therefore match [[asofJoinNearest]] exactly (backward
+    * wins equal distances; equal backward times keep the highest
+    * tiebreak, equal forward times the lowest); `tolerance` bounds
+    * the chosen REAL distance inside the merge. Exchange budget: one
+    * extra bounded aggregate + tiny as-of versus [[asofJoinSharded]]
+    * (the "firsts" plane), still nothing keyed on the bare hot key. */
+  def asofJoinShardedNearest(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
+      rightTime: String, rightTies: Seq[String] = Nil, windowSize: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(windowSize > 0, "asofJoinShardedNearest: windowSize must be > 0")
+    requireLongTime(leftDf, leftTime, "asofJoinShardedNearest")
+    requireLongTime(rightDf, rightTime, "asofJoinShardedNearest")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val lwb = "__graft_lwb"; val rwb = "__graft_rwb"
+    val reserved = Seq(lwb, rwb, "__graft_rn", "__graft_prev", "__graft_next")
+    require(!(leftDf.columns ++ rightDf.columns).exists(reserved.contains),
+      s"asofJoinShardedNearest: input columns collide with reserved names $reserved")
+    val rCols = rightDf.columns.toSeq
+    val l = leftDf.withColumn(lwb, expr(s"`$leftTime` div ${windowSize}L"))
+    val r = rightDf.withColumn(rwb, expr(s"`$rightTime` div ${windowSize}L"))
+    // each (key, window)'s LAST (time, ties) row — backward carry source
+    val wLast = Window.partitionBy((rightKeys :+ rwb).map(col): _*)
+      .orderBy(col(rightTime).desc +: rightTies.map(c => col(c).desc): _*)
+    val rLast = r.withColumn("__graft_rn", row_number().over(wLast))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    // each (key, window)'s FIRST (time, ties) row — forward carry source
+    val wFirst = Window.partitionBy((rightKeys :+ rwb).map(col): _*)
+      .orderBy(col(rightTime).asc +: rightTies.map(c => col(c).asc): _*)
+    val rFirst = r.withColumn("__graft_rn", row_number().over(wFirst))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val lWins = l.select((leftKeys :+ lwb).map(col): _*).distinct()
+    // backward carry per left window = latest per-window last with wb < w
+    val lPrev = lWins.withColumn("__graft_prev", col(lwb) - 1)
+    val bJoined = asofJoin(lPrev, rLast, leftKeys, rightKeys,
+      "__graft_prev", rwb, Nil, None)
+    val bNames = lPrev.columns.map("w_" + _) ++ rLast.columns.map("c_" + _)
+    val bCarries = bJoined.toDF(bNames.toIndexedSeq: _*)
+      .filter(col("c_" + rightTime).isNotNull)
+      .select(rCols.map(c => col("c_" + c).as(c)) :+ col("w_" + lwb).as(rwb): _*)
+    // forward carry per left window = earliest per-window first with wb > w
+    val lNext = lWins.withColumn("__graft_next", col(lwb) + 1)
+    val fJoined = asofJoinForward(lNext, rFirst, leftKeys, rightKeys,
+      "__graft_next", rwb, Nil, None)
+    val fNames = lNext.columns.map("w_" + _) ++ rFirst.columns.map("c_" + _)
+    val fCarries = fJoined.toDF(fNames.toIndexedSeq: _*)
+      .filter(col("c_" + rightTime).isNotNull)
+      .select(rCols.map(c => col("c_" + c).as(c)) :+ col("w_" + lwb).as(rwb): _*)
+    // within-shard NEAREST over (key, window), carries from both sides
+    val rAll = r.select((rCols :+ rwb).map(col): _*)
+      .unionByName(bCarries).unionByName(fCarries)
+    asofJoin(l, rAll, leftKeys :+ lwb, rightKeys :+ rwb, leftTime, rightTime,
+        rightTies, tolerance, nearest = true)
+      .drop(lwb, rwb)
+  }
+
   /** Nearest as-of (pandas merge_asof direction='nearest'): the closer
     * of the backward and forward matches per left row, backward
     * winning distance ties. Long (epoch-offset) time columns only —

@@ -524,6 +524,78 @@ object Batch10 {
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "skew-sharded as-of join ((key, time-window) shards + boundary carries; result-identical)"),
 
+    // ---- skew-resistant FORWARD as-of: asof_forward's query through
+    // AsOf.asofJoinShardedForward — the sharded composition over
+    // negated times, carries arriving from the FOLLOWING window. Same
+    // oracle as asof_forward: sharding must be invisible in the result.
+    "asof_sharded_fwd" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoinShardedForward(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"),
+            windowSize = 3600000000L)
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts ASC, c.event_id DESC) AS rn
+             |  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id AND c.ts >= p.ts)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "skew-sharded forward as-of (negated-time windows, carries from the following window)"),
+
+    // ---- skew-resistant NEAREST as-of: asof_nearest's query through
+    // AsOf.asofJoinShardedNearest — carries from BOTH directions per
+    // window, within-shard nearest merge. Same oracle as asof_nearest.
+    "asof_sharded_near" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("us").as("c_us"))
+        graft.plans.AsOf.asofJoinShardedNearest(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+            leftTime = "p_us", rightTime = "c_us", rightTies = Seq("click_id"),
+            windowSize = 3600000000L)
+          .select(col("purchase_id"), col("user_id"), col("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, click_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+             |      abs(c.us - p.us),
+             |      CASE WHEN c.us <= p.us THEN 0 ELSE 1 END,
+             |      CASE WHEN c.us <= p.us THEN -c.event_id
+             |           ELSE c.event_id END) AS rn
+             |  FROM (SELECT event_id, user_id,
+             |          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |        FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT event_id, user_id,
+             |          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |        FROM events WHERE event_type = 'click') c
+             |    ON c.user_id = p.user_id)
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
+      "skew-sharded nearest as-of (both-direction carries; within-shard nearest merge)"),
+
     // ---- as-of with tolerance: same operator, but a candidate more
     // than 10 minutes behind the purchase becomes a null instead
     // (pandas merge_asof(tolerance=...)). The operator checks only the

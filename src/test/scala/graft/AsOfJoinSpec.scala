@@ -292,6 +292,77 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("randomized: sharded FORWARD as-of equals plain forward over hot-key data") {
+    val rnd = new scala.util.Random(4321)
+    for (trial <- 1 to 3) {
+      def key() = if (rnd.nextBoolean()) 1L else 2L + rnd.nextInt(3)
+      val l = Seq.fill(120)((key(), rnd.nextInt(1000).toLong, rnd.nextLong()))
+        .toDF("k", "t", "lid")
+      val r = Seq.fill(120)((key(), rnd.nextInt(1000).toLong, rnd.nextLong()))
+        .toDF("k2", "t2", "rid")
+      val w = 1L + rnd.nextInt(300)
+      val tol = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(200).toLong) else None
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"lid", $"rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val plain = rows(AsOf.asofJoinForward(l, r, Seq("k"), Seq("k2"),
+        "t", "t2", Seq("rid"), tol))
+      val sharded = rows(AsOf.asofJoinShardedForward(l, r, Seq("k"), Seq("k2"),
+        "t", "t2", Seq("rid"), windowSize = w, tolerance = tol))
+      assert(sharded === plain, s"trial $trial windowSize=$w tol=$tol")
+    }
+  }
+
+  test("randomized: sharded NEAREST as-of equals plain nearest over hot-key data") {
+    val rnd = new scala.util.Random(9876)
+    for (trial <- 1 to 3) {
+      def key() = if (rnd.nextBoolean()) 1L else 2L + rnd.nextInt(3)
+      // a narrow time domain on purpose: plenty of duplicate times, so
+      // both directions' TIE rules (backward highest rid, forward
+      // lowest rid, backward beats forward) are exercised for real
+      val l = Seq.fill(120)((key(), rnd.nextInt(200).toLong, rnd.nextLong()))
+        .toDF("k", "t", "lid")
+      val r = Seq.fill(120)((key(), rnd.nextInt(200).toLong, rnd.nextLong()))
+        .toDF("k2", "t2", "rid")
+      val w = 1L + rnd.nextInt(80)
+      val tol = if (rnd.nextBoolean()) Some(1L + rnd.nextInt(60).toLong) else None
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"lid", $"rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val plain = rows(AsOf.asofJoinNearest(l, r, Seq("k"), Seq("k2"),
+        "t", "t2", Seq("rid"), tol))
+      val sharded = rows(AsOf.asofJoinShardedNearest(l, r, Seq("k"), Seq("k2"),
+        "t", "t2", Seq("rid"), windowSize = w, tolerance = tol))
+      assert(sharded === plain, s"trial $trial windowSize=$w tol=$tol")
+    }
+  }
+
+  test("sharded forward/nearest: carries cross empty windows in both directions") {
+    // hot key, rights clustered in early AND late windows; left rows in
+    // the empty middle must find the right carry on each side
+    val l = Seq((1L, 47L, "mid"), (1L, 5L, "early"), (1L, 93L, "late"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 8L, 80L), (1L, 91L, 910L)).toDF("k2", "t2", "rid")
+    val fwd = AsOf.asofJoinShardedForward(l, r, Seq("k"), Seq("k2"), "t", "t2",
+      Seq("rid"), windowSize = 10L)
+      .select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> (if (rw.isNullAt(1)) -1L else rw.getLong(1))).toMap
+    // forward: earliest right at-or-after; t=93 has none -> null
+    assert(fwd === Map("early" -> 80L, "mid" -> 910L, "late" -> -1L))
+    val near = AsOf.asofJoinShardedNearest(l, r, Seq("k"), Seq("k2"), "t", "t2",
+      Seq("rid"), windowSize = 10L)
+      .select($"lv", $"rid").collect()
+      .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+    // nearest: 47 is 39 from rid 80 and 44 from rid 910 -> backward 80
+    assert(near === Map("early" -> 80L, "mid" -> 80L, "late" -> 910L))
+    // schema round-trips: no internal columns leak
+    val df = AsOf.asofJoinShardedNearest(l, r, Seq("k"), Seq("k2"), "t", "t2",
+      Seq("rid"), windowSize = 10L)
+    assert(df.columns.toSeq === Seq("k", "t", "lv", "k2", "t2", "rid"))
+  }
+
   test("backward as-of works directly on timestamp time columns") {
     // the no-tolerance merge is type-agnostic (natural ordering over
     // the internal µs long) — no unix_micros pre-conversion required
