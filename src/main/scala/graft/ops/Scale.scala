@@ -56,6 +56,56 @@ object Scale {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Build a Bloom filter over `dim`'s join keys — the SEMI-JOIN
+    * PUSHDOWN artifact for a 100-TB fact scan: a fact⋈dim join where
+    * the dim side keeps few keys still shuffles EVERY fact row before
+    * the join can drop the misses; probing a bloom of the dim keys
+    * inside the fact's scan stage drops them pre-shuffle, at zero
+    * false negatives (exactness restored by the real join behind it).
+    * Spark's own AQE runtime filter (InjectRuntimeFilter) plants the
+    * same shape automatically, but only within one query and under
+    * its own thresholds; this explicit artifact is BUILD-ONCE /
+    * APPLY-MANY — e.g. a dedup keep-set bloom probed by every
+    * downstream corpus scan of a pipeline, or shipped cross-job like
+    * the IVF centers sidecar.
+    *
+    * The filter binary is `optimalNumOfBits(n, fpp)` bits (~9.6
+    * bits/key at 1% fpp — 1.2 MB per million keys): driver-held and
+    * broadcast-sized, the same budget class as a broadcast-hash dim.
+    * Keys are probed via xxhash64 (seed 42), matching
+    * [[bloomPrefilter]]'s probe exactly. */
+  def bloomKeyFilter(dim: DataFrame, dimKey: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftSql
+    require(fpp > 0 && fpp < 1, s"bloomKeyFilter: fpp must be in (0,1), got $fpp")
+    val n = if (expectedItems > 0) expectedItems else dim.select(dimKey).count()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(math.max(1L, n), fpp)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftSql.expression(col(dimKey))), 42L),
+      Literal(math.max(1L, n)), Literal(numBits))
+    dim.select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Probe a [[bloomKeyFilter]] inside `fact`'s scan stage: rows whose
+    * key cannot be in the dim set are dropped BEFORE any exchange.
+    * No false negatives — composing with the real join afterwards is
+    * result-identical to the unfiltered join (the oracle-gated
+    * `bloom_prefilter_join` catalog entry proves it); false positives
+    * (~fpp of non-matching rows) just ride through to the join that
+    * would have dropped them anyway. */
+  def bloomPrefilter(fact: DataFrame, factKey: String,
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.GraftSql
+    fact.filter(GraftSql.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftSql.expression(col(factKey))), 42L))))
+  }
+
   /** 16-bit Morton interleave of two 8-bit dimensions as a SQL
     * expression string (pure shift/mask arithmetic — stays in
     * whole-stage codegen; same formula the zorder_key oracle runs in

@@ -710,6 +710,35 @@ object Batch10 {
              |WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
       "nearest as-of join (closer of backward/forward, backward wins ties; one merge pass)"),
 
+    // ---- bloom-filter semi-join pushdown: the 100-TB pre-shuffle
+    // lever made explicit. A fact⋈dim join with a selective dim still
+    // shuffles EVERY fact row before dropping the misses; probing a
+    // bloom of the dim keys inside the fact's scan stage drops them
+    // pre-shuffle (no false negatives; false positives die in the real
+    // join behind it, so the result is EXACTLY the plain join — which
+    // is the oracle). Unlike AQE's InjectRuntimeFilter this artifact
+    // is built once and applied across stages/jobs (a dedup keep-set
+    // bloom probed by every downstream corpus scan). PlanSpec asserts
+    // the probe sits below the join in the executed plan.
+    "bloom_prefilter_join" -> Q(
+      (s, dir) => {
+        val dim = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"))
+        val bloom = graft.ops.Scale.bloomKeyFilter(dim, "c_custkey")
+        val fact = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        graft.ops.Scale.bloomPrefilter(fact, "o_custkey", bloom)
+          .join(dim, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |ORDER BY o_orderkey""".stripMargin),
+      "bloom semi-join pushdown: dim-key bloom probed in the fact scan pre-shuffle (result-identical to the plain join)"),
+
     // ---- TPC-H Q9-shaped profit rollup: 5-table star join
     // (lineitem ⋈ supplier ⋈ part ⋈ orders ⋈ nation) with a part-name
     // predicate, profit aggregated by (nation, order year). Spark-first

@@ -34,6 +34,55 @@ class ScaleSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("bloom prefilter: zero false negatives, selective, probed below the shuffle") {
+    val dir = sf("sf0.001")
+    val dim = graft.queries.Catalog.table(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val fact = graft.queries.Catalog.table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val bloom = Scale.bloomKeyFilter(dim, "c_custkey")
+    val pre = Scale.bloomPrefilter(fact, "o_custkey", bloom)
+
+    // no false negatives: every fact row whose key IS in the dim set
+    // survives the probe — the exactness the semi-join composition
+    // stands on
+    val dimKeys = dim.collect().map(_.getLong(0)).toSet
+    val matching = fact.collect().filter(r => dimKeys.contains(r.getLong(1)))
+    val preKeys = pre.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    matching.foreach { r =>
+      assert(preKeys.contains(r.getLong(0)), s"order ${r.getLong(0)} lost")
+    }
+    // selective: at 1% fpp the probe drops nearly all non-matching rows
+    val full = fact.count(); val kept = pre.count()
+    assert(kept < matching.length + math.max(50L, (full * 0.05).toLong),
+      s"probe barely filtered: $kept of $full (true matches ${matching.length})")
+
+    // plan shape: under a SHUFFLE join (broadcast disabled) the probe
+    // runs in the fact's scan stage, BELOW the exchange — the rows it
+    // drops are never shuffled
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Scale.bloomPrefilter(fact, "o_custkey", bloom)
+        .join(dim, $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val lines = plan.linesIterator.toSeq
+      val probeIdx = lines.indexWhere(_.contains("might_contain"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(probeIdx >= 0, s"no bloom probe in plan:\n${plan.take(2000)}")
+      assert(exchangeIdx >= 0 && exchangeIdx < probeIdx,
+        s"probe not below the exchange (probe@$probeIdx, exchange@$exchangeIdx):\n${plan.take(3000)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("approx_distinct (HLL++) lands within 10% of exact distinct") {
     val dir = sf("sf0.01")
     val ev = graft.queries.Catalog.events(spark, dir)
