@@ -58,6 +58,21 @@ object VecOps {
     bits
   }
 
+  /** Driver-side cosine between two float[] (centroid ranking in the
+    * IVF search paths — same arithmetic as [[cosine]]). */
+  def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i).toDouble * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else math.max(-1.0, math.min(1.0, d / (math.sqrt(na) * math.sqrt(nb))))
+  }
+
   /** Cosine of a vector against centroid `cluster` of a center table
     * riding as a plan reference object — the scoring twin of
     * [[argmaxCosine]]. Bit-identical to

@@ -88,10 +88,11 @@ object Ann {
   }
 
   /** A two-level build: the flat [[IvfIndex]] (centers addressable by
-    * the global cluster id) plus the fit's shape and measured Lloyd
+    * the global cluster id), the coarse table (for two-level probing
+    * in [[searchIvfHier]]), plus the fit's shape and measured Lloyd
     * cost, so callers (and specs) can verify the fit stayed bounded. */
-  final case class HierIvf(index: IvfIndex, k1: Int, k2: Int,
-      sampleTarget: Long, subLloydDistComps: Long)
+  final case class HierIvf(index: IvfIndex, coarse: Array[Array[Float]],
+      k1: Int, k2: Int, sampleTarget: Long, subLloydDistComps: Long)
 
   /** Deterministic lexicographic order on float vectors — cell samples
     * are sorted with it before Lloyd so the fit is independent of
@@ -206,8 +207,31 @@ object Ann {
       .withColumn("cluster",
         graft.functions.argmax_cosine_cell(col(embCol), col(cellCol), subCenters))
       .drop(cellCol)
-    HierIvf(IvfIndex(flat, assigned), k1, k2, sampleTarget,
+    HierIvf(IvfIndex(flat, assigned), coarse, k1, k2, sampleTarget,
       perCell.map(_._3).sum)
+  }
+
+  /** Two-level IVF probe over a hierarchical index: rank the k1 coarse
+    * cells, then only the sub-centers of the best `nprobeCoarse` cells,
+    * and scan the best `nprobe` global clusters — driver ranking cost
+    * O((k1 + nprobeCoarse·k2)·d) instead of [[searchIvf]]'s O(k·d),
+    * which matters exactly where the hierarchical build does (at
+    * k=2^20 a flat rank touches 1M centers per query; two-level
+    * touches ~2k·nprobeCoarse). The scan itself is the same
+    * partition-pruned cluster filter + TakeOrdered as [[searchIvf]]. */
+  def searchIvfHier(h: HierIvf, embCol: String, query: Array[Float],
+      topK: Int, nprobeCoarse: Int, nprobe: Int,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val cells = rankClusters(h.coarse, query).take(nprobeCoarse)
+    val candidates = cells.flatMap(c =>
+      (0 until h.k2).map(j => c * h.k2 + j))
+    val probed = candidates
+      .sortBy(id => -graft.functions.VecOps.cosineFF(h.index.centers(id), query))
+      .take(nprobe)
+    bruteForce(
+      h.index.assigned.filter(
+        col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)),
+      embCol, query, topK, tieBreak)
   }
 
   /** The build the catalog uses: flat MLlib fit while k is small

@@ -348,6 +348,34 @@ class AnnSpec extends SparkTestBase {
     assert(again === keptIds)
   }
 
+  test("hierarchical search: exhaustive probes equal brute force; pruned probes recall") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.select($"vec_id", $"embedding")
+    val h = Ann.buildIvfHierarchical(base, "embedding", k = 64)
+    val kTot = h.k1 * h.k2
+    val tie = Seq(col("vec_id"))
+    val exact = Ann.bruteForce(h.index.assigned, "embedding", query, 10, tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // exhaustive two-level probe = the exact scan (the ranking stages
+    // only order candidates that all survive)
+    val exhaustive = Ann.searchIvfHier(h, "embedding", query, 10,
+        nprobeCoarse = h.k1, nprobe = kTot, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(exhaustive === exact)
+    // pruned probe: on this fixture (mutually far-apart random
+    // vectors, no cluster structure) recall tracks probe COVERAGE, so
+    // at half the clusters expect roughly half the top-10 — assert a
+    // floor comfortably below the coverage expectation plus the one
+    // structural guarantee (the query's own cluster ranks first, so
+    // its own vector always recalls)
+    val pruned = Ann.searchIvfHier(h, "embedding", query, 10,
+        nprobeCoarse = math.max(2, h.k1 / 2), nprobe = kTot / 2, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(exact.toSet).size >= 3,
+      s"recall too low: ${pruned.intersect(exact.toSet).size}/10")
+    assert(pruned.contains(7L)) // the query's own vector always recalls
+  }
+
   test("buildIvfAuto: flat path below threshold is byte-identical to buildIvf") {
     val base = emb.select($"vec_id", $"embedding")
     val auto = Ann.buildIvfAuto(base, "embedding", k = 8)
