@@ -106,6 +106,21 @@ object Scale {
       new XxHash64(Seq(GraftSql.expression(col(factKey))), 42L))))
   }
 
+  /** Persist a bloom filter the way the other build-once artifacts
+    * persist (IVF centers, PQ codebooks): a one-row binary sidecar
+    * table, so the SAME filter binary serves every later batch or
+    * streaming scan of the pipeline (and any engine that can read
+    * parquet + spark's bloom encoding). */
+  def persistBloom(bloom: Array[Byte],
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq(bloom).toDF("bloom").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Byte] =
+    spark.read.parquet(path).head().getAs[Array[Byte]]("bloom")
+
   /** 16-bit Morton interleave of two 8-bit dimensions as a SQL
     * expression string (pure shift/mask arithmetic — stays in
     * whole-stage codegen; same formula the zorder_key oracle runs in

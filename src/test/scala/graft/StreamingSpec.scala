@@ -160,6 +160,36 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("bloom prefilter twin: a persisted keep-set bloom on an orders stream == batch rows") {
+    // the build-once/apply-many artifact end-to-end: build the dim-key
+    // bloom once, persist it, and probe the RELOADED binary on a
+    // streaming fact scan — stateless filter, no watermark, identical
+    // row set to the batch probe
+    val dim = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val bloomDir = tmp()
+    graft.ops.Scale.persistBloom(
+      graft.ops.Scale.bloomKeyFilter(dim, "c_custkey"), spark, bloomDir)
+    val bloom = graft.ops.Scale.loadBloom(spark, bloomDir)
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "orders.parquet"),
+      Paths.get(dir, "orders.parquet"))
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select($"o_orderkey", $"o_custkey")
+    val filtered = graft.ops.Scale.bloomPrefilter(stream, "o_custkey", bloom)
+    val q = filtered.writeStream.format("memory").queryName("eq_bloom")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Scale.bloomPrefilter(
+        spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+          .select($"o_orderkey", $"o_custkey"), "o_custkey", bloom)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("stream_tumbling twin: real streaming window agg == oracled batch rows") {
     val (stream, _) = eventsStream()
     val agg = stream
