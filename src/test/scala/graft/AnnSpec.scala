@@ -348,6 +348,38 @@ class AnnSpec extends SparkTestBase {
     assert(again === keptIds)
   }
 
+  test("hierarchical fit at volume: 20k rows, k=1024 — bounded cost, balanced cells") {
+    // deterministic synthetic embeddings (splitmix-style hash -> 16
+    // dims in [-1, 1]): enough volume that every coarse cell fits from
+    // a real sample, at a k above the buildIvfAuto threshold scale
+    def h64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val rows = Seq.tabulate(20000) { i =>
+      (i.toLong, Array.tabulate(16) { j =>
+        (h64(i.toLong * 31 + j).toDouble / Long.MaxValue).toFloat })
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val h = Ann.buildIvfHierarchical(df, "embedding", k = 1024)
+    val fitSec = (System.nanoTime() - t0) / 1e9
+    assert(fitSec < 120.0, s"fit took ${fitSec}s")
+    assert(h.k1 * h.k2 >= 1024)
+    // measured Lloyd work within the per-level budget
+    assert(h.subLloydDistComps <= 2L * h.sampleTarget * h.k2 * 8)
+    // the cells actually partition the data: many non-empty clusters,
+    // and the mean non-empty cluster size stays near n/k instead of
+    // collapsing into a few giant cells
+    val sizes = h.index.assigned.groupBy("cluster").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length > 256, s"only ${sizes.length} non-empty clusters")
+    assert(20000.0 / sizes.length < 80.0,
+      s"mean cluster size ${20000.0 / sizes.length} vs target ~20")
+  }
+
   test("hierarchical search: exhaustive probes equal brute force; pruned probes recall") {
     import org.apache.spark.sql.functions.col
     val base = emb.select($"vec_id", $"embedding")

@@ -361,6 +361,14 @@ class AsOfJoinSpec extends SparkTestBase {
     val df = AsOf.asofJoinShardedNearest(l, r, Seq("k"), Seq("k2"), "t", "t2",
       Seq("rid"), windowSize = 10L)
     assert(df.columns.toSeq === Seq("k", "t", "lv", "k2", "t2", "rid"))
+    // both directions' final as-ofs shuffle on (key, window) — the
+    // skew lever is in the executed plan, not just the result
+    val nearPlan = df.queryExecution.executedPlan.toString
+    assert(nearPlan.contains("__graft_lwb"), nearPlan.take(2000))
+    val fwdPlan = AsOf.asofJoinShardedForward(l, r, Seq("k"), Seq("k2"),
+        "t", "t2", Seq("rid"), windowSize = 10L)
+      .queryExecution.executedPlan.toString
+    assert(fwdPlan.contains("__graft_lwb"), fwdPlan.take(2000))
   }
 
   test("backward as-of works directly on timestamp time columns") {
