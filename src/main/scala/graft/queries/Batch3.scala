@@ -201,6 +201,84 @@ object Batch3 {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Connected-component fixpoint over the >=0.5-Jaccard near-dup
+    * graph: `(doc_id, cluster_rep)` by iterative min-label
+    * propagation. Memoized per (session, dir) — the propagation loop
+    * runs actions (one `count` per round), so dedup_clusters and
+    * split_by_cluster share ONE run and later consumers read the
+    * checkpointed fixpoint (Bench marks both `amortized`). */
+  private val clusterMemo = new SessionMemo[DataFrame]((s, dir) => {
+    val pairs = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // materialize the (small) edge set once — otherwise the whole
+    // pair-mining subtree re-executes in every propagation round.
+    // Plain shuffled join below, NOT broadcast: at 100 TB the
+    // near-dup pair graph is billions of edges and a broadcast
+    // (relayed through the driver) dies; the shuffle partitions on
+    // v/doc_id and AQE still turns it into a broadcast join when
+    // the edge set happens to be tiny.
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint(false)
+    // per round, truncate lineage (localCheckpoint) so round N+1
+    // doesn't replay rounds 1..N, and stop when no label changes —
+    // the standard distributed connected-components loop.
+    val docs = table(s, dir, "documents").select(col("doc_id"))
+    var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("v"), col("rep").as("vrep")), "v")
+        .groupBy(col("u")).agg(min(col("vrep")).as("nrep"))
+      val next = labels
+        .join(nmin.select(col("u").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    // never emit silently-wrong components: a diameter > maxRounds
+    // graph must fail loudly, not return half-propagated labels
+    require(changed == 0,
+      s"dedup_clusters: not converged after $maxRounds rounds ($changed labels still changing)")
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+  })
+
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterMemo(s, dir)
+
+  /** DuckDB re-derivation of [[clusterLabels]] (no ORDER BY — callers
+    * append their own or wrap it as a CTE). Shared by the
+    * dedup_clusters and split_by_cluster oracles. */
+  private[queries] def clusterRepSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
+       |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
   /** IVF index memoized per (session, sf dir): built once (sample fit +
     * one assignment scan), searched many times — the catalog entry is
     * search-only after the first call, mirroring how a real deployment
@@ -660,72 +738,11 @@ object Batch3 {
     // pair graph by iterative min-label propagation, run to a FIXPOINT
     // (O(diameter) rounds; real near-dup clusters are dense, so 2-3
     // rounds typical). Every doc reports its cluster representative
-    // (its own id when unique).
+    // (its own id when unique). The fixpoint lives in [[clusterLabels]]
+    // (memoized) so split_by_cluster shares one propagation run.
     "dedup_clusters" -> Q(
-      (s, dir) => {
-        val pairs = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        // materialize the (small) edge set once — otherwise the whole
-        // pair-mining subtree re-executes in every propagation round.
-        // Plain shuffled join below, NOT broadcast: at 100 TB the
-        // near-dup pair graph is billions of edges and a broadcast
-        // (relayed through the driver) dies; the shuffle partitions on
-        // v/doc_id and AQE still turns it into a broadcast join when
-        // the edge set happens to be tiny.
-        val edges = pairs.union(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .toDF("u", "v")
-          .localCheckpoint(false)
-        // per round, truncate lineage (localCheckpoint) so round N+1
-        // doesn't replay rounds 1..N, and stop when no label changes —
-        // the standard distributed connected-components loop.
-        val docs = table(s, dir, "documents").select(col("doc_id"))
-        var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
-        var changed = 1L
-        var rounds = 0
-        val maxRounds = 50
-        while (changed > 0 && rounds < maxRounds) {
-          val nmin = edges
-            .join(labels.select(col("doc_id").as("v"), col("rep").as("vrep")), "v")
-            .groupBy(col("u")).agg(min(col("vrep")).as("nrep"))
-          val next = labels
-            .join(nmin.select(col("u").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-            .localCheckpoint(true)
-          changed = next
-            .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
-            .filter(col("rep") =!= col("old")).count()
-          labels = next
-          rounds += 1
-        }
-        // never emit silently-wrong components: a diameter > maxRounds
-        // graph must fail loudly, not return half-propagated labels
-        require(changed == 0,
-          s"dedup_clusters: not converged after $maxRounds rounds ($changed labels still changing)")
-        labels.select(col("doc_id"), col("rep").as("cluster_rep"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH RECURSIVE s AS (
-              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
-              |  FROM documents),
-              |pairs AS (
-              |  SELECT doc_a, doc_b FROM (
-              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-              |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
-              |  WHERE jaccard >= 0.5),
-              |edges AS (
-              |  SELECT doc_a AS u, doc_b AS v FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |reach(u, v) AS (
-              |  SELECT u, v FROM edges
-              |  UNION
-              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-              |SELECT d.doc_id,
-              |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
-              |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => clusterLabels(s, dir).orderBy("doc_id"),
+      Some(clusterRepSql + "\nORDER BY doc_id"),
       "near-dup connected components (min-label propagation vs recursive-CTE oracle)"),
 
     // IVF similarity search (KMeans coarse quantizer). The catalog entry
