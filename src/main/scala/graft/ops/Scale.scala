@@ -86,8 +86,30 @@ object Scale {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftSql.expression(col(dimKey))), 42L),
       Literal(math.max(1L, n)), Literal(numBits))
-    dim.select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate SILENTLY Math.min-clamps numBits/numItems to
+    // the runtime-filter confs (defaults: 67108864 bits = 8 MB, 4M
+    // items) — past ~4-7M dim keys the real fpp would quietly degrade
+    // toward 1, turning the prefilter into a per-row-cost no-op exactly
+    // in the 100-TB regime it targets (no false negatives, so results
+    // would stay correct — only the pruning would vanish). Raise the
+    // confs to this build's exact sizes for the duration of the
+    // aggregate, restoring the caller's values after, so the promised
+    // ~9.6 bits/key holds at ANY dim size (ScaleSpec proves the built
+    // filter's bitSize past the default clamp).
+    val spark = dim.sparkSession
+    val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val oldBits  = spark.conf.get(bitsKey)
+    val oldItems = spark.conf.get(itemsKey)
+    spark.conf.set(bitsKey, math.max(numBits, oldBits.toLong))
+    spark.conf.set(itemsKey, math.max(math.max(1L, n), oldItems.toLong))
+    try
+      dim.select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    finally {
+      spark.conf.set(bitsKey, oldBits)
+      spark.conf.set(itemsKey, oldItems)
+    }
   }
 
   /** Probe a [[bloomKeyFilter]] inside `fact`'s scan stage: rows whose

@@ -281,10 +281,33 @@ object AsOf {
     * out exactly like the unsharded operator. Window assignment uses
     * truncating `div` — any monotone time partition preserves
     * semantics; alignment only affects balance. */
+  /** The negation columns [[asofJoinForward]] (and the sharded forward
+    * composition) add and drop internally — reserved across the whole
+    * as-of family: an input column with either name would be silently
+    * overwritten and removed from the output. */
+  private val negCols = Seq("__graft_neg_lt", "__graft_neg_rt")
+
+  private def requireNoNegCols(leftDf: DataFrame, rightDf: DataFrame,
+      op: String): Unit =
+    require(!(leftDf.columns ++ rightDf.columns).exists(negCols.contains),
+      s"$op: input columns collide with reserved names $negCols")
+
   def asofJoinSharded(leftDf: DataFrame, rightDf: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
       rightTime: String, rightTies: Seq[String] = Nil, windowSize: Long,
       tolerance: Option[Long] = None): DataFrame = {
+    // the public entry reserves the negation names too (the forward
+    // wrapper composes through the impl, where they are legitimate
+    // time columns, so the check lives here, not in the impl)
+    requireNoNegCols(leftDf, rightDf, "asofJoinSharded")
+    asofJoinShardedImpl(leftDf, rightDf, leftKeys, rightKeys, leftTime,
+      rightTime, rightTies, windowSize, tolerance)
+  }
+
+  private def asofJoinShardedImpl(leftDf: DataFrame, rightDf: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String], leftTime: String,
+      rightTime: String, rightTies: Seq[String], windowSize: Long,
+      tolerance: Option[Long]): DataFrame = {
     require(windowSize > 0, "asofJoinSharded: windowSize must be > 0")
     requireLongTime(leftDf, leftTime, "asofJoinSharded")
     requireLongTime(rightDf, rightTime, "asofJoinSharded")
@@ -334,10 +357,11 @@ object AsOf {
     import org.apache.spark.sql.functions.col
     requireLongTime(leftDf, leftTime, "asofJoinShardedForward")
     requireLongTime(rightDf, rightTime, "asofJoinShardedForward")
-    val nlt = "__graft_neg_lt"; val nrt = "__graft_neg_rt"
+    requireNoNegCols(leftDf, rightDf, "asofJoinShardedForward")
+    val Seq(nlt, nrt) = negCols
     val l = leftDf.withColumn(nlt, -col(leftTime))
     val r = rightDf.withColumn(nrt, -col(rightTime))
-    asofJoinSharded(l, r, leftKeys, rightKeys, nlt, nrt, rightTies,
+    asofJoinShardedImpl(l, r, leftKeys, rightKeys, nlt, nrt, rightTies,
         windowSize, tolerance)
       .drop(nlt, nrt)
   }
@@ -371,7 +395,10 @@ object AsOf {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val lwb = "__graft_lwb"; val rwb = "__graft_rwb"
-    val reserved = Seq(lwb, rwb, "__graft_rn", "__graft_prev", "__graft_next")
+    // negCols included: the forward-carry step composes through
+    // asofJoinForward, whose negation would overwrite them
+    val reserved =
+      Seq(lwb, rwb, "__graft_rn", "__graft_prev", "__graft_next") ++ negCols
     require(!(leftDf.columns ++ rightDf.columns).exists(reserved.contains),
       s"asofJoinShardedNearest: input columns collide with reserved names $reserved")
     val rCols = rightDf.columns.toSeq
@@ -444,11 +471,12 @@ object AsOf {
     import org.apache.spark.sql.functions.col
     requireLongTime(leftDf, leftTime, "asofJoinForward")
     requireLongTime(rightDf, rightTime, "asofJoinForward")
+    requireNoNegCols(leftDf, rightDf, "asofJoinForward")
     // negation is loud on the one unrepresentable value: -Long.MinValue
     // overflows, and under ANSI (the default) Spark raises rather than
     // wrapping — a time column at the domain edge cannot silently
-    // produce a wrong join
-    val nlt = "__graft_neg_lt"; val nrt = "__graft_neg_rt"
+    // produce a wrong join (AsOfJoinSpec pins both ANSI modes)
+    val Seq(nlt, nrt) = negCols
     val l = leftDf.withColumn(nlt, -col(leftTime))
     val r = rightDf.withColumn(nrt, -col(rightTime))
     asofJoin(l, r, leftKeys, rightKeys, nlt, nrt, rightTies, tolerance)

@@ -393,4 +393,78 @@ class AsOfJoinSpec extends SparkTestBase {
       .select($"t", $"rid").collect().map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
     assert(got === Map(10L -> 100L, 20L -> 200L, 30L -> 300L))
   }
+
+  // ---- the forward-negation domain edge (AsOfJoin.scala's documented
+  // -Long.MinValue behavior, pinned in BOTH ANSI modes)
+
+  private def hasArithmeticCause(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[ArithmeticException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("ARITHMETIC_OVERFLOW") || m.toLowerCase.contains("overflow")))
+        return true
+      c = c.getCause
+    }
+    false
+  }
+
+  test("forward negation edge: a Long.MinValue time fails loudly under ANSI") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true") // the default
+    val l = Seq((1L, Long.MinValue), (1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, 100L)).toDF("k2", "t2", "rid")
+    val plain = intercept[Throwable] {
+      AsOf.asofJoinForward(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+        .collect()
+    }
+    assert(hasArithmeticCause(plain), s"unexpected failure shape: $plain")
+    val sharded = intercept[Throwable] {
+      AsOf.asofJoinShardedForward(l, r, Seq("k"), Seq("k2"), "t", "t2",
+          Seq("rid"), windowSize = 7L)
+        .collect()
+    }
+    assert(hasArithmeticCause(sharded), s"unexpected failure shape: $sharded")
+  }
+
+  test("forward negation edge: with ANSI off, Long.MinValue wraps to itself " +
+      "and matches only an exactly-equal right time") {
+    // -Long.MinValue wraps to Long.MinValue, so in the negated domain
+    // the edge value stays the SMALLEST long: a Long.MinValue left time
+    // behaves like the latest possible time — no strictly-later right
+    // row ever qualifies, only an exactly-equal one. Defined, pinned
+    // behavior rather than a silent wrong answer.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val l = Seq((1L, Long.MinValue), (1L, 10L), (2L, Long.MinValue))
+        .toDF("k", "t")
+      val r = Seq((1L, 5L, 100L), (1L, 20L, 200L), (2L, Long.MinValue, 300L))
+        .toDF("k2", "t2", "rid")
+      val got = AsOf.asofJoinForward(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+        .select($"k", $"t", $"rid")
+        .collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1)) ->
+          (if (rw.isNullAt(2)) -1L else rw.getLong(2))).toMap
+      assert(got === Map(
+        (1L, Long.MinValue) -> -1L,  // real rights at 5/20 never qualify
+        (1L, 10L)           -> 200L, // ordinary forward match unaffected
+        (2L, Long.MinValue) -> 300L  // exact-equal edge time still matches
+      ))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("reserved negation names are refused across the as-of family") {
+    val l = Seq((1L, 10L)).toDF("k", "t").withColumn("__graft_neg_lt", lit(1L))
+    val r = Seq((1L, 5L, 100L)).toDF("k2", "t2", "rid")
+    for (op <- Seq[(DataFrame, DataFrame) => DataFrame](
+      (a, b) => AsOf.asofJoinForward(a, b, Seq("k"), Seq("k2"), "t", "t2"),
+      (a, b) => AsOf.asofJoinSharded(a, b, Seq("k"), Seq("k2"), "t", "t2",
+        windowSize = 7L),
+      (a, b) => AsOf.asofJoinShardedForward(a, b, Seq("k"), Seq("k2"), "t", "t2",
+        windowSize = 7L),
+      (a, b) => AsOf.asofJoinShardedNearest(a, b, Seq("k"), Seq("k2"), "t", "t2",
+        windowSize = 7L))) {
+      val e = intercept[IllegalArgumentException](op(l, r))
+      assert(e.getMessage.contains("__graft_neg_lt"))
+    }
+  }
 }

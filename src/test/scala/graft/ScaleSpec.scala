@@ -83,6 +83,29 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("bloom build past the default 8 MB clamp keeps its computed size") {
+    // BloomFilterAggregate Math.min-clamps numBits/numItems to the
+    // runtime-filter confs (67108864 bits / 4M items by default);
+    // bloomKeyFilter must escape that clamp or its ~9.6-bits/key fpp
+    // promise silently dies at 100-TB dim sizes. A tiny fpp makes a
+    // small build demand MORE bits than the clamp (1M keys at 1e-20
+    // wants ~95.8M bits > 67108864), so the assertion runs in
+    // fixture time while proving the exact over-clamp regime.
+    val dim = spark.range(1000000L).toDF("k")
+    val wantBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(1000000L, 1e-20)
+    assert(wantBits > 67108864L, "fixture must exceed the default clamp")
+    val prevBits = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val bytes = Scale.bloomKeyFilter(dim, "k", fpp = 1e-20)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    assert(bf.bitSize() >= wantBits,
+      s"filter clamped: bitSize ${bf.bitSize()} < computed $wantBits")
+    // and the caller's conf came back
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      === prevBits)
+  }
+
   test("approx_distinct (HLL++) lands within 10% of exact distinct") {
     val dir = sf("sf0.01")
     val ev = graft.queries.Catalog.events(spark, dir)
