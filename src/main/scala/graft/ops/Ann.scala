@@ -153,26 +153,30 @@ object Ann {
     * artifact, shipped once per stage as a reference object. */
   def buildIvfHierarchical(df: DataFrame, embCol: String, k: Int,
       seed: Long = 42L, pointsPerCentroid: Int = 20,
-      coarseFitRows: Int = 200000, iters: Int = 8): HierIvf = {
+      coarseFitRows: Int = 200000, iters: Int = 8,
+      maxFitRows: Int = Int.MaxValue): HierIvf = {
     require(k >= 4, s"buildIvfHierarchical: k must be >= 4, got $k")
     require(pointsPerCentroid >= 1 && iters >= 1,
       "buildIvfHierarchical: pointsPerCentroid and iters must be >= 1")
+    require(maxFitRows >= 1, "buildIvfHierarchical: maxFitRows must be >= 1")
     val k1Req = math.ceil(math.sqrt(k.toDouble)).toInt
     val spark = df.sparkSession
     import spark.implicits._
     // level-1: a small MLlib problem (k1 centers from ~20·k1 points);
     // MLlib may return FEWER than requested centers on degenerate
     // samples (duplicate points), so the level sizes derive from the
-    // table actually fitted
+    // table actually fitted. maxFitRows (the caller's total fit-sample
+    // bound, threaded from buildIvfAuto) caps BOTH levels.
     val coarse = fitCentersMl(df, embCol, k1Req, seed,
-      math.min(coarseFitRows, math.max(1000, 20 * k1Req)))
+      math.min(maxFitRows, math.min(coarseFitRows, math.max(1000, 20 * k1Req))))
     val k1 = coarse.length
     val k2 = math.ceil(k.toDouble / k1).toInt
     val kTotal = k1 * k2 // >= k; the caller gets at LEAST k clusters
     // level-2 sample: pointsPerCentroid per FINAL centroid, distributed
     // (never collected whole — each cell collects only its own slice)
     val n = df.count()
-    val sampleTarget = math.min(pointsPerCentroid.toLong * kTotal, n)
+    val sampleTarget =
+      math.min(math.min(pointsPerCentroid.toLong * kTotal, maxFitRows.toLong), n)
     val frac = math.min(1.0, sampleTarget * 1.2 / math.max(1L, n))
     val cellCap = 4 * pointsPerCentroid * k2
     val perCell = (if (frac < 1.0) df.sample(withReplacement = false, frac, seed + 1) else df)
@@ -181,9 +185,26 @@ object Ann {
       .as[(Seq[Float], Int)]
       .groupByKey(_._2)
       .mapGroups { (cell, it) =>
-        val pts = it.map(_._1.toArray).toArray
-        java.util.Arrays.sort(pts, vecOrd)
-        val use = pts.take(cellCap).map(l2NormalizeF)
+        // bounded insertion: stream the cell's sample slice through a
+        // size-capped max-heap keeping the cellCap lexicographically
+        // SMALLEST vectors — O(cellCap) memory even when an
+        // adversarial distribution lands the whole level-2 sample in
+        // one coarse cell (the unbounded it.toArray this replaces
+        // would buffer that cell's entire slice before capping).
+        // Output is identical to sort-then-take(cellCap): both keep
+        // the same smallest-cellCap multiset (ties are equal-content
+        // arrays), emitted in ascending vecOrd order.
+        val heap = new java.util.PriorityQueue[Array[Float]](
+          math.min(cellCap, 1024), vecOrd.reverse) // root = largest kept
+        it.foreach { t =>
+          val v = t._1.toArray
+          if (heap.size < cellCap) heap.offer(v)
+          else if (vecOrd.compare(v, heap.peek) < 0) { heap.poll(); heap.offer(v) }
+        }
+        val pts = new Array[Array[Float]](heap.size)
+        var i = pts.length - 1
+        while (i >= 0) { pts(i) = heap.poll(); i -= 1 } // max-first drain → ascending
+        val use = pts.map(l2NormalizeF)
         val cents = localKmeans(use, k2, iters, seed + 2 + cell)
         (cell, cents.map(_.toSeq).toSeq, use.length.toLong * k2 * iters)
       }
@@ -243,7 +264,7 @@ object Ann {
   def buildIvfAuto(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
       maxFitRows: Int = 100000, hierThreshold: Int = 4096): IvfIndex =
     if (k <= hierThreshold) buildIvf(df, embCol, k, seed, maxFitRows)
-    else buildIvfHierarchical(df, embCol, k, seed).index
+    else buildIvfHierarchical(df, embCol, k, seed, maxFitRows = maxFitRows).index
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): compare embeddings only WITHIN their k-means

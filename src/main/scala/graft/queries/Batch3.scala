@@ -253,11 +253,12 @@ object Batch3 {
   private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     clusterMemo(s, dir)
 
-  /** DuckDB re-derivation of [[clusterLabels]] (no ORDER BY — callers
-    * append their own or wrap it as a CTE). Shared by the
-    * dedup_clusters and split_by_cluster oracles. */
-  private[queries] def clusterRepSql: String =
-    s"""WITH RECURSIVE s AS (
+  /** The near-dup component CTE chain (shingles → pairs → edges →
+    * transitive reach) plus the label select, split so the
+    * split_by_cluster oracle can extend the SAME chain with more CTEs
+    * under one WITH RECURSIVE. */
+  private def clusterCtes: String =
+    s"""s AS (
        |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
        |  FROM documents),
        |pairs AS (
@@ -273,11 +274,42 @@ object Batch3 {
        |reach(u, v) AS (
        |  SELECT u, v FROM edges
        |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-       |SELECT d.doc_id,
-       |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
-       |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-       |GROUP BY d.doc_id""".stripMargin
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)""".stripMargin
+
+  private def clusterLabelSelect: String =
+    """SELECT d.doc_id,
+      |  least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
+      |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
+  /** DuckDB re-derivation of [[clusterLabels]] (no ORDER BY — callers
+    * append their own). Shared by the dedup_clusters and
+    * split_by_cluster oracles. */
+  private[queries] def clusterRepSql: String =
+    s"WITH RECURSIVE $clusterCtes\n$clusterLabelSelect"
+
+  /** split_by_cluster oracle: the label chain extended with the FNV-1a
+    * kernel over 'split:'||cluster_rep (mod 128 — power of two, so the
+    * signed pmod and HUGEINT % views agree). */
+  private[queries] def clusterSplitSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |labels AS (
+       |$clusterLabelSelect),
+       |ks AS (SELECT DISTINCT 'split:' || cluster_rep AS s2 FROM labels),
+       |fnv(s2, i, h) AS (
+       |  SELECT s2, 1, CAST(14695981039346656037 AS HUGEINT) FROM ks
+       |  UNION ALL
+       |  SELECT s2, i+1,
+       |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+       |        CAST(unicode(substr(s2, i, 1)) AS BIGINT)) AS HUGEINT))
+       |      * 1099511628211) % 18446744073709551616
+       |  FROM fnv WHERE i <= length(s2)),
+       |final AS (SELECT s2, h FROM fnv WHERE i = length(s2) + 1)
+       |SELECT l.doc_id, l.cluster_rep,
+       |  CASE WHEN CAST(f.h % 128 AS BIGINT) < 115 THEN 'train' ELSE 'valid' END
+       |    AS split
+       |FROM labels l JOIN final f ON f.s2 = 'split:' || l.cluster_rep
+       |ORDER BY doc_id""".stripMargin
 
   /** IVF index memoized per (session, sf dir): built once (sample fit +
     * one assignment scan), searched many times — the catalog entry is
@@ -288,6 +320,20 @@ object Batch3 {
     idx.copy(assigned = idx.assigned.localCheckpoint(false))
   })
   def ivfIndex(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex = ivfMemo(s, dir)
+
+  /** Hierarchical (two-level) IVF index, memoized like [[ivfIndex]].
+    * k=16 keeps the fixture build tiny (k1=4 coarse cells × k2=4
+    * sub-centers) while executing the REAL two-level machinery end to
+    * end: coarse MLlib fit, per-cell executor-side Lloyd in mapGroups,
+    * `argmax_cosine_cell` two-pass assignment — the same code path a
+    * 2^20-centroid SemDeDup-scale build takes. */
+  private val hierMemo = new SessionMemo[graft.ops.Ann.HierIvf]((s, dir) => {
+    val h = graft.ops.Ann.buildIvfHierarchical(
+      table(s, dir, "embeddings"), "embedding", k = 16)
+    h.copy(index = h.index.copy(assigned = h.index.assigned.localCheckpoint(false)))
+  })
+  def hierIndex(s: SparkSession, dir: String): graft.ops.Ann.HierIvf =
+    hierMemo(s, dir)
 
   /** PQ-coded flavor of [[ivfIndex]] plus its codebook, memoized the
     * same way (codebook fit + one encoding scan happen once per
@@ -744,6 +790,26 @@ object Batch3 {
       (s, dir) => clusterLabels(s, dir).orderBy("doc_id"),
       Some(clusterRepSql + "\nORDER BY doc_id"),
       "near-dup connected components (min-label propagation vs recursive-CTE oracle)"),
+
+    // ---- leakage-safe corpus splitting: assign train/valid by a hash
+    // of the near-dup CLUSTER representative, not the document — near
+    // duplicates always land in the SAME split, so a model never sees
+    // a paraphrase of its eval set at train time (the contamination
+    // mode a per-doc split invites). Shares clusterLabels' memoized
+    // propagation run with dedup_clusters; the per-row decision is a
+    // stateless hash (mod 128 keep-threshold 115 ≈ 90% train) —
+    // retry-stable and shuffle-free past the label join, exactly like
+    // sample_weighted.
+    "split_by_cluster" -> Q(
+      (s, dir) => {
+        clusterLabels(s, dir)
+          .withColumn("split",
+            when(pmod(fnv64(concat(lit("split:"), col("cluster_rep"))),
+              lit(128)) < 115, "train").otherwise("valid"))
+          .orderBy("doc_id")
+      },
+      Some(clusterSplitSql),
+      "train/valid split by near-dup cluster rep (dedup-aware, leakage-safe corpus splitting)"),
 
     // IVF similarity search (KMeans coarse quantizer). The catalog entry
     // probes ALL clusters: IVF with nprobe = k degenerates to exact

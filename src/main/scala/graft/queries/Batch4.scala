@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -15,6 +16,25 @@ object Batch4 {
   private val d4 = DecimalType(18, 4)
   private def dec(c: org.apache.spark.sql.Column) = c.cast(d4)
   private def decSql(c: String) = s"CAST($c AS DECIMAL(18,4))"
+
+  /** Build-once keep-set bloom for the composed pipeline: the doc_ids
+    * that survive near-dup removal, built from the memoized pair mine,
+    * persisted and RELOADED through the sidecar path (persistBloom/
+    * loadBloom) so the entry exercises the same build-once/apply-many
+    * artifact flow a real deployment uses across jobs. ~9.6 bits per
+    * kept doc at 1% fpp — broadcast-class at any corpus size. */
+  private val keepBloomMemo = new SessionMemo[Array[Byte]]((s, dir) => {
+    val losers = Batch3.ngramPairs(s, dir).select(col("doc_b")).distinct()
+    val keepers = table(s, dir, "documents").select(col("doc_id"))
+      .join(losers, col("doc_id") === col("doc_b"), "left_anti")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_keep_bloom_${math.abs(dir.hashCode)}").getAbsolutePath
+    graft.ops.Scale.persistBloom(
+      graft.ops.Scale.bloomKeyFilter(keepers, "doc_id"), s, path)
+    graft.ops.Scale.loadBloom(s, path)
+  })
+  private def keepBloom(s: SparkSession, dir: String): Array[Byte] =
+    keepBloomMemo(s, dir)
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -367,14 +387,23 @@ object Batch4 {
       "bounded-buffer top-k-per-key aggregate (O(keys*k) shuffle; same oracle as the window version)"),
 
     // ---- the composed training-corpus pipeline: quality filter ->
-    //      language filter -> near-dup removal -> corpus stats
+    //      language filter -> near-dup removal -> corpus stats.
+    // The dedup keep-set rides in front as a persisted BLOOM probed in
+    // the documents scan stage (build-once / apply-many — the same
+    // artifact every downstream corpus scan of a real pipeline would
+    // reload): might_contain=false proves the doc is a dup LOSER, so
+    // it drops below the first exchange; false positives (~1%) ride
+    // through to the anti-join that would have dropped them anyway,
+    // keeping the result exactly equal to the unfiltered composition
+    // (same oracle). PlanSpec asserts the probe sits under the shuffle.
     "pipeline_training_corpus" -> Q(
       (s, dir) => {
         val quality = Catalog.queries("quality_score")(s, dir)
         val langs = Catalog.queries("lang_id")(s, dir).select(col("doc_id"), col("lang_pred"))
         val dupLosers = Batch3.ngramPairs(s, dir)
           .select(col("doc_b")).distinct()
-        Catalog.table(s, dir, "documents")
+        graft.ops.Scale.bloomPrefilter(
+            Catalog.table(s, dir, "documents"), "doc_id", keepBloom(s, dir))
           .join(quality, "doc_id")
           .join(langs, "doc_id")
           .filter(col("quality") >= 0.5 && col("lang_pred") === "en")

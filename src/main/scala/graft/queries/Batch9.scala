@@ -227,6 +227,36 @@ object Batch9 {
              |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
       "IVF-SQ8: int8 codes in the index, integer first-stage scoring, exact float rescore (exhaustive probe+rescore = exact; pruned path AnnSpec-verified)"),
 
+    // ---- the TWO-LEVEL hierarchical IVF on the oracle gate: build
+    // with buildIvfHierarchical (coarse MLlib fit + per-cell
+    // executor-side Lloyd + argmax_cosine_cell two-pass assignment),
+    // probe with searchIvfHier at exhaustive nprobeCoarse=k1 and
+    // nprobe=k1·k2 — every cell's every sub-cluster is scanned, so the
+    // result is exact BY CONSTRUCTION and shares ann_ivf_topk's
+    // brute-force DuckDB oracle, while the query executes the full
+    // hierarchical plane end to end (the fit, both bounded argmax
+    // passes, and the two-level cell→cluster probe ranking). The point
+    // of the hierarchy (√k fit cost and √k-per-query center ranking at
+    // SemDeDup-scale k) is what SQL cannot express; that path runs in
+    // AnnSpec with measured cost bounds and recall assertions.
+    "ann_ivf_hier_topk" -> Q(
+      (s, dir) => {
+        val h = Batch3.hierIndex(s, dir)
+        val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.ops.Ann.searchIvfHier(h, "embedding", q, topK = 20,
+            nprobeCoarse = h.k1, nprobe = h.k1 * h.k2,
+            tieBreak = Seq(col("vec_id")))
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "two-level hierarchical IVF: sqrt(k)-scaled fit + two-pass cell assignment; exhaustive two-level probe = exact (oracled), pruned path AnnSpec-verified"),
+
     // ---- IVF-PQ on the oracle gate, same exactness construction as
     // ann_ivf_sq8: exhaustive probe + exhaustive rescore means the ADC
     // stage only ORDERS candidates that all survive the cut, so the

@@ -408,6 +408,73 @@ class AnnSpec extends SparkTestBase {
     assert(pruned.contains(7L)) // the query's own vector always recalls
   }
 
+  test("hierarchical fit: a hot coarse cell is capped at O(cellCap), not its sample share") {
+    // adversarial distribution: one direction holds ~87% of the mass,
+    // so one coarse cell receives far more level-2 sample than
+    // cellCap — the bounded-insertion buffer must trim it DURING
+    // iteration (the old materialize-sort-take would first buffer the
+    // whole slice). Proven from the measured Lloyd cost: the hot cell
+    // contributes exactly cap·k2·iters comps when trimmed, more if not.
+    def h64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def noisy(dir: Int, i: Long, eps: Float): Array[Float] =
+      Array.tabulate(16)(j => (if (j == dir) 1f else 0f) +
+        eps * (h64(i * 16 + j).toDouble / Long.MaxValue).toFloat)
+    val rows = Seq.tabulate(3000) { i =>
+      // 2600 points in a tight cone on axis 0; 400 spread over axes 1-7
+      val d = if (i < 2600) 0 else 1 + (i % 7)
+      (i.toLong, noisy(d, i.toLong, 0.001f))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val h = Ann.buildIvfHierarchical(df, "embedding", k = 64)
+    val cellCap = 4 * 20 * h.k2
+    // the hot cell's sample share exceeds the cap (else nothing trims)
+    val sampleShare = (0.87 * 1.2 * h.sampleTarget).toLong
+    assert(sampleShare > cellCap,
+      s"fixture too small: hot share ~$sampleShare vs cap $cellCap")
+    // lower bound: the hot cell HIT the cap (trim actually happened);
+    // upper bound: nothing buffered beyond the cap — k-means may place
+    // two coarse centers inside the cone (it does on this fixture's
+    // seed), so allow up to two capped hot cells plus the light tail
+    assert(h.subLloydDistComps >= cellCap.toLong * h.k2 * 8,
+      s"hot cell never reached cellCap: ${h.subLloydDistComps}")
+    assert(h.subLloydDistComps <= (2L * cellCap + 800) * h.k2 * 8,
+      s"per-cell work exceeds the cap bound: ${h.subLloydDistComps}")
+    // determinism through the bounded buffer: same build, same centers
+    val h2 = Ann.buildIvfHierarchical(df, "embedding", k = 64)
+    assert(h2.index.centers.map(_.toSeq).toSeq ===
+      h.index.centers.map(_.toSeq).toSeq)
+  }
+
+  test("hierarchical index composes with SQ8 codes: exhaustive is exact, pruned recalls") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.select($"vec_id", $"embedding")
+    val h = Ann.buildIvfHierarchical(base, "embedding", k = 64)
+    // cluster ids are cell·k2+j, addressable in the flat center table,
+    // so searchIvfSq8's rankClusters works on the hierarchical output
+    // unchanged
+    val coded = Ann.withSq8(h.index, "embedding")
+    val tie = Seq(col("vec_id"))
+    val exact = Ann.bruteForce(base, "embedding", query, 10, tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val n = base.count().toInt
+    val got = Ann.searchIvfSq8(coded, "embedding", query, 10,
+        nprobe = coded.centers.length, rescore = n, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+    val pruned = Ann.searchIvfSq8(coded, "embedding", query, 10,
+        nprobe = math.max(1, coded.centers.length / 2), rescore = 20,
+        tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(exact.toSet).size >= 3,
+      s"recall too low: ${pruned.intersect(exact.toSet).size}/10")
+    assert(pruned.contains(7L)) // the query's own cluster ranks first
+  }
+
   test("buildIvfAuto: flat path below threshold is byte-identical to buildIvf") {
     val base = emb.select($"vec_id", $"embedding")
     val auto = Ann.buildIvfAuto(base, "embedding", k = 8)

@@ -187,4 +187,30 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("pipeline_training_corpus: keep-set bloom probed below the first exchange") {
+    // the build-once artifact in the composed pipeline: the persisted
+    // keep-set bloom must kill dup-loser documents in the scan stage,
+    // BEFORE any shuffle — broadcast disabled so every join shuffles
+    // and the ordering is unambiguous
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Catalog.queries("pipeline_training_corpus")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val lines = plan.linesIterator.toSeq
+      val probeIdx = lines.indexWhere(_.contains("might_contain"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(probeIdx >= 0, s"no bloom probe in plan:\n${plan.take(3000)}")
+      assert(exchangeIdx >= 0 && exchangeIdx < probeIdx,
+        s"probe not below the exchange (probe@$probeIdx, exchange@$exchangeIdx):\n${plan.take(3000)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
