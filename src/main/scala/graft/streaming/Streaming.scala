@@ -78,6 +78,97 @@ object Streaming {
       .filter(col("bucket") < expr(rateSql))
   }
 
+  /** Streaming twin of the pack_sequences catalog operator: the same
+    * (lang, fnv64-shard) running token windows, with the per-shard
+    * running offset carried across micro-batches in GroupState —
+    * packing is append-only arithmetic, so it streams naturally.
+    * Within a micro-batch a shard's rows pack in doc_id order; across
+    * batches they pack in arrival order on top of the carried offset.
+    * A feed that delivers documents in doc_id order (the fixture file,
+    * ordered drops) therefore reproduces the batch operator's rows
+    * EXACTLY (StreamingSpec proves equality); any other feed still
+    * packs deterministically in arrival order. State is one long per
+    * (lang, shard) — bounded by key cardinality, no timeout needed;
+    * per-batch work is one in-memory sort of the batch's shard slice.
+    * At scale the parallelism story matches the batch twin: K shards
+    * per language, never a bare-language key. */
+  def packSequencesStream(df: DataFrame, budget: Long = 512L,
+      shards: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withColumn("shard",
+        pmod(graft.functions.fnv64(concat(lit("shard:"), col("doc_id"))),
+          lit(shards)))
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id").cast("long"), col("lang"), col("shard"),
+        col("toks"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case ((lang, shard), rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (docId, _, _, toks) =>
+            cum += toks
+            (docId, lang, shard, toks, cum, (cum - toks) / budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("doc_id", "lang", "shard", "toks", "cum", "pack_id")
+  }
+
+  /** Streaming twin of corpus_budget_exact: the batch operator's
+    * two-phase arithmetic (per-shard prune window, then the global
+    * per-language greedy prefix) collapsed into one keyed stateful
+    * pass. State per language = the K per-shard running starts plus
+    * the global running sum over phase-1 survivors — O(K) longs; the
+    * phase-2 arithmetic touches only rows the shard prune lets
+    * through, which the batch operator's bound (<= K·(B+max_toks)
+    * tokens per language, constant w.r.t. corpus size) applies to
+    * verbatim. Within a micro-batch rows are taken in the batch
+    * operator's (n_chars DESC, doc_id) order, so a single-batch feed
+    * equals the batch rows exactly (StreamingSpec); a multi-batch feed
+    * is arrival-order greedy on the carried state — the natural
+    * streaming semantics for a budget that fills monotonically. */
+  def corpusBudgetExactStream(df: DataFrame, budget: Long = 2000L,
+      shards: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withColumn("shard",
+        pmod(graft.functions.fnv64(concat(lit("shard:"), col("doc_id"))),
+          lit(shards)))
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id").cast("long"), col("lang"),
+        col("shard").cast("int"), col("n_chars").cast("long"), col("toks"))
+      .as[(Long, String, Int, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Seq[Long], Long), (String, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (lang, rows, state) =>
+          val (s0, g0) = state.getOption.getOrElse((Seq.fill(shards)(0L), 0L))
+          val shardCums = s0.toArray
+          var global = g0
+          val out = Seq.newBuilder[(String, Long, Long, Long)]
+          // the batch operator's order: n_chars DESC, doc_id ASC
+          rows.toSeq.sortBy { case (docId, _, _, nChars, _) => (-nChars, docId) }
+            .foreach { case (docId, _, shard, _, toks) =>
+              val scum = shardCums(shard) + toks
+              shardCums(shard) = scum // phase-1 window runs over ALL rows
+              if (scum - toks < budget) { // shard-prune survivor
+                val cum = global + toks
+                global = cum // phase-2 window runs over survivors only
+                if (cum - toks < budget) out += ((lang, docId, toks, cum))
+              }
+            }
+          state.update((shardCums.toSeq, global))
+          out.result().iterator
+      }
+      .toDF("lang", "doc_id", "toks", "cum")
+  }
+
   /** Q10 queued-writes semantics: micro-batch the stream through a
     * user function; the batchId is the reference's `sequence_number`
     * (service.go:1106-1159). Caller starts the returned writer. */

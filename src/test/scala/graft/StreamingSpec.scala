@@ -160,6 +160,50 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("pack_sequences twin: stateful shard packing on a documents stream == batch rows") {
+    // the running (lang, shard) token offsets live in GroupState; on
+    // the ordered fixture feed the stream must pack every document
+    // into the same pack at the same offset as the batch operator
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val packed = graft.streaming.Streaming.packSequencesStream(stream)
+    val q = packed.writeStream.format("memory").queryName("eq_pack")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_pack").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val batch = SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
+  test("corpus_budget_exact twin: two-phase budget state on a documents stream == batch rows") {
+    // phase-1 per-shard starts + phase-2 global sum ride in one keyed
+    // state; the single-batch fixture feed must select exactly the
+    // batch operator's (lang, doc_id, toks, cum) rows
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val sel = graft.streaming.Streaming.corpusBudgetExactStream(stream)
+    val q = sel.writeStream.format("memory").queryName("eq_budget")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("eq_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = SparkEntry.queries("corpus_budget_exact")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("bloom prefilter twin: a persisted keep-set bloom on an orders stream == batch rows") {
     // the build-once/apply-many artifact end-to-end: build the dim-key
     // bloom once, persist it, and probe the RELOADED binary on a
