@@ -242,18 +242,46 @@ object Ann {
     * partition-pruned cluster filter + TakeOrdered as [[searchIvf]]. */
   def searchIvfHier(h: HierIvf, embCol: String, query: Array[Float],
       topK: Int, nprobeCoarse: Int, nprobe: Int,
-      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
-    val cells = rankClusters(h.coarse, query).take(nprobeCoarse)
-    val candidates = cells.flatMap(c =>
-      (0 until h.k2).map(j => c * h.k2 + j))
-    val probed = candidates
-      .sortBy(id => -graft.functions.VecOps.cosineFF(h.index.centers(id), query))
-      .take(nprobe)
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     bruteForce(
       h.index.assigned.filter(
-        col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*)),
+        col("cluster").isin(
+          probeHier(h, query, nprobeCoarse, nprobe).toIndexedSeq
+            .map(Integer.valueOf): _*)),
       embCol, query, topK, tieBreak)
+
+  /** The two-level cluster ranking [[searchIvfHier]] scans by — also
+    * the ranking stage for the compressed-code hierarchical searches:
+    * O((k1 + nprobeCoarse·k2)·d) driver work instead of the flat
+    * O(k·d). */
+  private def probeHier(h: HierIvf, query: Array[Float],
+      nprobeCoarse: Int, nprobe: Int): Array[Int] = {
+    val cells = rankClusters(h.coarse, query).take(nprobeCoarse)
+    cells.flatMap(c => (0 until h.k2).map(j => c * h.k2 + j))
+      .sortBy(id => -graft.functions.VecOps.cosineFF(h.index.centers(id), query))
+      .take(nprobe)
   }
+
+  /** Hierarchical probe + SQ8 compressed scoring — the full 100-TB
+    * search shape: √k-scaled center ranking (two-level, never touching
+    * all k centers) feeding the two-stage int8 scan ([[searchIvfSq8]]'s
+    * integer scoring + exact float rescore) over only the probed
+    * clusters. Requires [[withSq8]] codes on `h.index`. */
+  def searchIvfHierSq8(h: HierIvf, embCol: String, query: Array[Float],
+      topK: Int, nprobeCoarse: Int, nprobe: Int, rescore: Int = 100,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    searchSq8On(h.index, probeHier(h, query, nprobeCoarse, nprobe),
+      embCol, query, topK, rescore, tieBreak)
+
+  /** Hierarchical probe + PQ/ADC compressed scoring (m-byte codes),
+    * the [[searchIvfPq]] twin of [[searchIvfHierSq8]]. Requires
+    * [[withPq]] codes on `h.index`. */
+  def searchIvfHierPq(h: HierIvf, embCol: String, query: Array[Float],
+      codebook: PqCodebook, topK: Int, nprobeCoarse: Int, nprobe: Int,
+      rescore: Int = 100,
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    searchPqOn(h.index, probeHier(h, query, nprobeCoarse, nprobe),
+      embCol, query, codebook, topK, rescore, tieBreak)
 
   /** The build the catalog uses: flat MLlib fit while k is small
     * enough that a single Lloyd problem is cheap and well-sampled;
@@ -391,7 +419,15 @@ object Ann {
     * float column. */
   def searchIvfSq8(index: IvfIndex, embCol: String, query: Array[Float],
       topK: Int, nprobe: Int, rescore: Int = 100,
-      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    searchSq8On(index, rankClusters(index.centers, query).take(nprobe),
+      embCol, query, topK, rescore, tieBreak)
+
+  /** The SQ8 two-stage scan over an explicit probed-cluster set (shared
+    * by the flat and hierarchical rankings). */
+  private def searchSq8On(index: IvfIndex, probed: Array[Int],
+      embCol: String, query: Array[Float], topK: Int, rescore: Int,
+      tieBreak: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(index.assigned.columns.contains("qvec"),
       "index has no SQ8 codes; call withSq8 first")
     // quantize the query with the same formula (driver-side, d floats);
@@ -401,7 +437,6 @@ object Ann {
       if (m == 0) query.map(_ => 0L)
       else query.map(x => math.floor(x * 127.0 / m + 0.5).toLong)
     val qbNorm = math.sqrt(qb.map(x => (x * x).toDouble).sum)
-    val probed = rankClusters(index.centers, query).take(nprobe)
     // tieBreak makes BOTH cuts deterministic under score collisions,
     // mirroring bruteForce/searchIvf
     val candidates = index.assigned
@@ -525,7 +560,16 @@ object Ann {
     * only orders candidates that all survive the cut). */
   def searchIvfPq(index: IvfIndex, embCol: String, query: Array[Float],
       codebook: PqCodebook, topK: Int, nprobe: Int, rescore: Int = 100,
-      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    searchPqOn(index, rankClusters(index.centers, query).take(nprobe),
+      embCol, query, codebook, topK, rescore, tieBreak)
+
+  /** The PQ/ADC two-stage scan over an explicit probed-cluster set
+    * (shared by the flat and hierarchical rankings). */
+  private def searchPqOn(index: IvfIndex, probed: Array[Int],
+      embCol: String, query: Array[Float], codebook: PqCodebook,
+      topK: Int, rescore: Int,
+      tieBreak: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(index.assigned.columns.contains("pqcode"),
       "index has no PQ codes; call withPq first")
     val dsub = codebook.centers(0)(0).length
@@ -542,7 +586,6 @@ object Ann {
       s
     }
     val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
-    val probed = rankClusters(index.centers, query).take(nprobe)
     val adc = graft.functions.pq_adc_score(col("pqcode"), dotLut, normLut, qNorm)
     index.assigned
       .filter(col("cluster").isin(probed.toIndexedSeq.map(Integer.valueOf): _*))

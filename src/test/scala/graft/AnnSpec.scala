@@ -473,6 +473,37 @@ class AnnSpec extends SparkTestBase {
     assert(pruned.intersect(exact.toSet).size >= 3,
       s"recall too low: ${pruned.intersect(exact.toSet).size}/10")
     assert(pruned.contains(7L)) // the query's own cluster ranks first
+
+    // two-level ranking + SQ8 scan (the √k probe the flat rank above
+    // cannot do): exhaustive probes + rescore stay exact through the
+    // hierarchical path too
+    val hCoded = h.copy(index = coded)
+    val hierExhaustive = Ann.searchIvfHierSq8(hCoded, "embedding", query, 10,
+        nprobeCoarse = h.k1, nprobe = h.k1 * h.k2, rescore = n, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hierExhaustive === exact)
+    val hierPruned = Ann.searchIvfHierSq8(hCoded, "embedding", query, 10,
+        nprobeCoarse = math.max(2, h.k1 / 2), nprobe = h.k1 * h.k2 / 2,
+        rescore = 20, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hierPruned.intersect(exact.toSet).size >= 3)
+    assert(hierPruned.contains(7L))
+  }
+
+  test("hierarchical index composes with PQ codes: exhaustive is exact") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.select($"vec_id", $"embedding")
+    val h = Ann.buildIvfHierarchical(base, "embedding", k = 64)
+    val cb = Ann.fitPq(base, "embedding", m = 8)
+    val hCoded = h.copy(index = Ann.withPq(h.index, "embedding", cb))
+    val tie = Seq(col("vec_id"))
+    val exact = Ann.bruteForce(base, "embedding", query, 10, tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val n = base.count().toInt
+    val got = Ann.searchIvfHierPq(hCoded, "embedding", query, cb, 10,
+        nprobeCoarse = h.k1, nprobe = h.k1 * h.k2, rescore = n, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
   }
 
   test("buildIvfAuto: flat path below threshold is byte-identical to buildIvf") {
