@@ -635,6 +635,36 @@ object Ann {
     IvfIndex(centers, spark.read.parquet(s"$path/assigned"))
   }
 
+  /** Persist a hierarchical index: the flat artifact ([[persistIvf]] —
+    * assignment `partitionBy(cluster)` + flat centers) plus the coarse
+    * centers and level shape as tiny sidecars, so a reloaded index
+    * supports the two-level probes ([[searchIvfHier]] and the
+    * compressed variants) exactly like the in-memory build. The fit
+    * diagnostics (sampleTarget, measured Lloyd cost) persist too —
+    * they are provenance a 100-TB deployment wants auditable. */
+  def persistIvfHier(h: HierIvf, path: String): Unit = {
+    persistIvf(h.index, path)
+    val spark = h.index.assigned.sparkSession
+    import spark.implicits._
+    h.coarse.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    Seq((h.k1, h.k2, h.sampleTarget, h.subLloydDistComps))
+      .toDF("k1", "k2", "sample_target", "sub_lloyd_dist_comps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/hier_meta")
+  }
+
+  def loadIvfHier(spark: SparkSession, path: String): HierIvf = {
+    val index = loadIvf(spark, path)
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val m = spark.read.parquet(s"$path/hier_meta").head()
+    HierIvf(index, coarse, m.getInt(0), m.getInt(1), m.getLong(2),
+      m.getLong(3))
+  }
+
   /** Persist a PQ codebook beside an index (m·|codebook|·dsub floats —
     * a tiny sidecar like the IVF centers). [[persistIvf]] already
     * carries the `pqcode` column through `partitionBy(cluster)`, so

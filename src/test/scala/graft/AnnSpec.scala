@@ -46,6 +46,27 @@ class AnnSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("hierarchical index persists and reloads: two-level searches equal in-memory") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.select($"vec_id", $"embedding")
+    val h = Ann.buildIvfHierarchical(base, "embedding", k = 64)
+    val path = java.nio.file.Files.createTempDirectory("ivfhier").toString
+    Ann.persistIvfHier(h, path)
+    val loaded = Ann.loadIvfHier(spark, path)
+    assert(loaded.k1 === h.k1 && loaded.k2 === h.k2)
+    assert(loaded.coarse.map(_.toSeq).toSeq === h.coarse.map(_.toSeq).toSeq)
+    assert(loaded.index.centers.map(_.toSeq).toSeq ===
+      h.index.centers.map(_.toSeq).toSeq)
+    val tie = Seq(col("vec_id"))
+    for ((nc, np) <- Seq((h.k1, h.k1 * h.k2), (math.max(2, h.k1 / 2), h.k1 * h.k2 / 2))) {
+      val a = Ann.searchIvfHier(h, "embedding", query, 10, nc, np, tie)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val b = Ann.searchIvfHier(loaded, "embedding", query, 10, nc, np, tie)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(a === b, s"nprobeCoarse=$nc nprobe=$np diverged after reload")
+    }
+  }
+
   test("int8-quantized top-k recalls nearly all of the exact float top-k") {
     val dir = sf("sf0.001")
     val exact = graft.queries.Catalog.queries("ann_topk")(spark, dir)
