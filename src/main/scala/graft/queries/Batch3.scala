@@ -836,6 +836,29 @@ object Batch3 {
              |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
       "IVF ANN: sample-fit KMeans quantizer, codegen'd cosine assignment; exhaustive-probe = exact (oracled), pruned-probe recall AnnSpec-verified"),
 
+    // ---- normalization-aware exact dedup: hash the text AFTER
+    // lowercasing, stripping punctuation, and collapsing whitespace —
+    // the C4/RefinedWeb-style canonicalization that catches trivial
+    // formatting variants ("Hello,  World!" vs "hello world") raw
+    // content hashing misses. Same scale shape as dedup_exact_docs:
+    // stateless per-row normalization in whole-stage codegen, then a
+    // hash groupBy with map-side partial aggregation — no extra
+    // shuffle over the raw-hash flavor.
+    "dedup_normalized" -> Q(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        table(s, dir, "documents")
+          .groupBy(md5(norm).as("norm_hash"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keeper_id")
+      },
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+             |  min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin),
+      "exact dedup on normalized text (case/punct/whitespace-folded content hash)"),
+
     // exact dedup on the documents table (hash-groupBy flavor)
     "dedup_exact_docs" -> Q(
       (s, dir) => {

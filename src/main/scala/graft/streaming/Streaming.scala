@@ -91,7 +91,14 @@ object Streaming {
     * (lang, shard) — bounded by key cardinality, no timeout needed;
     * per-batch work is one in-memory sort of the batch's shard slice.
     * At scale the parallelism story matches the batch twin: K shards
-    * per language, never a bare-language key. */
+    * per language, never a bare-language key.
+    *
+    * Bootstrap note: `mapGroups`-family operators materialize each
+    * key's micro-batch slice, so do NOT replay a 100-TB corpus through
+    * the stream as one giant batch 0 — run the BATCH operator over the
+    * snapshot and stream only the incremental tail (the
+    * [[snapshotThenTail]] pattern), seeding state implicitly via the
+    * carried offsets. */
   def packSequencesStream(df: DataFrame, budget: Long = 512L,
       shards: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -131,7 +138,11 @@ object Streaming {
     * operator's (n_chars DESC, doc_id) order, so a single-batch feed
     * equals the batch rows exactly (StreamingSpec); a multi-batch feed
     * is arrival-order greedy on the carried state — the natural
-    * streaming semantics for a budget that fills monotonically. */
+    * streaming semantics for a budget that fills monotonically.
+    * Same bootstrap note as [[packSequencesStream]]: batch the
+    * snapshot, stream the tail — one language's micro-batch slice
+    * materializes in its group iterator, which is fine for tails and
+    * wrong for a single 100-TB batch 0. */
   def corpusBudgetExactStream(df: DataFrame, budget: Long = 2000L,
       shards: Int = 8): DataFrame = {
     val spark = df.sparkSession
