@@ -635,6 +635,38 @@ object Ann {
     IvfIndex(centers, spark.read.parquet(s"$path/assigned"))
   }
 
+  /** Incremental index maintenance: assign NEW rows against an
+    * existing index's FROZEN centers and append them to the persisted
+    * partitioned layout — the update path of build-once/search-many.
+    * Assignment with frozen centers is a pure function of the row (the
+    * same codegen'd argmax scan as the original build), so appended
+    * rows land in exactly the cluster a full rebuild with these
+    * centers would give them, and a reloaded index immediately serves
+    * old+new rows through the same directory-level pruning. Center
+    * drift is handled by periodic re-fit + rewrite, the standard IVF
+    * deployment cadence — appends never mutate existing files. */
+  def appendToIvf(index: IvfIndex, newRows: DataFrame, embCol: String,
+      path: String): Unit =
+    assignByCosine(newRows, embCol, index.centers)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+
+  /** Streaming flavor of [[appendToIvf]]: a stream of new vectors
+    * assigned with the frozen centers and appended per micro-batch.
+    * Deliberately `foreachBatch` + batch append rather than the
+    * streaming parquet sink: the streaming sink would plant a
+    * `_spark_metadata` commit log in the index directory, after which
+    * readers of the directory see ONLY the sink's files and the
+    * original index silently vanishes (the snapshotThenTail caveat).
+    * Idempotence across micro-batch retries therefore comes from the
+    * checkpointed batchId, not a sink log — callers who need
+    * exact-once under retries should dedup on an id column at read
+    * time or track applied batchIds. Caller starts the writer. */
+  def appendToIvfStream(index: IvfIndex, stream: DataFrame, embCol: String,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => appendToIvf(index, batch, embCol, path)
+    }
+
   /** Persist a hierarchical index: the flat artifact ([[persistIvf]] —
     * assignment `partitionBy(cluster)` + flat centers) plus the coarse
     * centers and level shape as tiny sidecars, so a reloaded index

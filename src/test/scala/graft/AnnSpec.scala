@@ -46,6 +46,34 @@ class AnnSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("appendToIvf: frozen-center appends equal a rebuild with the same centers") {
+    import org.apache.spark.sql.functions.col
+    // build+persist on the first half, append the second half, and the
+    // reloaded index must be row-for-row the full assignment under the
+    // SAME centers (assignment is a pure function of the row)
+    val first = emb.filter($"vec_id" < 500)
+    val rest = emb.filter($"vec_id" >= 500)
+    val index = Ann.buildIvf(first, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    Ann.persistIvf(index, path)
+    Ann.appendToIvf(index, rest, "embedding", path)
+    val loaded = Ann.loadIvf(spark, path)
+    val got = loaded.assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Ann.assignByCosine(emb, "embedding", index.centers)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    // and searches over the updated index see the appended rows
+    val tie = Seq(col("vec_id"))
+    val exact = Ann.bruteForce(emb, "embedding", query, 10, tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val searched = Ann.searchIvf(loaded, "embedding", query, 10,
+        nprobe = index.centers.length, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(searched === exact)
+  }
+
   test("hierarchical index persists and reloads: two-level searches equal in-memory") {
     import org.apache.spark.sql.functions.col
     val base = emb.select($"vec_id", $"embedding")

@@ -160,6 +160,34 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("IVF append twin: streaming frozen-center appends == the full batch assignment") {
+    // incremental index maintenance end-to-end: persist an index built
+    // on half the vectors, stream the other half through
+    // appendToIvfStream (foreachBatch appends — no _spark_metadata in
+    // the index dir), reload, and the assignment must equal one batch
+    // assignment of ALL rows under the frozen centers
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val first = emb.filter($"vec_id" < 500)
+    val index = graft.ops.Ann.buildIvf(first, "embedding", k = 8)
+    val path = tmp()
+    graft.ops.Ann.persistIvf(index, path)
+    val feed = tmp()
+    emb.filter($"vec_id" >= 500).write.mode("overwrite").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream.schema(schema).parquet(feed)
+    val q = graft.ops.Ann.appendToIvfStream(index, stream, "embedding", path)
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val loaded = graft.ops.Ann.loadIvf(spark, path)
+    val got = loaded.assigned.select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = graft.ops.Ann.assignByCosine(emb, "embedding", index.centers)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === want.size && got === want)
+  }
+
   test("pack_sequences twin: stateful shard packing on a documents stream == batch rows") {
     // the running (lang, shard) token offsets live in GroupState; on
     // the ordered fixture feed the stream must pack every document
