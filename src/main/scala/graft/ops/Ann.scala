@@ -646,9 +646,19 @@ object Ann {
     * drift is handled by periodic re-fit + rewrite, the standard IVF
     * deployment cadence — appends never mutate existing files. */
   def appendToIvf(index: IvfIndex, newRows: DataFrame, embCol: String,
-      path: String): Unit =
-    assignByCosine(newRows, embCol, index.centers)
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+      path: String): Unit = {
+    val assigned = assignByCosine(newRows, embCol, index.centers)
+    // loud schema check: appending rows whose columns differ from the
+    // persisted layout (e.g. an index carrying withSq8/withPq code
+    // columns the new rows lack) would write a MIXED-schema directory
+    // that later reads resolve arbitrarily — derive the code columns
+    // on newRows first (sq8Code / pq_encode) if the index has them
+    require(assigned.columns.toSet == index.assigned.columns.toSet,
+      s"appendToIvf: appended columns ${assigned.columns.sorted.mkString(",")} " +
+        s"!= index columns ${index.assigned.columns.sorted.mkString(",")}; " +
+        "derive any code columns (sq8/pq) on the new rows before appending")
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+  }
 
   /** Streaming flavor of [[appendToIvf]]: a stream of new vectors
     * assigned with the frozen centers and appended per micro-batch.

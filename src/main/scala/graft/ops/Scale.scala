@@ -96,21 +96,29 @@ object Scale {
     // aggregate, restoring the caller's values after, so the promised
     // ~9.6 bits/key holds at ANY dim size (ScaleSpec proves the built
     // filter's bitSize past the default clamp).
-    val spark = dim.sparkSession
-    val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val oldBits  = spark.conf.get(bitsKey)
-    val oldItems = spark.conf.get(itemsKey)
-    spark.conf.set(bitsKey, math.max(numBits, oldBits.toLong))
-    spark.conf.set(itemsKey, math.max(math.max(1L, n), oldItems.toLong))
-    try
-      dim.select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-    finally {
-      spark.conf.set(bitsKey, oldBits)
-      spark.conf.set(itemsKey, oldItems)
+    // serialized on a JVM-wide lock: two concurrent builds would
+    // otherwise race the set/restore — builder A restoring the default
+    // while builder B's aggregate runs would silently re-clamp B,
+    // which is exactly the failure mode this block exists to kill
+    bloomConfLock.synchronized {
+      val spark = dim.sparkSession
+      val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val oldBits  = spark.conf.get(bitsKey)
+      val oldItems = spark.conf.get(itemsKey)
+      spark.conf.set(bitsKey, math.max(numBits, oldBits.toLong))
+      spark.conf.set(itemsKey, math.max(math.max(1L, n), oldItems.toLong))
+      try
+        dim.select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      finally {
+        spark.conf.set(bitsKey, oldBits)
+        spark.conf.set(itemsKey, oldItems)
+      }
     }
   }
+
+  private val bloomConfLock = new Object
 
   /** Probe a [[bloomKeyFilter]] inside `fact`'s scan stage: rows whose
     * key cannot be in the dim set are dropped BEFORE any exchange.

@@ -160,6 +160,12 @@ object Streaming {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (lang, rows, state) =>
           val (s0, g0) = state.getOption.getOrElse((Seq.fill(shards)(0L), 0L))
+          // a restart with a different `shards` against checkpointed
+          // state would silently misroute budgets — fail loudly instead
+          require(s0.length == shards,
+            s"corpusBudgetExactStream: checkpointed state has ${s0.length} " +
+              s"shards but the query was started with $shards — restart with " +
+              "the original shard count or a fresh checkpoint")
           val shardCums = s0.toArray
           var global = g0
           val out = Seq.newBuilder[(String, Long, Long, Long)]

@@ -74,6 +74,19 @@ class AnnSpec extends SparkTestBase {
     assert(searched === exact)
   }
 
+  test("appendToIvf refuses schema drift against a coded index") {
+    // appending plain rows to an index carrying SQ8 code columns would
+    // write a mixed-schema directory — must fail loudly instead
+    val first = emb.filter($"vec_id" < 500)
+    val coded = Ann.withSq8(Ann.buildIvf(first, "embedding", k = 8), "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    Ann.persistIvf(coded, path)
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIvf(coded, emb.filter($"vec_id" >= 500), "embedding", path)
+    }
+    assert(e.getMessage.contains("code columns"))
+  }
+
   test("hierarchical index persists and reloads: two-level searches equal in-memory") {
     import org.apache.spark.sql.functions.col
     val base = emb.select($"vec_id", $"embedding")
