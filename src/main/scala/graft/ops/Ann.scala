@@ -635,6 +635,61 @@ object Ann {
     IvfIndex(centers, spark.read.parquet(s"$path/assigned"))
   }
 
+  /** IVF-accelerated k-NN JOIN — the batched ANN path for a TABLE of
+    * query vectors. The brute-force k-NN join scores every
+    * (query, row) pair: |Q|·n work behind a cross join. This routes
+    * each query to its best `nprobe` clusters and scores only those:
+    *  1. rank centers per query against the BROADCAST center table
+    *     (k·d floats — broadcast-class by construction), cut to
+    *     `nprobe` with the bounded [[graft.functions.BoundedTopK]]
+    *     aggregate so the exchange carries |Q|·nprobe probe pairs,
+    *     never |Q|·k;
+    *  2. EQUI-join the (query, cluster) probes with the assignment on
+    *     cluster id — Σ_q (probed cluster sizes) rows scored, no
+    *     cartesian anywhere;
+    *  3. per-query bounded top-k over the scored candidates (map-side
+    *     bounded, ids-only through the shuffle).
+    * With `nprobe = k` every cluster is probed and the result is
+    * EXACT (the oracle-able construction); with nprobe << k it is
+    * [[searchIvf]]'s recall/probe tradeoff, batched. `excludeSelf`
+    * drops id-equal (query, row) pairs before the cut (the usual
+    * corpus-vs-itself convention). Output: (qIdCol, id, score, rk),
+    * rk 1-based best-first. */
+  def knnJoinIvf(index: IvfIndex, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      topK: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    require(qIdCol != "cluster" && qEmbCol != "cluster",
+      "knnJoinIvf: query columns may not be named 'cluster'")
+    val centersDf = broadcast(
+      index.centers.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
+        .toDF("__graft_cl", "__graft_center"))
+    val q = queries.select(col(qIdCol), col(qEmbCol))
+    val probes = q.crossJoin(centersDf)
+      .withColumn("__graft_csim", cosine_sim(col(qEmbCol), col("__graft_center")))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.BoundedTopK.top_k_by(
+        col("__graft_csim"), col("__graft_cl"), nprobe).as("__graft_top"))
+      .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_probe"))
+      .join(q, qIdCol) // carry the query vector to the scoring join
+    val scored = probes.join(index.assigned,
+        probes("__graft_probe") === index.assigned("cluster"))
+      .withColumn("__graft_score", cosine_sim(col(embCol), col(qEmbCol)))
+    val kept =
+      if (excludeSelf) scored.filter(col(idCol) =!= col(qIdCol)) else scored
+    kept
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.BoundedTopK.top_k_by(
+        col("__graft_score"), col(idCol), topK).as("__graft_nn"))
+      .select(col(qIdCol), posexplode(col("__graft_nn")).as(Seq("__graft_pos", "__graft_s")))
+      .select(col(qIdCol),
+        col("__graft_s.id").as(idCol),
+        col("__graft_s.ord").as("score"),
+        (col("__graft_pos") + 1).as("rk"))
+  }
+
   /** Incremental index maintenance: assign NEW rows against an
     * existing index's FROZEN centers and append them to the persisted
     * partitioned layout — the update path of build-once/search-many.

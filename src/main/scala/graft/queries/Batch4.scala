@@ -254,6 +254,35 @@ object Batch4 {
              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
       "k-NN join: per-query top-k neighbors (broadcast query set, window rank)"),
 
+    // ---- the IVF-routed flavor of ann_knn_join: each query probes
+    // only its ranked clusters via an EQUI-join on cluster id (center
+    // ranking against the broadcast center table, bounded-top-k cuts
+    // on both sides of the scoring join — the batched-ANN shape that
+    // scales past a broadcastable query set). nprobe = k probes every
+    // cluster, so the result is exact BY CONSTRUCTION and shares
+    // ann_knn_join's oracle; the pruned path runs in AnnSpec.
+    "ann_ivf_knn_join" -> Q(
+      (s, dir) => {
+        val idx = Batch3.ivfIndex(s, dir)
+        val queries = table(s, dir, "embeddings").filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.ops.Ann.knnJoinIvf(idx, "embedding", "vec_id", queries,
+            "qid", "qvec", topK = 3, nprobe = idx.centers.length,
+            excludeSelf = true)
+          .orderBy("qid", "rk")
+      },
+      Some("""SELECT qid, vec_id, score, rk FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])) AS score,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
+             |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+      "IVF-routed k-NN join: per-query cluster probes via equi-join, bounded top-k both sides (exhaustive = exact; pruned path AnnSpec-verified)"),
+
     // ---- corpus token frequencies (top 50)
     "top_tokens" -> Q(
       (s, dir) => {

@@ -46,6 +46,35 @@ class AnnSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("knnJoinIvf: pruned probes recall most neighbors; plan has no cartesian over the corpus") {
+    import org.apache.spark.sql.functions.col
+    val index = Ann.buildIvf(emb, "embedding", k = 8)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Ann.knnJoinIvf(index, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobe = index.centers.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Ann.knnJoinIvf(index, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query set has 5 rows in both
+    assert(exact.size === 25 && pruned.size === 25)
+    // half-the-clusters probes keep most of the exact neighbor pairs,
+    // and every query recalls ITSELF (its own cluster ranks first and
+    // self-pairs are not excluded here)
+    assert(pruned.intersect(exact).size >= 13,
+      s"recall too low: ${pruned.intersect(exact).size}/25")
+    for (q <- 0L until 5L) assert(pruned.contains((q, q)))
+    // the scoring join is an equi-join on cluster id: the only
+    // cartesian in the plan is the |Q| x k center ranking (broadcast,
+    // k*d floats), never the corpus side
+    val plan = Ann.knnJoinIvf(index, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val cartesians = "CartesianProduct".r.findAllIn(plan).size
+    assert(cartesians === 0, s"corpus-side cartesian in plan:\n${plan.take(3000)}")
+  }
+
   test("appendToIvf: frozen-center appends equal a rebuild with the same centers") {
     import org.apache.spark.sql.functions.col
     // build+persist on the first half, append the second half, and the
