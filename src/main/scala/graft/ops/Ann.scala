@@ -654,7 +654,16 @@ object Ann {
     * [[searchIvf]]'s recall/probe tradeoff, batched. `excludeSelf`
     * drops id-equal (query, row) pairs before the cut (the usual
     * corpus-vs-itself convention). Output: (qIdCol, id, score, rk),
-    * rk 1-based best-first. */
+    * rk 1-based best-first.
+    *
+    * Ranking-stage budget: step 1 evaluates |Q|·k cosine rows before
+    * the bounded cut — fine at catalog/IVF-typical k (the rows never
+    * shuffle; the aggregate eats them map-side), but at
+    * SemDeDup-scale k (~2^20) rank hierarchically instead: probe the
+    * coarse cells first ([[HierIvf]]'s k1 ≈ √k), then only the probed
+    * cells' sub-centers — the [[searchIvfHier]] two-stage shape,
+    * composable here by passing the hierarchical index's flat
+    * `IvfIndex` and pre-filtering `queries` per coarse cell. */
   def knnJoinIvf(index: IvfIndex, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       topK: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
