@@ -188,6 +188,32 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("ann_ivf_hier_topk: cluster-pruned scan + TakeOrdered, no cartesian") {
+    val plan = executed("ann_ivf_hier_topk")
+    // the probe prunes on the cluster column and cuts with TakeOrdered
+    // — same physical discipline as the flat IVF entry
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("cluster"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("dedup_normalized: partial+final aggregation over the normalized hash") {
+    val plan = executed("dedup_normalized")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only doc_id and text feed the hash — props and the rest stay unread
+    assert(readSchema.nonEmpty && !readSchema.contains("props"), readSchema)
+  }
+
+  test("ann_ivf_knn_join: bounded top-k aggregates partial+final, corpus never cartesian") {
+    val plan = executed("ann_ivf_knn_join")
+    // both cuts run through the ObjectHashAggregate pair (map-side
+    // bounded buffers), and the only cross join is the broadcast
+    // center ranking — never the corpus side
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("pipeline_training_corpus: keep-set bloom probed below the first exchange") {
     // the build-once artifact in the composed pipeline: the persisted
     // keep-set bloom must kill dup-loser documents in the scan stage,
