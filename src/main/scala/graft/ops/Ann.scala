@@ -682,9 +682,19 @@ object Ann {
       .agg(graft.functions.BoundedTopK.top_k_by(
         col("__graft_csim"), col("__graft_cl"), nprobe).as("__graft_top"))
       .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_probe"))
-      .join(q, qIdCol) // carry the query vector to the scoring join
-    val scored = probes.join(index.assigned,
-        probes("__graft_probe") === index.assigned("cluster"))
+    knnScoreProbes(index, probes, q, embCol, idCol, qIdCol, qEmbCol,
+      topK, excludeSelf)
+  }
+
+  /** The shared scoring tail of the batched joins: equi-join the
+    * (query, probed cluster) pairs with the assignment, score, and cut
+    * per query with the bounded top-k aggregate. */
+  private def knnScoreProbes(index: IvfIndex, probes: DataFrame,
+      q: DataFrame, embCol: String, idCol: String, qIdCol: String,
+      qEmbCol: String, topK: Int, excludeSelf: Boolean): DataFrame = {
+    val withVec = probes.join(q, qIdCol) // carry the query vector
+    val scored = withVec.join(index.assigned,
+        withVec("__graft_probe") === index.assigned("cluster"))
       .withColumn("__graft_score", cosine_sim(col(embCol), col(qEmbCol)))
     val kept =
       if (excludeSelf) scored.filter(col(idCol) =!= col(qIdCol)) else scored
@@ -697,6 +707,54 @@ object Ann {
         col("__graft_s.id").as(idCol),
         col("__graft_s.ord").as("score"),
         (col("__graft_pos") + 1).as("rk"))
+  }
+
+  /** Batched k-NN join through the TWO-LEVEL ranking — [[knnJoinIvf]]
+    * for hierarchical (SemDeDup-scale) k, where the flat ranking's
+    * |Q|·k stage is the non-starter. Every stage is an equi-join or a
+    * bounded aggregate:
+    *  1. rank the k1 ≈ √k coarse cells per query (|Q|·k1 rows against
+    *     the broadcast coarse table), cut to `nprobeCoarse`;
+    *  2. EQUI-join the (query, cell) pairs with the sub-center table
+    *     keyed by cell (|Q|·nprobeCoarse·k2 rows), cut to `nprobe`
+    *     global clusters;
+    *  3. the shared scoring tail (cluster equi-join + bounded top-k).
+    * Per-query ranking work is O((k1 + nprobeCoarse·k2)·d) — the
+    * [[searchIvfHier]] budget, batched. Exhaustive settings
+    * (nprobeCoarse=k1, nprobe=k1·k2) are exact. */
+  def knnJoinIvfHier(h: HierIvf, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      topK: Int, nprobeCoarse: Int, nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = h.index.assigned.sparkSession
+    import spark.implicits._
+    require(qIdCol != "cluster" && qEmbCol != "cluster",
+      "knnJoinIvfHier: query columns may not be named 'cluster'")
+    val coarseDf = broadcast(
+      h.coarse.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
+        .toDF("__graft_cell", "__graft_ccenter"))
+    // flat sub-center table keyed by coarse cell (cluster id = cell·k2+j)
+    val subDf = broadcast(
+      h.index.centers.toIndexedSeq.zipWithIndex
+        .map { case (c, id) => ((id / h.k2).toLong, id.toLong, c.toIndexedSeq) }
+        .toDF("__graft_cell", "__graft_cl", "__graft_center"))
+    val q = queries.select(col(qIdCol), col(qEmbCol))
+    val cellProbes = q.crossJoin(coarseDf)
+      .withColumn("__graft_csim", cosine_sim(col(qEmbCol), col("__graft_ccenter")))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.BoundedTopK.top_k_by(
+        col("__graft_csim"), col("__graft_cell"), nprobeCoarse).as("__graft_top"))
+      .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_cell"))
+      .join(q, qIdCol)
+    val probes = cellProbes.join(subDf, "__graft_cell")
+      .withColumn("__graft_ssim", cosine_sim(col(qEmbCol), col("__graft_center")))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.BoundedTopK.top_k_by(
+        col("__graft_ssim"), col("__graft_cl"), nprobe).as("__graft_top"))
+      .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_probe"))
+    knnScoreProbes(h.index, probes, q, embCol, idCol, qIdCol, qEmbCol,
+      topK, excludeSelf)
   }
 
   /** Incremental index maintenance: assign NEW rows against an

@@ -75,6 +75,30 @@ class AnnSpec extends SparkTestBase {
     assert(cartesians === 0, s"corpus-side cartesian in plan:\n${plan.take(3000)}")
   }
 
+  test("knnJoinIvfHier: exhaustive two-level batched join is exact; pruned recalls") {
+    val h = Ann.buildIvfHierarchical(emb.select($"vec_id", $"embedding"),
+      "embedding", k = 64)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // exhaustive two-level ranking must equal the exhaustive flat join
+    // (both are the exact per-query top-k by construction)
+    val flat = Ann.knnJoinIvf(h.index, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobe = h.index.centers.length)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val hier = Ann.knnJoinIvfHier(h, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobeCoarse = h.k1, nprobe = h.k1 * h.k2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(hier === flat && hier.size === 25)
+    val pruned = Ann.knnJoinIvfHier(h, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobeCoarse = math.max(2, h.k1 / 2),
+        nprobe = h.k1 * h.k2 / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = flat.map { case (q, _, id) => (q, id) }
+    assert(pruned.intersect(exactPairs).size >= 13,
+      s"recall too low: ${pruned.intersect(exactPairs).size}/25")
+    for (q <- 0L until 5L) assert(pruned.contains((q, q)))
+  }
+
   test("appendToIvf: frozen-center appends equal a rebuild with the same centers") {
     import org.apache.spark.sql.functions.col
     // build+persist on the first half, append the second half, and the
