@@ -237,7 +237,8 @@ object Bench {
     val amortized = Seq("dedup_corpus", "dedup_clusters",
       "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk",
       "dedup_degree", "ann_ivf_sq8", "ann_ivf_pq", "dedup_semantic",
-      "ann_ivf_hier_topk", "split_by_cluster", "ann_ivf_knn_join")
+      "ann_ivf_hier_topk", "split_by_cluster", "ann_ivf_knn_join",
+      "ann_hier_knn_join")
     def render(queriesJson: String, extra: String) =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$extra,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
     val json = render(qs, "")

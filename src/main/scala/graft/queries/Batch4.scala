@@ -283,6 +283,35 @@ object Batch4 {
              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
       "IVF-routed k-NN join: per-query cluster probes via equi-join, bounded top-k both sides (exhaustive = exact; pruned path AnnSpec-verified)"),
 
+    // ---- the batched join through the TWO-LEVEL ranking (the
+    // SemDeDup-scale-k shape): coarse cells ranked per query, probed
+    // cells expanded through the cell-keyed sub-center equi-join, then
+    // the same scoring tail. Exhaustive nprobeCoarse/nprobe = exact,
+    // same oracle as the flat joins; the √k ranking advantage is what
+    // SQL cannot express (AnnSpec proves flat/hier equality + pruned
+    // recall).
+    "ann_hier_knn_join" -> Q(
+      (s, dir) => {
+        val h = Batch3.hierIndex(s, dir)
+        val queries = table(s, dir, "embeddings").filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.ops.Ann.knnJoinIvfHier(h, "embedding", "vec_id", queries,
+            "qid", "qvec", topK = 3, nprobeCoarse = h.k1,
+            nprobe = h.k1 * h.k2, excludeSelf = true)
+          .orderBy("qid", "rk")
+      },
+      Some("""SELECT qid, vec_id, score, rk FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])) AS score,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
+             |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+             |  WHERE e.vec_id <> q.vec_id)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+      "two-level batched k-NN join: coarse-cell ranking + cell-keyed sub-center equi-join (exhaustive = exact; pruned path AnnSpec-verified)"),
+
     // ---- corpus token frequencies (top 50)
     "top_tokens" -> Q(
       (s, dir) => {
