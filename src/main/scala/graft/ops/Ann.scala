@@ -659,11 +659,11 @@ object Ann {
     * Ranking-stage budget: step 1 evaluates |Q|·k cosine rows before
     * the bounded cut — fine at catalog/IVF-typical k (the rows never
     * shuffle; the aggregate eats them map-side), but at
-    * SemDeDup-scale k (~2^20) rank hierarchically instead: probe the
-    * coarse cells first ([[HierIvf]]'s k1 ≈ √k), then only the probed
-    * cells' sub-centers — the [[searchIvfHier]] two-stage shape,
-    * composable here by passing the hierarchical index's flat
-    * `IvfIndex` and pre-filtering `queries` per coarse cell. */
+    * SemDeDup-scale k (~2^20) that stage is the non-starter. Callers
+    * holding a [[HierIvf]] should go through [[knnJoinAuto]], which
+    * routes to [[knnJoinIvfHier]]'s two-level ranking past the same
+    * k threshold [[buildIvfAuto]] switches fits at — this flat
+    * entrypoint is for indexes that are flat by construction. */
   def knnJoinIvf(index: IvfIndex, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       topK: Int, nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
@@ -725,7 +725,8 @@ object Ann {
   def knnJoinIvfHier(h: HierIvf, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       topK: Int, nprobeCoarse: Int, nprobe: Int,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxCenterBroadcastBytes: Long = 256L << 20): DataFrame = {
     val spark = h.index.assigned.sparkSession
     import spark.implicits._
     require(qIdCol != "cluster" && qEmbCol != "cluster",
@@ -734,11 +735,27 @@ object Ann {
       h.coarse.toIndexedSeq.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
         .toDF("__graft_cell", "__graft_ccenter"))
-    // flat sub-center table keyed by coarse cell (cluster id = cell·k2+j)
-    val subDf = broadcast(
-      h.index.centers.toIndexedSeq.zipWithIndex
-        .map { case (c, id) => ((id / h.k2).toLong, id.toLong, c.toIndexedSeq) }
-        .toDF("__graft_cell", "__graft_cl", "__graft_center"))
+    // flat sub-center table keyed by coarse cell (cluster id = cell·k2+j).
+    // The coarse table is always k1 ≈ √k rows — broadcast-class by
+    // construction — but THIS one is all k sub-centers: ~3 GB at
+    // k≈2^20, d=768, past any sane broadcast. Under the size bound we
+    // broadcast (zero exchange on the probe side); over it the rows
+    // are distributed via parallelize and the cell equi-join shuffles
+    // |Q|·nprobeCoarse probe rows on `__graft_cell` instead — the
+    // probe side is already keyed by cell, so the exchange is the
+    // bounded probe set, never the corpus.
+    val subRows = h.index.centers.toIndexedSeq.zipWithIndex
+      .map { case (c, id) => ((id / h.k2).toLong, id.toLong, c.toIndexedSeq) }
+    val d = if (h.index.centers.isEmpty) 0 else h.index.centers(0).length
+    val subBytes = h.index.centers.length.toLong * (4L * d + 24L)
+    val subDf =
+      if (subBytes <= maxCenterBroadcastBytes)
+        broadcast(subRows.toDF("__graft_cell", "__graft_cl", "__graft_center"))
+      else {
+        val slices = math.max(1, (subBytes / (32L << 20)).toInt)
+        spark.createDataset(spark.sparkContext.parallelize(subRows, slices))
+          .toDF("__graft_cell", "__graft_cl", "__graft_center")
+      }
     val q = queries.select(col(qIdCol), col(qEmbCol))
     val cellProbes = q.crossJoin(coarseDf)
       .withColumn("__graft_csim", cosine_sim(col(qEmbCol), col("__graft_ccenter")))
@@ -757,6 +774,33 @@ object Ann {
       topK, excludeSelf)
   }
 
+  /** Routed batched k-NN join — THE entrypoint when the index came
+    * from [[buildIvfAuto]] / [[buildIvfHierarchical]]: picks the flat
+    * ranking while k is small enough that |Q|·k map-side cosine rows
+    * are cheap, and the two-level ranking past `hierThreshold` (same
+    * default as [[buildIvfAuto]], so an index that NEEDED the
+    * hierarchical fit is automatically probed hierarchically — a
+    * caller can no longer pay the flat |Q|·2^20 ranking by accident).
+    * `nprobeCoarse` ≤ 0 derives a coarse probe width that keeps at
+    * least `nprobe` sub-clusters reachable (ceil(nprobe/k2)+1, capped
+    * at k1). Exhaustive settings remain exact through either route. */
+  def knnJoinAuto(h: HierIvf, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      topK: Int, nprobe: Int, nprobeCoarse: Int = 0,
+      excludeSelf: Boolean = false, hierThreshold: Int = 4096,
+      maxCenterBroadcastBytes: Long = 256L << 20): DataFrame =
+    if (h.index.centers.length <= hierThreshold)
+      knnJoinIvf(h.index, embCol, idCol, queries, qIdCol, qEmbCol,
+        topK, nprobe, excludeSelf)
+    else {
+      val coarseProbes =
+        if (nprobeCoarse > 0) nprobeCoarse
+        else math.min(h.k1,
+          math.ceil(nprobe.toDouble / math.max(1, h.k2)).toInt + 1)
+      knnJoinIvfHier(h, embCol, idCol, queries, qIdCol, qEmbCol,
+        topK, coarseProbes, nprobe, excludeSelf, maxCenterBroadcastBytes)
+    }
+
   /** Incremental index maintenance: assign NEW rows against an
     * existing index's FROZEN centers and append them to the persisted
     * partitioned layout — the update path of build-once/search-many.
@@ -774,11 +818,17 @@ object Ann {
     // persisted layout (e.g. an index carrying withSq8/withPq code
     // columns the new rows lack) would write a MIXED-schema directory
     // that later reads resolve arbitrarily — derive the code columns
-    // on newRows first (sq8Code / pq_encode) if the index has them
-    require(assigned.columns.toSet == index.assigned.columns.toSet,
-      s"appendToIvf: appended columns ${assigned.columns.sorted.mkString(",")} " +
-        s"!= index columns ${index.assigned.columns.sorted.mkString(",")}; " +
-        "derive any code columns (sq8/pq) on the new rows before appending")
+    // on newRows first (sq8Code / pq_encode) if the index has them.
+    // Name AND type: a same-named column with a drifted type (vec_id
+    // int vs long, embedding float[] vs double[]) writes files later
+    // reads can only merge by widening or failing — exactly the
+    // corruption this guard exists to refuse.
+    def sig(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+    require(sig(assigned).sameElements(sig(index.assigned)),
+      s"appendToIvf: appended schema ${sig(assigned).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")} " +
+        s"!= index schema ${sig(index.assigned).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}; " +
+        "derive any code columns (sq8/pq) and match column types on the new rows before appending")
     assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
   }
 
@@ -789,14 +839,33 @@ object Ann {
     * `_spark_metadata` commit log in the index directory, after which
     * readers of the directory see ONLY the sink's files and the
     * original index silently vanishes (the snapshotThenTail caveat).
-    * Idempotence across micro-batch retries therefore comes from the
-    * checkpointed batchId, not a sink log — callers who need
-    * exact-once under retries should dedup on an id column at read
-    * time or track applied batchIds. Caller starts the writer. */
+    *
+    * Idempotence under at-least-once retries: an applied-batchId
+    * marker (`_applied_batches/<batchId>`, outside the `assigned`
+    * read path) is checked inside the foreachBatch — a retried
+    * micro-batch whose append already committed is skipped instead of
+    * double-appending rows that would distort every later top-k. The
+    * marker commits AFTER the parquet append, so the remaining
+    * at-least-once window is a crash BETWEEN append and marker write
+    * (the same window any non-transactional sink has); callers
+    * needing exact-once under that window dedup on an id column at
+    * read time. Caller starts the writer. */
   def appendToIvfStream(index: IvfIndex, stream: DataFrame, embCol: String,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) => appendToIvf(index, batch, embCol, path)
+      (batch: DataFrame, batchId: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches")
+        val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
+        val fs = marker.getFileSystem(conf)
+        if (fs.exists(marker)) {
+          System.err.println(
+            s"[appendToIvfStream] batch $batchId already applied at $path — skipping retry")
+        } else {
+          appendToIvf(index, batch, embCol, path)
+          fs.mkdirs(markerDir)
+          fs.create(marker, true).close()
+        }
     }
 
   /** Persist a hierarchical index: the flat artifact ([[persistIvf]] —

@@ -92,33 +92,26 @@ object Scale {
     // toward 1, turning the prefilter into a per-row-cost no-op exactly
     // in the 100-TB regime it targets (no false negatives, so results
     // would stay correct — only the pruning would vanish). Raise the
-    // confs to this build's exact sizes for the duration of the
-    // aggregate, restoring the caller's values after, so the promised
-    // ~9.6 bits/key holds at ANY dim size (ScaleSpec proves the built
-    // filter's bitSize past the default clamp).
-    // serialized on a JVM-wide lock: two concurrent builds would
-    // otherwise race the set/restore — builder A restoring the default
-    // while builder B's aggregate runs would silently re-clamp B,
-    // which is exactly the failure mode this block exists to kill
-    bloomConfLock.synchronized {
-      val spark = dim.sparkSession
-      val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val oldBits  = spark.conf.get(bitsKey)
-      val oldItems = spark.conf.get(itemsKey)
-      spark.conf.set(bitsKey, math.max(numBits, oldBits.toLong))
-      spark.conf.set(itemsKey, math.max(math.max(1L, n), oldItems.toLong))
-      try
-        dim.select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-      finally {
-        spark.conf.set(bitsKey, oldBits)
-        spark.conf.set(itemsKey, oldItems)
-      }
-    }
+    // confs to this build's exact sizes IN A SESSION CLONE
+    // (`newSession()` shares the SparkContext but owns its SQLConf), so
+    // the promised ~9.6 bits/key holds at ANY dim size (ScaleSpec
+    // proves the built filter's bitSize past the default clamp) while
+    // the caller's session is never mutated: concurrent queries in the
+    // parent session can't have their optimizer-injected runtime
+    // filters sized by our inflated limits, and a JVM death mid-build
+    // leaves nothing to restore (the round-9 advice finding — the old
+    // set/restore on the shared conf had both hazards).
+    val clone = dim.sparkSession.newSession()
+    clone.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(numBits,
+        clone.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong))
+    clone.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(math.max(1L, n),
+        clone.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong))
+    GraftSql.inSession(clone, dim)
+      .select(GraftSql.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
   }
-
-  private val bloomConfLock = new Object
 
   /** Probe a [[bloomKeyFilter]] inside `fact`'s scan stage: rows whose
     * key cannot be in the dim set are dropped BEFORE any exchange.

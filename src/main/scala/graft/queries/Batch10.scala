@@ -75,7 +75,33 @@ object Batch10 {
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint(false)
-  })
+  }, "semanticDedup")
+
+  /** SemDeDup through the FORCED two-level fit: `hierThreshold = 8`
+    * sits below the fixture's k (semanticK floors at 16), so
+    * [[graft.ops.Ann.buildIvfAuto]] takes the hierarchical branch —
+    * the oracle gate then executes the same coarse-MLlib +
+    * per-cell-Lloyd + two-pass-assignment machinery a SemDeDup-scale
+    * (k ≈ 2^20) deployment runs, not just the flat MLlib fit the
+    * fixture k would otherwise pick. Drop-rule invariants for the
+    * hier-fit path are asserted in AnnSpec (copies collapse, no kept
+    * same-cluster pair >= tau, deterministic). */
+  private val semanticHierMemo = new SessionMemo[DataFrame]((s, dir) => {
+    val emb = plantedEmbeddings(s, dir)
+    val n = emb.count()
+    val k = semanticK(n)
+    val idx = graft.ops.Ann.buildIvfAuto(emb, "embedding", k = k,
+      maxFitRows = semanticFitRows(k), hierThreshold = 8)
+    graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint(false)
+  }, "semanticDedupHier")
+
+  /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
+  def touchMemos(s: SparkSession, dir: String): Unit = {
+    semanticMemo(s, dir).count()
+    semanticHierMemo(s, dir).count(); ()
+  }
 
   /** CASE expression both engines share: per-language keep-threshold
     * out of 16384 hash buckets (power of two, so the signed
@@ -85,6 +111,36 @@ object Batch10 {
   private[graft] val mixRateSql =
     """CASE lang WHEN 'en' THEN 13107 WHEN 'zh' THEN 8192
       |WHEN 'de' THEN 4096 ELSE 6554 END""".stripMargin.replace("\n", " ")
+
+  /** pack_sequences' DuckDB re-derivation, shared VERBATIM with the
+    * streaming twin's gate entry: on a single-batch ordered feed the
+    * GroupState operator must reproduce the batch windows exactly, so
+    * one oracle serves both. */
+  private val packSequencesOracle: String =
+    """WITH RECURSIVE k AS (
+      |  SELECT DISTINCT 'shard:' || doc_id AS s FROM documents),
+      |fnv(s, i, h) AS (
+      |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
+      |  UNION ALL
+      |  SELECT s, i+1,
+      |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+      |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
+      |      * 1099511628211) % 18446744073709551616
+      |  FROM fnv WHERE i <= length(s)),
+      |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1),
+      |t AS (
+      |  SELECT d.doc_id, d.lang, CAST(f.h % 8 AS BIGINT) AS shard,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+      |  FROM documents d JOIN final f ON f.s = 'shard:' || d.doc_id),
+      |c AS (
+      |  SELECT doc_id, lang, shard, toks,
+      |    CAST(sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM t)
+      |SELECT doc_id, lang, shard, toks, cum,
+      |  (cum - toks) // 512 AS pack_id
+      |FROM c ORDER BY doc_id""".stripMargin
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -157,30 +213,7 @@ object Batch10 {
       // same recursive-CTE FNV-1a kernel as sample_weighted, salted
       // 'shard:' (mod 8 is a power of two, so the HUGEINT % and the
       // signed pmod views agree)
-      Some("""WITH RECURSIVE k AS (
-             |  SELECT DISTINCT 'shard:' || doc_id AS s FROM documents),
-             |fnv(s, i, h) AS (
-             |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
-             |  UNION ALL
-             |  SELECT s, i+1,
-             |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
-             |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
-             |      * 1099511628211) % 18446744073709551616
-             |  FROM fnv WHERE i <= length(s)),
-             |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1),
-             |t AS (
-             |  SELECT d.doc_id, d.lang, CAST(f.h % 8 AS BIGINT) AS shard,
-             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
-             |  FROM documents d JOIN final f ON f.s = 'shard:' || d.doc_id),
-             |c AS (
-             |  SELECT doc_id, lang, shard, toks,
-             |    CAST(sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             |      AS cum
-             |  FROM t)
-             |SELECT doc_id, lang, shard, toks, cum,
-             |  (cum - toks) // 512 AS pack_id
-             |FROM c ORDER BY doc_id""".stripMargin),
+      Some(packSequencesOracle),
       "fixed-budget sequence packing over (lang, hash-shard) windows (parallel pack assembly)"),
 
     // ---- token-budget corpus selection: take the longest documents
@@ -853,5 +886,45 @@ object Batch10 {
              |FROM g GROUP BY user_id, grp HAVING count(*) >= 2
              |ORDER BY user_id, start_day""".stripMargin),
       "gaps-and-islands: maximal consecutive-day streaks per user (row_number-delta)"),
+
+    // ---- the STREAMING pack_sequences twin on the oracle gate: the
+    // documents fixture is replayed through packSequencesStream (file
+    // source, one micro-batch) into a memory sink, so the gate row
+    // executes the real GroupState path — flatMapGroupsWithState
+    // carrying the per-(lang, shard) running token offset — and must
+    // reproduce the batch operator's windows EXACTLY on the ordered
+    // single-batch feed (the StreamingSpec equality, promoted to the
+    // hash-compared gate). Shares pack_sequences' DuckDB oracle
+    // verbatim. Multi-batch feeds pack in arrival order on the carried
+    // state — the semantics StreamingSpec's incremental cases pin.
+    "pack_sequences_stream" -> Q(
+      (s, dir) => {
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_pack_stream_").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "documents.parquet"),
+          java.nio.file.Paths.get(src, "documents.parquet"))
+        val schema = s.read.parquet(s"$src/documents.parquet").schema
+        val stream = s.readStream.schema(schema).parquet(src)
+        val sinkName = "graft_pack_sequences_stream_sink"
+        val q = graft.streaming.Streaming.packSequencesStream(stream)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sinkName).orderBy("doc_id")
+      },
+      Some(packSequencesOracle),
+      "streaming pack_sequences twin via flatMapGroupsWithState (single-batch replay == batch windows; hash-compared on the gate)"),
+
+    // ---- SemDeDup through the forced hierarchical fit (see
+    // semanticHierMemo): same planted fixture, same tau, same output
+    // shape as dedup_semantic, but buildIvfAuto routes the k-means fit
+    // through the two-level coarse+per-cell-Lloyd machinery. k-means
+    // centroids are not DuckDB-replicable → rows-only gate; hier-fit
+    // drop-rule invariants live in AnnSpec.
+    "dedup_semantic_hier" -> Q(
+      (s, dir) => semanticHierMemo(s, dir).orderBy("vec_id"),
+      None,
+      "SemDeDup with the two-level hierarchical k-means fit forced (rows-only gate; invariants in AnnSpec)"),
   )
 }

@@ -139,7 +139,7 @@ object Batch3 {
     * reflects the real mining cost; Bench marks the consumers
     * `amortized` in its JSON line.) */
   private val interMemo = new SessionMemo[DataFrame]((s, dir) =>
-    minePairCounts(s, dir).localCheckpoint(false))
+    minePairCounts(s, dir).localCheckpoint(false), "pairCounts")
 
   /** The mining shape itself: inverted index on xxhash64(shingle) →
     * self-join → per-pair intersection counts, sizes joined AFTER the
@@ -248,7 +248,7 @@ object Batch3 {
     require(changed == 0,
       s"dedup_clusters: not converged after $maxRounds rounds ($changed labels still changing)")
     labels.select(col("doc_id"), col("rep").as("cluster_rep"))
-  })
+  }, "clusterLabels")
 
   private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     clusterMemo(s, dir)
@@ -318,7 +318,7 @@ object Batch3 {
   private val ivfMemo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
     val idx = graft.ops.Ann.buildIvf(table(s, dir, "embeddings"), "embedding", k = 16)
     idx.copy(assigned = idx.assigned.localCheckpoint(false))
-  })
+  }, "ivfIndex")
   def ivfIndex(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex = ivfMemo(s, dir)
 
   /** Hierarchical (two-level) IVF index, memoized like [[ivfIndex]].
@@ -331,7 +331,7 @@ object Batch3 {
     val h = graft.ops.Ann.buildIvfHierarchical(
       table(s, dir, "embeddings"), "embedding", k = 16)
     h.copy(index = h.index.copy(assigned = h.index.assigned.localCheckpoint(false)))
-  })
+  }, "hierIndex")
   def hierIndex(s: SparkSession, dir: String): graft.ops.Ann.HierIvf =
     hierMemo(s, dir)
 
@@ -342,9 +342,39 @@ object Batch3 {
     val cb = graft.ops.Ann.fitPq(table(s, dir, "embeddings"), "embedding", m = 8)
     val coded = graft.ops.Ann.withPq(ivfMemo(s, dir), "embedding", cb)
     (coded.copy(assigned = coded.assigned.localCheckpoint(false)), cb)
-  })
+  }, "pqIndex")
   def pqIndex(s: SparkSession, dir: String): (graft.ops.Ann.IvfIndex, graft.ops.Ann.PqCodebook) =
     pqMemo(s, dir)
+
+  /** SQ8-coded flavor of [[ivfIndex]], memoized like [[pqIndex]]: the
+    * int8 code + norm columns are derived once per (session, dir) and
+    * checkpointed — without this every ann_ivf_sq8 execution re-ran
+    * the qvec/qnorm HOFs over the whole assignment, a per-run cost the
+    * bench's `amortized` label wrongly claimed was paid once (the
+    * round-10 4.1×-floor swing surface). Mirrors a real deployment,
+    * where [[graft.ops.Ann.persistIvf]] persists the code columns
+    * beside the assignment and searches only ever read them. */
+  private val sq8Memo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
+    val coded = graft.ops.Ann.withSq8(ivfMemo(s, dir), "embedding")
+    coded.copy(assigned = coded.assigned.localCheckpoint(false))
+  }, "sq8Index")
+  def sq8Index(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex =
+    sq8Memo(s, dir)
+
+  /** Force-build every shared memoized artifact and materialize its
+    * checkpoint (each `count` is a cheap cached-block scan when warm).
+    * Bench calls this between its warmup and timed phases so a timed
+    * pass can never pay a build the warmup already paid — and any
+    * rebuild that DOES happen here is visible in the [[SessionMemo]]
+    * build log with its reason. */
+  def touchMemos(s: SparkSession, dir: String): Unit = {
+    pairCounts(s, dir).count()
+    clusterLabels(s, dir).count()
+    ivfIndex(s, dir).assigned.count()
+    sq8Index(s, dir).assigned.count()
+    hierIndex(s, dir).index.assigned.count()
+    pqIndex(s, dir)._1.assigned.count()
+  }
 
   val entries: Seq[(String, Q)] = Seq(
 

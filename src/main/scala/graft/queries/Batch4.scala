@@ -23,18 +23,32 @@ object Batch4 {
     * loadBloom) so the entry exercises the same build-once/apply-many
     * artifact flow a real deployment uses across jobs. ~9.6 bits per
     * kept doc at 1% fpp — broadcast-class at any corpus size. */
-  private val keepBloomMemo = new SessionMemo[Array[Byte]]((s, dir) => {
+  /** Fresh scratch path per BUILD (`createTempDirectory` — unique by
+    * construction), replacing the old `math.abs(dir.hashCode)` key: a
+    * hashCode collision, two JVMs sharing /tmp, or Int.MinValue could
+    * all serve a bloom built for DIFFERENT data, and a mismatched
+    * keep-set bloom silently drops surviving documents (round-9
+    * advice). Uniqueness is what BloomPathSpec pins. */
+  private[queries] def bloomScratchPath(): String =
+    java.nio.file.Files.createTempDirectory("graft_keep_bloom_")
+      .resolve("bloom.parquet").toAbsolutePath.toString
+
+  private[queries] val keepBloomMemo = new SessionMemo[Array[Byte]]((s, dir) => {
     val losers = Batch3.ngramPairs(s, dir).select(col("doc_b")).distinct()
     val keepers = table(s, dir, "documents").select(col("doc_id"))
       .join(losers, col("doc_id") === col("doc_b"), "left_anti")
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_keep_bloom_${math.abs(dir.hashCode)}").getAbsolutePath
+    val path = bloomScratchPath()
     graft.ops.Scale.persistBloom(
       graft.ops.Scale.bloomKeyFilter(keepers, "doc_id"), s, path)
     graft.ops.Scale.loadBloom(s, path)
-  })
+  }, "keepBloom")
   private def keepBloom(s: SparkSession, dir: String): Array[Byte] =
     keepBloomMemo(s, dir)
+
+  /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
+  def touchMemos(s: SparkSession, dir: String): Unit = {
+    keepBloomMemo(s, dir); ()
+  }
 
   val entries: Seq[(String, Q)] = Seq(
 

@@ -209,7 +209,7 @@ object Batch9 {
     // path runs in AnnSpec with recall/exactness assertions.
     "ann_ivf_sq8" -> Q(
       (s, dir) => {
-        val idx = graft.ops.Ann.withSq8(Batch3.ivfIndex(s, dir), "embedding")
+        val idx = Batch3.sq8Index(s, dir)
         val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         // rescore >= |table| (footer-metadata count, not a scan)

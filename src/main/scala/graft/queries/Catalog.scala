@@ -22,14 +22,27 @@ object Catalog {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long and truncate to a µs
-    * timestamp (matching DuckDB's `CAST(ts_ns AS TIMESTAMP)` truncation
-    * semantics, verified truncating not rounding). */
+  /** Normalize `events.ts` across testdata generations to ONE type —
+    * TimestampType at µs precision under the UTC session TZ:
+    *  - TIMESTAMP(NANOS) files (early rounds): Spark's vectorized
+    *    reader rejects nanos, so read as a nanos long
+    *    (`nanosAsLong`) and truncate to µs (matching DuckDB's
+    *    `CAST(ts_ns AS TIMESTAMP)` truncation, verified truncating
+    *    not rounding);
+    *  - TIMESTAMP(MICROS) files (round-11 regeneration): arrive as
+    *    TIMESTAMP_NTZ — cast to TimestampType (UTC session TZ makes
+    *    the naive value the same instant), keeping every downstream
+    *    plan and oracle comparison byte-identical to the nanos era. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   private val d4 = DecimalType(18, 4)

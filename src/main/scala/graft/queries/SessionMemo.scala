@@ -30,7 +30,8 @@ import org.apache.spark.sql.SparkSession
   * and a rewrite inside the TTL window is seen one window late. Both
   * only matter for in-session rewrites of the SAME dir, which the
   * test suite does explicitly via [[clear]]. */
-final class SessionMemo[V](build: (SparkSession, String) => V) {
+final class SessionMemo[V](build: (SparkSession, String) => V,
+    label: String = "memo") {
 
   private final case class Entry(fp: Long, value: V)
   private val m = new ConcurrentHashMap[(SparkSession, String), Entry]
@@ -71,7 +72,15 @@ final class SessionMemo[V](build: (SparkSession, String) => V) {
     val fp = fingerprint(dir)
     m.compute((s, dir), (k, cur) =>
       if (cur != null && cur.fp == fp) cur
-      else Entry(fp, build(k._1, k._2))).value
+      else {
+        // a rebuild on a warm-looking run is the bench artifact the
+        // round-10 verdict chased — make every build visible, with why
+        val reason =
+          if (cur == null) "miss"
+          else s"fp-changed ${cur.fp} -> $fp"
+        System.err.println(s"[memo] build $label dir=$dir reason=$reason")
+        Entry(fp, build(k._1, k._2))
+      }).value
   }
 
   def clear(): Unit = { m.clear(); fpCache.clear() }

@@ -133,8 +133,15 @@ class StreamingSpec extends SparkTestBase {
       Paths.get(dir, "events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    // same two-generation ts normalization as Catalog.events
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     (stream, dir)
   }
 
@@ -293,10 +300,20 @@ class StreamingSpec extends SparkTestBase {
     // phase 2: a far-future sentinel event pushes the global watermark
     // past every real session so append mode finalizes them all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val maxNs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("ts")).head().getLong(0)
-    spark.read.parquet(s"$dir/events.parquet").limit(1)
-      .withColumn("ts", lit(maxNs + 86400L * 1000000000L))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // sentinel ts computed in the file's own ts domain (nanos long for
+    // the early-generation fixtures, µs timestamp for the round-11
+    // regeneration) so the appended file's schema matches the stream's
+    val sentinel = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val maxNs = raw.agg(max("ts")).head().getLong(0)
+        raw.limit(1).withColumn("ts", lit(maxNs + 86400L * 1000000000L))
+      case _ =>
+        val maxTs = raw.agg(max("ts")).head().getAs[java.time.LocalDateTime](0)
+        raw.limit(1).withColumn("ts",
+          lit(maxTs.plusDays(1)).cast(raw.schema("ts").dataType))
+    }
+    sentinel
       .withColumn("user_id", lit(-1L)) // real user_ids are non-negative
       .write.mode("append").parquet(dir)
     q.processAllAvailable(); q.stop()
