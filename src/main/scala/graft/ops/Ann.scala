@@ -854,19 +854,31 @@ object Ann {
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches")
-        val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
-        val fs = marker.getFileSystem(conf)
-        if (fs.exists(marker)) {
-          System.err.println(
-            s"[appendToIvfStream] batch $batchId already applied at $path — skipping retry")
-        } else {
-          appendToIvf(index, batch, embCol, path)
-          fs.mkdirs(markerDir)
-          fs.create(marker, true).close()
-        }
+        appendBatchIdempotent(index, batch, embCol, path, batchId); ()
     }
+
+  /** The per-micro-batch body of [[appendToIvfStream]], exposed so the
+    * retry semantics are directly testable: append unless this
+    * batchId's marker already exists. Returns true if the batch was
+    * appended, false if it was recognized as an already-applied
+    * retry. */
+  def appendBatchIdempotent(index: IvfIndex, batch: DataFrame,
+      embCol: String, path: String, batchId: Long): Boolean = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches")
+    val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) {
+      System.err.println(
+        s"[appendToIvfStream] batch $batchId already applied at $path — skipping retry")
+      false
+    } else {
+      appendToIvf(index, batch, embCol, path)
+      fs.mkdirs(markerDir)
+      fs.create(marker, true).close()
+      true
+    }
+  }
 
   /** Persist a hierarchical index: the flat artifact ([[persistIvf]] —
     * assignment `partitionBy(cluster)` + flat centers) plus the coarse

@@ -29,11 +29,11 @@ object Batch4 {
     * all serve a bloom built for DIFFERENT data, and a mismatched
     * keep-set bloom silently drops surviving documents (round-9
     * advice). Uniqueness is what BloomPathSpec pins. */
-  private[queries] def bloomScratchPath(): String =
+  private[graft] def bloomScratchPath(): String =
     java.nio.file.Files.createTempDirectory("graft_keep_bloom_")
       .resolve("bloom.parquet").toAbsolutePath.toString
 
-  private[queries] val keepBloomMemo = new SessionMemo[Array[Byte]]((s, dir) => {
+  private[graft] val keepBloomMemo = new SessionMemo[Array[Byte]]((s, dir) => {
     val losers = Batch3.ngramPairs(s, dir).select(col("doc_b")).distinct()
     val keepers = table(s, dir, "documents").select(col("doc_id"))
       .join(losers, col("doc_id") === col("doc_b"), "left_anti")

@@ -140,6 +140,121 @@ class AnnSpec extends SparkTestBase {
     assert(e.getMessage.contains("code columns"))
   }
 
+  test("appendToIvf refuses same-name TYPE drift (name-only guard would pass it)") {
+    import org.apache.spark.sql.functions.col
+    // same column names, one type drifted (label int -> long): the old
+    // columns.toSet guard saw identical names and wrote a mixed-type
+    // parquet directory — the exact corruption the guard exists to stop
+    val first = emb.filter($"vec_id" < 500)
+    val index = Ann.buildIvf(first, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivftypedrift").toString
+    Ann.persistIvf(index, path)
+    val drifted = emb.filter($"vec_id" >= 500)
+      .withColumn("label", col("label").cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIvf(index, drifted, "embedding", path)
+    }
+    assert(e.getMessage.contains("schema") && e.getMessage.contains("label"),
+      e.getMessage)
+  }
+
+  test("appendBatchIdempotent: a replayed micro-batch never double-appends") {
+    val first = emb.filter($"vec_id" < 500)
+    val rest = emb.filter($"vec_id" >= 500)
+    val index = Ann.buildIvf(first, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfidem").toString
+    Ann.persistIvf(index, path)
+    assert(Ann.appendBatchIdempotent(index, rest, "embedding", path, batchId = 0L))
+    val n1 = spark.read.parquet(s"$path/assigned").count()
+    // the at-least-once retry: same batchId replayed — recognized and skipped
+    assert(!Ann.appendBatchIdempotent(index, rest, "embedding", path, batchId = 0L))
+    assert(spark.read.parquet(s"$path/assigned").count() === n1)
+    // every row id appears exactly once (the top-k-distorting dup is impossible)
+    val loaded = Ann.loadIvf(spark, path)
+    assert(loaded.assigned.select("vec_id").distinct().count()
+      === loaded.assigned.count())
+    // a genuinely new batch still appends
+    assert(Ann.appendBatchIdempotent(index,
+      rest.limit(0), "embedding", path, batchId = 1L))
+  }
+
+  test("knnJoinAuto: route flips at the hier threshold, both routes exact at exhaustive settings") {
+    val h = Ann.buildIvfHierarchical(emb.select($"vec_id", $"embedding"),
+      "embedding", k = 64)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val k = h.index.centers.length
+    // centers.length <= threshold -> flat ranking (no two-level cell stage)
+    val flatRouted = Ann.knnJoinAuto(h, "embedding", "vec_id", queries,
+      "qid", "qvec", topK = 5, nprobe = k, hierThreshold = k)
+    // centers.length > threshold -> two-level ranking (__graft_cell stage)
+    val hierRouted = Ann.knnJoinAuto(h, "embedding", "vec_id", queries,
+      "qid", "qvec", topK = 5, nprobe = k, nprobeCoarse = h.k1,
+      hierThreshold = k - 1)
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    assert(!plan(flatRouted).contains("__graft_cell"),
+      "flat route unexpectedly ranks through the coarse cell stage")
+    assert(plan(hierRouted).contains("__graft_cell"),
+      "hier route did not rank through the coarse cell stage")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val a = rows(flatRouted); val b = rows(hierRouted)
+    assert(a === b && a.size === 25)
+  }
+
+  test("knnJoinIvfHier: past the size bound the sub-center table is NOT broadcast") {
+    import org.apache.spark.sql.functions.col
+    val h = Ann.buildIvfHierarchical(emb.select($"vec_id", $"embedding"),
+      "embedding", k = 64)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // model "too big to broadcast": auto-broadcast off so Catalyst/AQE
+    // can't silently re-broadcast the small fixture table
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeAuto = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def cellJoinLines(maxBytes: Long): Seq[String] = {
+        val df = Ann.knnJoinIvfHier(h, "embedding", "vec_id", queries,
+          "qid", "qvec", topK = 5, nprobeCoarse = h.k1, nprobe = h.k1 * h.k2,
+          maxCenterBroadcastBytes = maxBytes)
+        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+          .linesIterator.filter(l => l.contains("Join") && l.contains("__graft_cell"))
+          .toSeq
+      }
+      // under the bound: the cell join builds on the broadcast hint
+      val hinted = cellJoinLines(256L << 20)
+      assert(hinted.exists(_.contains("BroadcastHashJoin")),
+        s"expected hinted broadcast cell join:\n${hinted.mkString("\n")}")
+      // over the bound: the cell join must shuffle (SMJ/shuffled-hash),
+      // never a driver-relayed broadcast of all k sub-centers
+      val fallback = cellJoinLines(0L)
+      assert(fallback.nonEmpty && fallback.forall(!_.contains("Broadcast")),
+        s"sub-center table still broadcast past the bound:\n${fallback.mkString("\n")}")
+      // and the fallback is result-identical
+      val a = Ann.knnJoinIvfHier(h, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobeCoarse = h.k1, nprobe = h.k1 * h.k2,
+        maxCenterBroadcastBytes = 0L)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      val b = Ann.knnJoinIvfHier(h, "embedding", "vec_id", queries,
+        "qid", "qvec", topK = 5, nprobeCoarse = h.k1, nprobe = h.k1 * h.k2)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      assert(a === b && a.size === 25)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAqeAuto match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("hierarchical index persists and reloads: two-level searches equal in-memory") {
     import org.apache.spark.sql.functions.col
     val base = emb.select($"vec_id", $"embedding")

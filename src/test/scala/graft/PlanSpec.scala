@@ -214,6 +214,42 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("ann_hier_knn_join: one broadcast nested-loop max, both center tables broadcast, three bounded cuts") {
+    val df = Catalog.queries("ann_hier_knn_join")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // never a corpus-side cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the ONLY nested-loop is the |Q| x k1 coarse ranking against the
+    // broadcast coarse table; the sub-center and cluster joins are
+    // equi-joins (a second nested-loop would mean the corpus side)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan.take(4000))
+    // both center tables ship as broadcasts (coarse + flat sub-center)
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan.take(4000))
+    // three bounded top-k cuts (coarse cells, sub-clusters, final k-NN),
+    // each a partial+final ObjectHashAggregate pair — map-side bounded,
+    // ids-only through every exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 6, plan.take(4000))
+  }
+
+  test("split_by_cluster: stateless hash past the memoized label subtree, no extra exchange") {
+    val df = Catalog.queries("split_by_cluster")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the CC fixpoint is read from its checkpointed subtree — the split
+    // itself adds NO aggregation and NO join on top
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // the only exchange is the catalog contract's final orderBy; the
+    // per-row split decision (fnv64 mod 128) must not shuffle anything
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(3000))
+    // and it genuinely reads the checkpointed label RDD, not a re-mine
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan.take(3000))
+  }
+
   test("pipeline_training_corpus: keep-set bloom probed below the first exchange") {
     // the build-once artifact in the composed pipeline: the persisted
     // keep-set bloom must kill dup-loser documents in the scan stage,

@@ -106,6 +106,77 @@ class ScaleSpec extends SparkTestBase {
       === prevBits)
   }
 
+  test("bloomKeyFilter never mutates the parent session's confs, even MID-build") {
+    // the old implementation raised the shared session's runtime-filter
+    // limits for the build's duration — a concurrent query planning in
+    // that window could size ITS optimizer-injected bloom by our
+    // inflated limits. The clone-session build must keep the parent
+    // conf constant throughout: a poller samples it while the build
+    // runs and every sample must equal the pre-build value.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val beforeBits = spark.conf.get(bitsKey)
+    val beforeItems = spark.conf.get(itemsKey)
+    val dim = spark.range(2000000L).toDF("k")
+    @volatile var done = false
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val poller = new Thread(() => {
+      while (!done) {
+        samples.add((spark.conf.get(bitsKey), spark.conf.get(itemsKey)))
+        Thread.sleep(5)
+      }
+    })
+    poller.setDaemon(true)
+    poller.start()
+    val bytes =
+      try Scale.bloomKeyFilter(dim, "k", fpp = 1e-10)
+      finally { done = true }
+    poller.join(5000)
+    assert(!samples.isEmpty, "poller collected no mid-build samples")
+    samples.forEach { case (b, i) =>
+      assert(b === beforeBits && i === beforeItems,
+        s"parent conf mutated mid-build: saw ($b, $i), expected ($beforeBits, $beforeItems)")
+    }
+    assert(spark.conf.get(bitsKey) === beforeBits
+      && spark.conf.get(itemsKey) === beforeItems)
+    // and the clone's raised limits genuinely took effect: 2M keys at
+    // 1e-10 want ~95.8M bits, past the 67108864-bit default clamp
+    val wantBits2 = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(2000000L, 1e-10)
+    assert(wantBits2 > 67108864L)
+    val bf2 = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    assert(bf2.bitSize() >= wantBits2,
+      s"clone clamp lift failed: ${bf2.bitSize()} < $wantBits2")
+  }
+
+  test("keep-bloom scratch paths are unique per build; per-dir blooms have no false negatives") {
+    // the old path was keyed math.abs(dir.hashCode) under a shared
+    // /tmp — a collision (or Int.MinValue) could serve a bloom built
+    // for DIFFERENT data, silently dropping surviving documents
+    val p1 = graft.queries.Batch4.bloomScratchPath()
+    val p2 = graft.queries.Batch4.bloomScratchPath()
+    assert(p1 !== p2, s"scratch path not unique per build: $p1")
+    // two dirs build INDEPENDENT blooms...
+    val b1 = graft.queries.Batch4.keepBloomMemo(spark, sf("sf0.001"))
+    val b2 = graft.queries.Batch4.keepBloomMemo(spark, sf("sf0.01"))
+    assert(!java.util.Arrays.equals(b1, b2))
+    // ...and each dir's bloom passes EVERY keeper of its own dir (a
+    // mismatched bloom would fail this with ~certainty: the sf0.01
+    // keep-set is 10x the sf0.001 one)
+    for ((dir, bloom) <- Seq(sf("sf0.001") -> b1, sf("sf0.01") -> b2)) {
+      val losers = graft.queries.Batch3.ngramPairs(spark, dir)
+        .select($"doc_b").distinct()
+      val keepers = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id")
+        .join(losers, $"doc_id" === $"doc_b", "left_anti")
+      val n = keepers.count()
+      assert(n > 0 &&
+        Scale.bloomPrefilter(keepers, "doc_id", bloom).count() === n,
+        s"$dir keep-bloom drops keepers (false negatives)")
+    }
+  }
+
   test("approx_distinct (HLL++) lands within 10% of exact distinct") {
     val dir = sf("sf0.01")
     val ev = graft.queries.Catalog.events(spark, dir)
