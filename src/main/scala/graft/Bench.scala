@@ -169,6 +169,7 @@ object Bench {
       try {
         graft.queries.Batch3.touchMemos(spark, sfDir)
         graft.queries.Batch4.touchMemos(spark, sfDir)
+        graft.queries.Batch9.touchMemos(spark, sfDir)
         graft.queries.Batch10.touchMemos(spark, sfDir)
         System.err.println(
           f"[bench] $phase memo pre-touch ${(System.nanoTime() - m0) / 1e9}%.2f s (t=$elapsed%.0f s)")
@@ -268,7 +269,7 @@ object Bench {
       "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk",
       "dedup_degree", "ann_ivf_sq8", "ann_ivf_pq", "dedup_semantic",
       "dedup_semantic_hier", "ann_ivf_hier_topk", "split_by_cluster",
-      "ann_ivf_knn_join", "ann_hier_knn_join")
+      "ann_ivf_knn_join", "ann_hier_knn_join", "ann_append_search")
     def render(queriesJson: String, extra: String) =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$extra,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
     val json = render(qs, "")

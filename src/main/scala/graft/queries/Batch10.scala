@@ -142,6 +142,25 @@ object Batch10 {
       |  (cum - toks) // 512 AS pack_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** corpus_budget_exact's DuckDB re-derivation — the naive single
+    * global window, which the two-phase operator provably equals
+    * (PlanSpec) — shared verbatim with the streaming twin's gate
+    * entry (single-batch feed ≡ batch rows, StreamingSpec). */
+  private val corpusBudgetExactOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, toks,
+      |    CAST(sum(toks) OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM t)
+      |SELECT lang, doc_id, toks, cum FROM c
+      |WHERE cum - toks < 2000 ORDER BY lang, cum""".stripMargin
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- deterministic data mixing: per-language hash sampling.
@@ -305,19 +324,7 @@ object Batch10 {
           .select(col("lang"), col("doc_id"), col("toks"), col("cum"))
           .orderBy("lang", "cum")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang, n_chars,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-             |  FROM documents),
-             |c AS (
-             |  SELECT doc_id, lang, toks,
-             |    CAST(sum(toks) OVER (PARTITION BY lang
-             |      ORDER BY n_chars DESC, doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             |      AS cum
-             |  FROM t)
-             |SELECT lang, doc_id, toks, cum FROM c
-             |WHERE cum - toks < 2000 ORDER BY lang, cum""".stripMargin),
+      Some(corpusBudgetExactOracle),
       "exact global token-budget selection via bounded two-phase windows (shard prune + tiny global pass)"),
 
     // ---- Z-order (Morton) clustering key over (user bucket, hour of
@@ -915,6 +922,32 @@ object Batch10 {
       },
       Some(packSequencesOracle),
       "streaming pack_sequences twin via flatMapGroupsWithState (single-batch replay == batch windows; hash-compared on the gate)"),
+
+    // ---- the STREAMING corpus_budget_exact twin on the oracle gate,
+    // promoted exactly like pack_sequences_stream: the documents
+    // fixture replayed through corpusBudgetExactStream in one
+    // micro-batch executes the two-phase budget state (per-shard
+    // running starts + global running sum in one GroupState) and must
+    // select the batch operator's exact (lang, doc_id, toks, cum)
+    // rows; shares corpus_budget_exact's DuckDB oracle verbatim.
+    "corpus_budget_exact_stream" -> Q(
+      (s, dir) => {
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_budget_stream_").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "documents.parquet"),
+          java.nio.file.Paths.get(src, "documents.parquet"))
+        val schema = s.read.parquet(s"$src/documents.parquet").schema
+        val stream = s.readStream.schema(schema).parquet(src)
+        val sinkName = "graft_corpus_budget_exact_stream_sink"
+        val q = graft.streaming.Streaming.corpusBudgetExactStream(stream)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sinkName).orderBy("lang", "cum")
+      },
+      Some(corpusBudgetExactOracle),
+      "streaming corpus_budget_exact twin via flatMapGroupsWithState (single-batch replay == batch selection; hash-compared on the gate)"),
 
     // ---- SemDeDup through the forced hierarchical fit (see
     // semanticHierMemo): same planted fixture, same tau, same output

@@ -27,6 +27,36 @@ import graft.queries.Batch3.{toks, shingles, shinglesSql}
   */
 object Batch9 {
 
+  /** Build-once + incremental-append artifact for the ann_append_search
+    * gate entry, memoized per (session, dir): the index is FIT on the
+    * even-id half only, persisted, the odd-id half appended as a
+    * micro-batch — and then the SAME batch replayed, so the gate
+    * proves the applied-batchId marker swallows an at-least-once retry
+    * (a double-append would duplicate ids and break the hash compare).
+    * The reloaded index serves the search, exercising the full
+    * persist → append → reload artifact flow a deployment runs across
+    * jobs. */
+  private val appendIdxMemo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val idx = graft.ops.Ann.buildIvf(even, "embedding", k = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_append_idx_").toString
+    graft.ops.Ann.persistIvf(idx, path)
+    require(graft.ops.Ann.appendBatchIdempotent(idx, odd, "embedding", path, 0L),
+      "ann_append_search: first append unexpectedly skipped")
+    require(!graft.ops.Ann.appendBatchIdempotent(idx, odd, "embedding", path, 0L),
+      "ann_append_search: replayed batch was not recognized as applied")
+    val loaded = graft.ops.Ann.loadIvf(s, path)
+    loaded.copy(assigned = loaded.assigned.localCheckpoint(false))
+  }, "appendIdx")
+
+  /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
+  def touchMemos(s: SparkSession, dir: String): Unit = {
+    appendIdxMemo(s, dir).assigned.count(); ()
+  }
+
   /** Symmetric int8 quantization of a float vector: per-vector scale
     * 127/max|x|, explicit floor(x*scale + 0.5) so the rounding rule is
     * engine-independent (no HALF_UP vs HALF_EVEN ambiguity). All
@@ -207,6 +237,32 @@ object Batch9 {
     // cut. The point of SQ8 (pruned nprobe + small rescore touching a
     // fraction of the float data) is what SQL cannot express; that
     // path runs in AnnSpec with recall/exactness assertions.
+    // ---- incremental index maintenance on the oracle gate: search an
+    // index that was FIT on half the corpus, grown to full coverage by
+    // a frozen-center append (replayed once to prove retry
+    // idempotence — see appendIdxMemo), persisted and RELOADED.
+    // Exhaustive probe makes the result exact by construction, so the
+    // same brute-force DuckDB oracle as ann_ivf_topk applies: any
+    // append bug (lost rows, duplicated retry rows, drifted
+    // assignment) breaks the row/hash compare.
+    "ann_append_search" -> Q(
+      (s, dir) => {
+        val idx = appendIdxMemo(s, dir)
+        val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.ops.Ann.searchIvf(idx, "embedding", q,
+            topK = 20, nprobe = idx.centers.length,
+            tieBreak = Seq(col("vec_id")))
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "search over a persisted index grown by idempotent frozen-center appends (retry replayed; reload serves old+new rows; exhaustive probe = exact)"),
+
     "ann_ivf_sq8" -> Q(
       (s, dir) => {
         val idx = Batch3.sq8Index(s, dir)
