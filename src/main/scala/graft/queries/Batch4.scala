@@ -50,6 +50,21 @@ object Batch4 {
     keepBloomMemo(s, dir); ()
   }
 
+  /** Brute-force k-NN-join oracle over the vec_id < 5 query set,
+    * shared by the exhaustive batched joins (flat, two-level, and the
+    * streaming twin — all exact by construction at full probes). */
+  private val knnJoinExactOracle: String =
+    """SELECT qid, vec_id, score, rk FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |      CAST(q.embedding AS DOUBLE[])) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
+      |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |  WHERE e.vec_id <> q.vec_id)
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- CUBE grouping sets
@@ -285,17 +300,38 @@ object Batch4 {
             excludeSelf = true)
           .orderBy("qid", "rk")
       },
-      Some("""SELECT qid, vec_id, score, rk FROM (
-             |  SELECT q.vec_id AS qid, e.vec_id,
-             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |      CAST(q.embedding AS DOUBLE[])) AS score,
-             |    row_number() OVER (PARTITION BY q.vec_id
-             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
-             |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
-             |  WHERE e.vec_id <> q.vec_id)
-             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+      Some(knnJoinExactOracle),
       "IVF-routed k-NN join: per-query cluster probes via equi-join, bounded top-k both sides (exhaustive = exact; pruned path AnnSpec-verified)"),
+
+    // ---- the STREAMING batched ANN join on the oracle gate: query
+    // vectors arrive as a stream against the FROZEN build-once index
+    // (the online-lookup/online-dedup service shape); each micro-batch
+    // routes through knnJoinIvf and appends under the applied-batchId
+    // marker discipline. Exhaustive probes on a single-batch replay =
+    // exact, so the same brute-force oracle applies, hash-compared.
+    "ann_knn_join_stream" -> Q(
+      (s, dir) => {
+        val idx = Batch3.ivfIndex(s, dir)
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_knn_stream_").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "embeddings.parquet"),
+          java.nio.file.Paths.get(src, "embeddings.parquet"))
+        val schema = s.read.parquet(s"$src/embeddings.parquet").schema
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_knn_stream_out_").toString
+        val stream = s.readStream.schema(schema).parquet(src)
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val q = graft.streaming.Streaming.knnJoinIvfStream(
+          idx, "embedding", "vec_id", stream, "qid", "qvec",
+          topK = 3, nprobe = idx.centers.length, excludeSelf = true,
+          outPath = out).start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$out/results").orderBy("qid", "rk")
+      },
+      Some(knnJoinExactOracle),
+      "streaming batched ANN join against the frozen IVF index (micro-batched knnJoinIvf, idempotent appends; exhaustive single-batch replay = exact)"),
 
     // ---- the batched join through the TWO-LEVEL ranking (the
     // SemDeDup-scale-k shape): coarse cells ranked per query, probed
@@ -314,16 +350,7 @@ object Batch4 {
             nprobe = h.k1 * h.k2, excludeSelf = true)
           .orderBy("qid", "rk")
       },
-      Some("""SELECT qid, vec_id, score, rk FROM (
-             |  SELECT q.vec_id AS qid, e.vec_id,
-             |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |      CAST(q.embedding AS DOUBLE[])) AS score,
-             |    row_number() OVER (PARTITION BY q.vec_id
-             |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
-             |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
-             |  WHERE e.vec_id <> q.vec_id)
-             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+      Some(knnJoinExactOracle),
       "two-level batched k-NN join: coarse-cell ranking + cell-keyed sub-center equi-join (exhaustive = exact; pruned path AnnSpec-verified)"),
 
     // ---- corpus token frequencies (top 50)

@@ -57,6 +57,52 @@ object Batch9 {
     appendIdxMemo(s, dir).assigned.count(); ()
   }
 
+  /** dedup_incremental's DuckDB re-derivation, shared verbatim with
+    * the streaming twin's gate entry (single-batch feed ≡ batch
+    * keeps). */
+  private val incrementalOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+       |  FROM documents),
+       |shard AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+       |base  AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
+       |dup AS (
+       |  SELECT DISTINCT a.doc_id FROM shard a JOIN base b ON
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      >= CAST(0.5 AS DOUBLE))
+       |SELECT doc_id FROM shard
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The asymmetric shard-vs-corpus near-dup filter shared by
+    * dedup_incremental and its streaming twin: inverted-index
+    * equi-join of the (small) shard against the base corpus on
+    * hashed shingles — Σ df(shard)·df(base) work, never shard×base —
+    * then the Jaccard cut and a left-anti keep. Inputs carry
+    * (doc_id, sh); at 100 TB the base index is the persisted
+    * build-once artifact and each incoming shard re-runs only this
+    * asymmetric join. */
+  private[queries] def incrementalKeeps(shard: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def inv(d: org.apache.spark.sql.DataFrame, idc: String) =
+      d.select(col("doc_id").as(idc), explode(col("sh")).as("shingle"))
+        .select(col(idc), xxhash64(col("shingle")).as("shash"))
+    val inter = inv(shard, "sid").join(inv(base, "bid"), "shash")
+      .groupBy("sid", "bid").agg(count(lit(1)).as("inter"))
+    val sizes = shard.unionByName(base)
+      .select(col("doc_id"), size(col("sh")).as("n"))
+    val dups = inter
+      .join(sizes.select(col("doc_id").as("sid"), col("n").as("ns")), "sid")
+      .join(sizes.select(col("doc_id").as("bid"), col("n").as("nb")), "bid")
+      .withColumn("j",
+        col("inter").cast("double") / (col("ns") + col("nb") - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("sid")).distinct()
+    shard.select(col("doc_id"))
+      .join(dups, col("doc_id") === col("sid"), "left_anti")
+  }
+
   /** Symmetric int8 quantization of a float vector: per-vector scale
     * 127/max|x|, explicit floor(x*scale + 0.5) so the rounding rule is
     * engine-independent (no HALF_UP vs HALF_EVEN ambiguity). All
@@ -419,39 +465,52 @@ object Batch9 {
       (s, dir) => {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        val shard = docs.filter(col("doc_id") % 10 === 0)
-        val base  = docs.filter(col("doc_id") % 10 =!= 0)
-        def inv(d: org.apache.spark.sql.DataFrame, idc: String) =
-          d.select(col("doc_id").as(idc), explode(col("sh")).as("shingle"))
-            .select(col(idc), xxhash64(col("shingle")).as("shash"))
-        val inter = inv(shard, "sid").join(inv(base, "bid"), "shash")
-          .groupBy("sid", "bid").agg(count(lit(1)).as("inter"))
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-        val dups = inter
-          .join(sizes.select(col("doc_id").as("sid"), col("n").as("ns")), "sid")
-          .join(sizes.select(col("doc_id").as("bid"), col("n").as("nb")), "bid")
-          .withColumn("j",
-            col("inter").cast("double") / (col("ns") + col("nb") - col("inter")))
-          .filter(col("j") >= 0.5)
-          .select(col("sid")).distinct()
-        shard.select(col("doc_id"))
-          .join(dups, col("doc_id") === col("sid"), "left_anti")
+        incrementalKeeps(docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0))
           .orderBy("doc_id")
       },
-      Some(s"""WITH s AS (
-              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
-              |  FROM documents),
-              |shard AS (SELECT * FROM s WHERE doc_id % 10 = 0),
-              |base  AS (SELECT * FROM s WHERE doc_id % 10 <> 0),
-              |dup AS (
-              |  SELECT DISTINCT a.doc_id FROM shard a JOIN base b ON
-              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-              |      >= CAST(0.5 AS DOUBLE))
-              |SELECT doc_id FROM shard
-              |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-              |ORDER BY doc_id""".stripMargin),
+      Some(incrementalOracle),
       "incremental shard-vs-corpus near-dup filter (asymmetric inverted-index join, anti-join keeps clean docs)"),
+
+    // ---- the STREAMING incremental-dedup twin on the oracle gate:
+    // arriving shard documents stream against the STATIC base corpus
+    // (at 100 TB: the persisted inverted-index artifact); each
+    // micro-batch runs the same asymmetric incrementalKeeps join and
+    // appends its keeps under the applied-batchId marker discipline.
+    // A single-batch replay of the fixture shard must equal
+    // dedup_incremental's keep set exactly — shared oracle, hash-
+    // compared. The online-ingest dedup service shape: stream new
+    // docs in, emit only the ones that aren't near-dups of the corpus.
+    "dedup_incremental_stream" -> Q(
+      (s, dir) => {
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_inc_dedup_stream_").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "documents.parquet"),
+          java.nio.file.Paths.get(src, "documents.parquet"))
+        val schema = s.read.parquet(s"$src/documents.parquet").schema
+        val base = table(s, dir, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_inc_dedup_out_").toString
+        val stream = s.readStream.schema(schema).parquet(src)
+          .filter(col("doc_id") % 10 === 0)
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.streaming.Streaming.onceBatch(batch.sparkSession, out, batchId) {
+              incrementalKeeps(
+                  batch.select(col("doc_id"), shingles(col("text"), 3).as("sh")),
+                  base)
+                .write.mode("append").parquet(s"$out/results")
+            }
+            ()
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$out/results").orderBy("doc_id")
+      },
+      Some(incrementalOracle),
+      "streaming incremental near-dup filter (micro-batched shard-vs-corpus join, idempotent appends; single-batch replay == batch keeps)"),
 
     // ---- event-sequence mining: user-session transition matrix
     // (lag window per user, then a global count). The window shuffles
