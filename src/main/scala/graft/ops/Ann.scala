@@ -841,44 +841,85 @@ object Ann {
     * original index silently vanishes (the snapshotThenTail caveat).
     *
     * Idempotence under at-least-once retries: an applied-batchId
-    * marker (`_applied_batches/<batchId>`, outside the `assigned`
-    * read path) is checked inside the foreachBatch — a retried
-    * micro-batch whose append already committed is skipped instead of
-    * double-appending rows that would distort every later top-k. The
-    * marker commits AFTER the parquet append, so the remaining
-    * at-least-once window is a crash BETWEEN append and marker write
-    * (the same window any non-transactional sink has); callers
-    * needing exact-once under that window dedup on an id column at
-    * read time. Caller starts the writer. */
+    * marker (`_applied_batches/<runToken>/<batchId>`, outside the
+    * `assigned` read path) is checked inside the foreachBatch — a
+    * retried micro-batch whose append already committed is skipped
+    * instead of double-appending rows that would distort every later
+    * top-k. The marker commits AFTER the parquet append, so the
+    * remaining at-least-once window is a crash BETWEEN append and
+    * marker write (the same window any non-transactional sink has);
+    * callers needing exact-once under that window dedup on an id
+    * column at read time.
+    *
+    * `runToken` SCOPES the markers: batchIds restart at 0 for any
+    * query started on a fresh (or default temp) checkpoint, so
+    * batchId-only markers would make a SECOND run against the same
+    * index path silently skip all its data — at-least-once would
+    * become at-most-once across runs. The default (empty) token
+    * generates a fresh UUID per writer, which dedups retries WITHIN
+    * the run and never collides across runs; callers who restart from
+    * a durable checkpoint and want retry-dedup across JVM restarts
+    * pass the same token they pair with that checkpoint. Caller
+    * starts the writer. */
   def appendToIvfStream(index: IvfIndex, stream: DataFrame, embCol: String,
-      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      path: String, runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val token =
+      if (runToken.nonEmpty) runToken
+      else java.util.UUID.randomUUID().toString
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        appendBatchIdempotent(index, batch, embCol, path, batchId); ()
+        appendBatchIdempotent(index, batch, embCol, path, batchId, token); ()
     }
+  }
 
-  /** The per-micro-batch body of [[appendToIvfStream]], exposed so the
-    * retry semantics are directly testable: append unless this
-    * batchId's marker already exists. Returns true if the batch was
-    * appended, false if it was recognized as an already-applied
-    * retry. */
-  def appendBatchIdempotent(index: IvfIndex, batch: DataFrame,
-      embCol: String, path: String, batchId: Long): Boolean = {
-    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches")
+  /** Applied-batch marker guard shared by every idempotent
+    * foreachBatch sink: run `body` unless `<path>/_applied_batches/
+    * <runToken>/<batchId>` exists; the marker commits AFTER the body
+    * via an ATOMIC create (no overwrite) so two racing writers — a
+    * zombie driver and its replacement both executing the same
+    * micro-batch — cannot both claim the batch silently: the loser's
+    * create throws and is reported as already-applied. Returns true
+    * if body ran and this writer won the marker. */
+  def onceBatch(spark: SparkSession, path: String, batchId: Long,
+      runToken: String)(body: => Unit): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches/$runToken")
     val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
     val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) {
       System.err.println(
-        s"[appendToIvfStream] batch $batchId already applied at $path — skipping retry")
+        s"[onceBatch] batch $batchId (run $runToken) already applied at $path — skipping retry")
       false
     } else {
-      appendToIvf(index, batch, embCol, path)
+      body
       fs.mkdirs(markerDir)
-      fs.create(marker, true).close()
-      true
+      try {
+        fs.create(marker, /* overwrite = */ false).close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          // a concurrent writer won the check-then-act race; its body
+          // also ran (the non-transactional window) — surface loudly
+          System.err.println(
+            s"[onceBatch] batch $batchId (run $runToken) raced a concurrent writer at $path — " +
+              "both bodies executed; dedup on an id column at read time")
+          false
+      }
     }
   }
+
+  /** The per-micro-batch body of [[appendToIvfStream]], exposed so the
+    * retry semantics are directly testable: append unless this
+    * (runToken, batchId) marker already exists. Returns true if the
+    * batch was appended, false if it was recognized as an
+    * already-applied retry. */
+  def appendBatchIdempotent(index: IvfIndex, batch: DataFrame,
+      embCol: String, path: String, batchId: Long,
+      runToken: String = "run-0"): Boolean =
+    onceBatch(batch.sparkSession, path, batchId, runToken) {
+      appendToIvf(index, batch, embCol, path)
+    }
 
   /** Persist a hierarchical index: the flat artifact ([[persistIvf]] —
     * assignment `partitionBy(cluster)` + flat centers) plus the coarse

@@ -101,7 +101,17 @@ object Scale {
     // filters sized by our inflated limits, and a JVM death mid-build
     // leaves nothing to restore (the round-9 advice finding — the old
     // set/restore on the shared conf had both hazards).
-    val clone = dim.sparkSession.newSession()
+    val parent = dim.sparkSession
+    val clone = parent.newSession()
+    // newSession() builds its SQLConf from the SparkContext conf, NOT
+    // the parent's runtime spark.conf.set() mutations — copy the
+    // parent's live values over first so the build plans under the
+    // caller's semantics (ANSI mode, shuffle partitions sized for the
+    // dim, their own raised bloom limits), then lift only the two
+    // clamp confs. Static/immutable entries refuse the set — skip them.
+    parent.conf.getAll.foreach { case (k, v) =>
+      try clone.conf.set(k, v) catch { case _: Exception => () }
+    }
     clone.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
       math.max(numBits,
         clone.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong))

@@ -905,21 +905,9 @@ object Batch10 {
     // verbatim. Multi-batch feeds pack in arrival order on the carried
     // state — the semantics StreamingSpec's incremental cases pin.
     "pack_sequences_stream" -> Q(
-      (s, dir) => {
-        val src = java.nio.file.Files
-          .createTempDirectory("graft_pack_stream_").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "documents.parquet"),
-          java.nio.file.Paths.get(src, "documents.parquet"))
-        val schema = s.read.parquet(s"$src/documents.parquet").schema
-        val stream = s.readStream.schema(schema).parquet(src)
-        val sinkName = "graft_pack_sequences_stream_sink"
-        val q = graft.streaming.Streaming.packSequencesStream(stream)
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(sinkName).orderBy("doc_id")
-      },
+      (s, dir) => Catalog.replayToParquet(s, dir, "documents.parquet",
+          xform = st => graft.streaming.Streaming.packSequencesStream(st))
+        .orderBy("doc_id"),
       Some(packSequencesOracle),
       "streaming pack_sequences twin via flatMapGroupsWithState (single-batch replay == batch windows; hash-compared on the gate)"),
 
@@ -931,21 +919,9 @@ object Batch10 {
     // select the batch operator's exact (lang, doc_id, toks, cum)
     // rows; shares corpus_budget_exact's DuckDB oracle verbatim.
     "corpus_budget_exact_stream" -> Q(
-      (s, dir) => {
-        val src = java.nio.file.Files
-          .createTempDirectory("graft_budget_stream_").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "documents.parquet"),
-          java.nio.file.Paths.get(src, "documents.parquet"))
-        val schema = s.read.parquet(s"$src/documents.parquet").schema
-        val stream = s.readStream.schema(schema).parquet(src)
-        val sinkName = "graft_corpus_budget_exact_stream_sink"
-        val q = graft.streaming.Streaming.corpusBudgetExactStream(stream)
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(sinkName).orderBy("lang", "cum")
-      },
+      (s, dir) => Catalog.replayToParquet(s, dir, "documents.parquet",
+          xform = st => graft.streaming.Streaming.corpusBudgetExactStream(st))
+        .orderBy("lang", "cum"),
       Some(corpusBudgetExactOracle),
       "streaming corpus_budget_exact twin via flatMapGroupsWithState (single-batch replay == batch selection; hash-compared on the gate)"),
 

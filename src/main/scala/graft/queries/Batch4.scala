@@ -312,23 +312,13 @@ object Batch4 {
     "ann_knn_join_stream" -> Q(
       (s, dir) => {
         val idx = Batch3.ivfIndex(s, dir)
-        val src = java.nio.file.Files
-          .createTempDirectory("graft_knn_stream_").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "embeddings.parquet"),
-          java.nio.file.Paths.get(src, "embeddings.parquet"))
-        val schema = s.read.parquet(s"$src/embeddings.parquet").schema
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_knn_stream_out_").toString
-        val stream = s.readStream.schema(schema).parquet(src)
-          .filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val q = graft.streaming.Streaming.knnJoinIvfStream(
-          idx, "embedding", "vec_id", stream, "qid", "qvec",
-          topK = 3, nprobe = idx.centers.length, excludeSelf = true,
-          outPath = out).start()
-        try q.processAllAvailable() finally q.stop()
-        s.read.parquet(s"$out/results").orderBy("qid", "rk")
+        Catalog.replayToParquet(s, dir, "embeddings.parquet",
+            xform = _.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+            perBatch = batch => graft.ops.Ann.knnJoinIvf(
+              idx, "embedding", "vec_id", batch, "qid", "qvec",
+              topK = 3, nprobe = idx.centers.length, excludeSelf = true))
+          .orderBy("qid", "rk")
       },
       Some(knnJoinExactOracle),
       "streaming batched ANN join against the frozen IVF index (micro-batched knnJoinIvf, idempotent appends; exhaustive single-batch replay = exact)"),

@@ -483,31 +483,15 @@ object Batch9 {
     // docs in, emit only the ones that aren't near-dups of the corpus.
     "dedup_incremental_stream" -> Q(
       (s, dir) => {
-        val src = java.nio.file.Files
-          .createTempDirectory("graft_inc_dedup_stream_").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(dir, "documents.parquet"),
-          java.nio.file.Paths.get(src, "documents.parquet"))
-        val schema = s.read.parquet(s"$src/documents.parquet").schema
         val base = table(s, dir, "documents")
           .filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_inc_dedup_out_").toString
-        val stream = s.readStream.schema(schema).parquet(src)
-          .filter(col("doc_id") % 10 === 0)
-        val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            graft.streaming.Streaming.onceBatch(batch.sparkSession, out, batchId) {
-              incrementalKeeps(
-                  batch.select(col("doc_id"), shingles(col("text"), 3).as("sh")),
-                  base)
-                .write.mode("append").parquet(s"$out/results")
-            }
-            ()
-        }.start()
-        try q.processAllAvailable() finally q.stop()
-        s.read.parquet(s"$out/results").orderBy("doc_id")
+        Catalog.replayToParquet(s, dir, "documents.parquet",
+            xform = _.filter(col("doc_id") % 10 === 0),
+            perBatch = batch => incrementalKeeps(
+              batch.select(col("doc_id"), shingles(col("text"), 3).as("sh")),
+              base))
+          .orderBy("doc_id")
       },
       Some(incrementalOracle),
       "streaming incremental near-dup filter (micro-batched shard-vs-corpus join, idempotent appends; single-batch replay == batch keeps)"),

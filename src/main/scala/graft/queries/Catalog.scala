@@ -45,6 +45,43 @@ object Catalog {
     }
   }
 
+  /** Shared replay scaffold for the streaming gate entries: copy ONE
+    * fixture file into a scratch source dir, stream it through
+    * `xform` (stream-side transform, e.g. a GroupState operator) and
+    * `perBatch` (micro-batch-side transform, e.g. a stream-vs-static
+    * join), appending each batch's rows to a parquet result dir under
+    * the run-scoped applied-batch marker discipline
+    * ([[graft.ops.Ann.onceBatch]]) — the same idempotent-sink shape
+    * the library's streaming ops use. The fixture copy is reclaimed
+    * as soon as the stream stops (a bench run replays each entry
+    * several times); the small result dir lives on for the returned
+    * lazy DataFrame. */
+  private[queries] def replayToParquet(s: SparkSession, dir: String,
+      file: String,
+      xform: DataFrame => DataFrame = identity,
+      perBatch: DataFrame => DataFrame = identity): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft_replay_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, file), src.resolve(file))
+    val schema = s.read.parquet(s"$src/$file").schema
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_replay_out_").toString
+    val token = java.util.UUID.randomUUID().toString
+    val q = xform(s.readStream.schema(schema).parquet(src.toString))
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Ann.onceBatch(batch.sparkSession, out, batchId, token) {
+          perBatch(batch).write.mode("append").parquet(s"$out/results")
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    try {
+      java.nio.file.Files.deleteIfExists(src.resolve(file))
+      java.nio.file.Files.deleteIfExists(src)
+    } catch { case _: Exception => () }
+    s.read.parquet(s"$out/results")
+  }
+
   private val d4 = DecimalType(18, 4)
   /** Exact-decimal view of a double column. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast(d4)

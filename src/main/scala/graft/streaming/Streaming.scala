@@ -186,53 +186,37 @@ object Streaming {
       .toDF("lang", "doc_id", "toks", "cum")
   }
 
-  /** Applied-batchId marker guard for idempotent foreachBatch sinks
-    * (the [[graft.ops.Ann.appendBatchIdempotent]] discipline, shared):
-    * run `body` unless `batchId`'s marker exists under
-    * `path/_applied_batches`; the marker commits AFTER the body, so a
-    * retried micro-batch whose write already committed is skipped.
-    * Returns true if the body ran. */
-  private[graft] def onceBatch(spark: SparkSession, path: String,
-      batchId: Long)(body: => Unit): Boolean = {
-    val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches")
-    val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
-      System.err.println(
-        s"[onceBatch] batch $batchId already applied at $path — skipping retry")
-      false
-    } else {
-      body
-      fs.mkdirs(markerDir)
-      fs.create(marker, true).close()
-      true
-    }
-  }
-
   /** Streaming batched ANN k-NN join — the online-lookup/online-dedup
     * service shape: query vectors STREAM, the IVF index is the frozen
     * build-once artifact, and each micro-batch routes through
     * [[graft.ops.Ann.knnJoinIvf]] (per-query cluster probes via
     * equi-join, bounded top-k both sides — never a corpus scan per
     * query). Results append to `outPath/results` under the
-    * applied-batchId marker discipline, so at-least-once retries
-    * cannot duplicate result rows. Caller starts the writer; compose
-    * with [[graft.ops.Ann.appendToIvfStream]] on the same index path
-    * for the full online index-serve + index-grow pair. */
+    * run-scoped applied-batch marker discipline
+    * ([[graft.ops.Ann.onceBatch]] — see [[graft.ops.Ann
+    * .appendToIvfStream]] for the runToken semantics), so
+    * at-least-once retries cannot duplicate result rows and a fresh
+    * run never collides with old markers. Caller starts the writer;
+    * compose with appendToIvfStream on the same index path for the
+    * full online index-serve + index-grow pair. */
   def knnJoinIvfStream(index: graft.ops.Ann.IvfIndex, embCol: String,
       idCol: String, queryStream: DataFrame, qIdCol: String,
       qEmbCol: String, topK: Int, nprobe: Int,
-      excludeSelf: Boolean = false,
-      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      excludeSelf: Boolean = false, outPath: String,
+      runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val token =
+      if (runToken.nonEmpty) runToken
+      else java.util.UUID.randomUUID().toString
     queryStream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        onceBatch(batch.sparkSession, outPath, batchId) {
+        graft.ops.Ann.onceBatch(batch.sparkSession, outPath, batchId, token) {
           graft.ops.Ann.knnJoinIvf(index, embCol, idCol, batch,
               qIdCol, qEmbCol, topK, nprobe, excludeSelf)
             .write.mode("append").parquet(s"$outPath/results")
         }
         ()
     }
+  }
 
   /** Q10 queued-writes semantics: micro-batch the stream through a
     * user function; the batchId is the reference's `sequence_number`

@@ -218,6 +218,40 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("knnJoinIvfStream: streamed queries == batch join; a same-token rerun never duplicates") {
+    val dir = tmp()
+    Files.copy(Paths.get(sf("sf0.001"), "embeddings.parquet"),
+      Paths.get(dir, "embeddings.parquet"))
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = graft.ops.Ann.buildIvf(emb, "embedding", k = 8)
+    val out = tmp()
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(emb.schema).parquet(dir)
+        .filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val q = graft.streaming.Streaming.knnJoinIvfStream(
+        idx, "embedding", "vec_id", stream, "qid", "qvec",
+        topK = 3, nprobe = 8, excludeSelf = true, outPath = out,
+        runToken = "spec-run").start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    def resultRows = spark.read.parquet(s"$out/results")
+    val streamed = resultRows.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val batchRows = graft.ops.Ann.knnJoinIvf(idx, "embedding", "vec_id",
+        emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec")),
+        "qid", "qvec", topK = 3, nprobe = 8, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(streamed.nonEmpty && streamed === batchRows)
+    // a RERUN with the same token (fresh query, batchIds restart at 0)
+    // models restart-from-checkpoint: the run-scoped markers swallow
+    // every replayed batch, so the result set gains zero rows
+    runOnce()
+    assert(resultRows.count() === batchRows.size)
+  }
+
   test("corpus_budget_exact twin: two-phase budget state on a documents stream == batch rows") {
     // phase-1 per-shard starts + phase-2 global sum ride in one keyed
     // state; the single-batch fixture feed must select exactly the
