@@ -46,6 +46,28 @@ class AnnSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("persisted index: pruned searches hit PartitionFilters on cluster (directory-level pruning)") {
+    import org.apache.spark.sql.functions.col
+    // the build-once/search-many contract: persistIvf partitions by
+    // cluster so a pruned probe must reach the scan as a PARTITION
+    // filter (whole directories skipped), not a post-scan row filter
+    val index = Ann.buildIvf(emb, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    Ann.persistIvf(index, path)
+    val loaded = Ann.loadIvf(spark, path)
+    val df = Ann.searchIvf(loaded, "embedding", query, topK = 5, nprobe = 2,
+      tieBreak = Seq(col("vec_id")))
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cluster"),
+      s"no cluster partition filter in scan:\n${plan.take(3000)}")
+    // and the filter is genuinely present, not an empty list
+    assert(!scanLine.contains("PartitionFilters: []"), scanLine)
+  }
+
   test("knnJoinIvf: pruned probes recall most neighbors; plan has no cartesian over the corpus") {
     import org.apache.spark.sql.functions.col
     val index = Ann.buildIvf(emb, "embedding", k = 8)
