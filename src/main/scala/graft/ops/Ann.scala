@@ -921,6 +921,57 @@ object Ann {
       appendToIvf(index, batch, embCol, path)
     }
 
+  /** Compact an appended index layout. Every [[appendToIvf]] adds at
+    * least one file per touched cluster directory, so at streaming
+    * cadence the layout degrades into the classic small-files problem:
+    * a search opening a probed cluster pays per-file open/footer cost
+    * F times over. Rewriting with `repartition(col("cluster"))` puts
+    * each cluster's rows in exactly one task → ONE file per cluster
+    * directory, restoring the original build's read profile; appended
+    * rows keep their frozen-center assignment, so content is
+    * byte-identical (the ann_compact_search gate entry hash-proves
+    * it).
+    *
+    * The swap is write-to-temp then two renames (live → old, temp →
+    * live): readers racing the swap see either the old or the new
+    * layout, never a partial rewrite; a crash between the renames
+    * leaves `assigned_old` beside a missing `assigned` — recoverable
+    * by hand, and the temp write itself is fully materialized before
+    * anything is touched. Applied-batch markers live outside
+    * `assigned` and survive compaction. */
+  def compactIvf(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
+    spark.read.parquet(live.toString)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compactIvf: could not stage $live aside")
+    require(fs.rename(tmp, live), s"compactIvf: could not swap $tmp in")
+    fs.delete(old, true)
+  }
+
+  /** Housekeeping for the run-scoped applied-batch markers: every
+    * streaming run leaves one `_applied_batches/<runToken>/` tree, and
+    * markers for long-dead runs serve no retry again. Deletes every
+    * token directory NOT in `keepTokens` (pass the tokens of runs
+    * whose checkpoints still exist). */
+  def pruneAppliedMarkers(spark: SparkSession, path: String,
+      keepTokens: Set[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/_applied_batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && !keepTokens.contains(st.getPath.getName))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Persist a hierarchical index: the flat artifact ([[persistIvf]] —
     * assignment `partitionBy(cluster)` + flat centers) plus the coarse
     * centers and level shape as tiny sidecars, so a reloaded index

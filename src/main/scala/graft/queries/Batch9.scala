@@ -52,9 +52,33 @@ object Batch9 {
     loaded.copy(assigned = loaded.assigned.localCheckpoint(false))
   }, "appendIdx")
 
+  /** The append lifecycle continued through COMPACTION for the
+    * ann_compact_search gate entry: two frozen-center append batches
+    * (odd ids split in half) leave multiple small files per cluster
+    * directory; compactIvf rewrites to one file per cluster and the
+    * reloaded index must still serve the byte-identical corpus — the
+    * day-2 maintenance op a streaming-append deployment runs on a
+    * cadence, hash-proven against the brute-force oracle. */
+  private val compactIdxMemo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val idx = graft.ops.Ann.buildIvf(
+      emb.filter(col("vec_id") % 2 === 0), "embedding", k = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_compact_idx_").toString
+    graft.ops.Ann.persistIvf(idx, path)
+    graft.ops.Ann.appendBatchIdempotent(idx,
+      emb.filter(col("vec_id") % 4 === 1), "embedding", path, 0L)
+    graft.ops.Ann.appendBatchIdempotent(idx,
+      emb.filter(col("vec_id") % 4 === 3), "embedding", path, 1L)
+    graft.ops.Ann.compactIvf(s, path)
+    val loaded = graft.ops.Ann.loadIvf(s, path)
+    loaded.copy(assigned = loaded.assigned.localCheckpoint(false))
+  }, "compactIdx")
+
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
   def touchMemos(s: SparkSession, dir: String): Unit = {
-    appendIdxMemo(s, dir).assigned.count(); ()
+    appendIdxMemo(s, dir).assigned.count()
+    compactIdxMemo(s, dir).assigned.count(); ()
   }
 
   /** dedup_incremental's DuckDB re-derivation, shared verbatim with
@@ -308,6 +332,30 @@ object Batch9 {
              |    AS score
              |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
       "search over a persisted index grown by idempotent frozen-center appends (retry replayed; reload serves old+new rows; exhaustive probe = exact)"),
+
+    // ---- compaction on the oracle gate: the appended layout (see
+    // appendIdxMemo's lifecycle, here with TWO append batches) is
+    // compacted to one file per cluster directory and reloaded; the
+    // exhaustive search must still match the brute-force oracle —
+    // compaction that lost, duplicated, or re-assigned a single row
+    // breaks the hash compare.
+    "ann_compact_search" -> Q(
+      (s, dir) => {
+        val idx = compactIdxMemo(s, dir)
+        val q = table(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.ops.Ann.searchIvf(idx, "embedding", q,
+            topK = 20, nprobe = idx.centers.length,
+            tieBreak = Seq(col("vec_id")))
+          .select(col("vec_id"), col("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+             |    AS score
+             |FROM embeddings ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      "search after small-file compaction of an appended index (one file per cluster dir; content hash-identical; exhaustive probe = exact)"),
 
     "ann_ivf_sq8" -> Q(
       (s, dir) => {

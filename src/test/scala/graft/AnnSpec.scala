@@ -200,6 +200,40 @@ class AnnSpec extends SparkTestBase {
       rest.limit(0), "embedding", path, batchId = 1L))
   }
 
+  test("compactIvf: small files collapse to one per cluster dir, content identical, markers survive") {
+    val first = emb.filter($"vec_id" < 400)
+    val index = Ann.buildIvf(first, "embedding", k = 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    Ann.persistIvf(index, path)
+    // three append batches → several files per touched cluster dir
+    for ((m, b) <- Seq((0, 10L), (1, 11L), (2, 12L)))
+      Ann.appendBatchIdempotent(index,
+        emb.filter($"vec_id" >= 400 && $"vec_id" % 3 === m), "embedding",
+        path, b)
+    def filesPerCluster: Map[String, Int] =
+      new java.io.File(s"$path/assigned").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filesPerCluster.values.max > 1,
+      s"fixture did not produce small files: $filesPerCluster")
+    Ann.compactIvf(spark, path)
+    assert(filesPerCluster.values.max === 1, filesPerCluster.toString)
+    val after = spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after === before)
+    // marker housekeeping: markers survived the compaction, and
+    // pruning drops dead runs while keeping live ones
+    val markerRoot = new java.io.File(s"$path/_applied_batches")
+    assert(markerRoot.exists() && markerRoot.listFiles().nonEmpty)
+    Ann.pruneAppliedMarkers(spark, path, keepTokens = Set.empty)
+    assert(markerRoot.listFiles().isEmpty)
+  }
+
   test("knnJoinAuto: route flips at the hier threshold, both routes exact at exhaustive settings") {
     val h = Ann.buildIvfHierarchical(emb.select($"vec_id", $"embedding"),
       "embedding", k = 64)
