@@ -939,16 +939,27 @@ object Ann {
     * by hand, and the temp write itself is fully materialized before
     * anything is touched. Applied-batch markers live outside
     * `assigned` and survive compaction. */
-  def compactIvf(spark: SparkSession, path: String): Unit = {
+  def compactIvf(spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
     import org.apache.spark.sql.functions.col
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
-    spark.read.parquet(live.toString)
+    // repartition(cluster) puts each cluster WHOLLY in one task — the
+    // one-file-per-directory guarantee — but at small k over a huge
+    // corpus a single cluster is terabytes; `maxRecordsPerFile` re-
+    // splits such a task's output into bounded files (still one TASK'S
+    // contiguous write, so the directory stays compact: ceil(rows/max)
+    // files, not one per historical append)
+    val writer = spark.read.parquet(live.toString)
       .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .partitionBy("cluster").parquet(tmp.toString)
     fs.delete(old, true)
     require(fs.rename(live, old), s"compactIvf: could not stage $live aside")
     require(fs.rename(tmp, live), s"compactIvf: could not swap $tmp in")

@@ -226,6 +226,15 @@ class AnnSpec extends SparkTestBase {
       .select("vec_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(after === before)
+    // the huge-cluster guard: a records-per-file bound re-splits big
+    // cluster outputs into several BOUNDED files (content unchanged)
+    Ann.compactIvf(spark, path, maxRecordsPerFile = 50L)
+    assert(filesPerCluster.values.exists(_ > 1),
+      s"maxRecordsPerFile bound did not split: $filesPerCluster")
+    val bounded = spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bounded === before)
     // marker housekeeping: markers survived the compaction, and
     // pruning drops dead runs while keeping live ones
     val markerRoot = new java.io.File(s"$path/_applied_batches")
