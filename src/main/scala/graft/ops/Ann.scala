@@ -812,17 +812,53 @@ object Ann {
     * drift is handled by periodic re-fit + rewrite, the standard IVF
     * deployment cadence — appends never mutate existing files. */
   def appendToIvf(index: IvfIndex, newRows: DataFrame, embCol: String,
+      path: String): Unit =
+    appendAssigned(index, assignByCosine(newRows, embCol, index.centers), path)
+
+  /** Two-pass assignment of NEW rows under a FROZEN hierarchical
+    * index — the exact assignment function the build used (coarse
+    * argmax over k1 cells, then argmax over that cell's k2
+    * sub-centers), at O((k1+k2)·d) per row. Appending to a hier index
+    * through the flat [[appendToIvf]] would be wrong twice over: the
+    * flat argmax over all k is the O(k·d) non-starter at
+    * SemDeDup-scale k, AND it is a DIFFERENT function from the
+    * build's two-pass routing (a row near a cell boundary can flat-
+    * argmax into a cluster the two-pass build would never give it),
+    * so appended rows would not land where a rebuild with these
+    * centers puts them. */
+  def assignByCosineHier(newRows: DataFrame, embCol: String,
+      h: HierIvf): DataFrame = {
+    val subCenters = Array.tabulate(h.k1)(c =>
+      Array.tabulate(h.k2)(j => h.index.centers(c * h.k2 + j)))
+    val cellCol = "__graft_cell"
+    require(!newRows.columns.contains(cellCol),
+      s"assignByCosineHier: input collides with reserved column $cellCol")
+    newRows
+      .withColumn(cellCol, graft.functions.argmax_cosine(col(embCol), h.coarse))
+      .withColumn("cluster",
+        graft.functions.argmax_cosine_cell(col(embCol), col(cellCol), subCenters))
+      .drop(cellCol)
+  }
+
+  /** [[appendToIvf]] for hierarchical indexes: frozen-center two-pass
+    * assignment (see [[assignByCosineHier]]) + the same guarded
+    * partitioned append. */
+  def appendToIvfHier(h: HierIvf, newRows: DataFrame, embCol: String,
+      path: String): Unit =
+    appendAssigned(h.index, assignByCosineHier(newRows, embCol, h), path)
+
+  /** The shared guarded append: loud schema check — appending rows
+    * whose columns differ from the persisted layout (e.g. an index
+    * carrying withSq8/withPq code columns the new rows lack) would
+    * write a MIXED-schema directory that later reads resolve
+    * arbitrarily; derive the code columns on newRows first (sq8Code /
+    * pq_encode) if the index has them. Name AND type: a same-named
+    * column with a drifted type (vec_id int vs long, embedding
+    * float[] vs double[]) writes files later reads can only merge by
+    * widening or failing — exactly the corruption this guard exists
+    * to refuse. */
+  private def appendAssigned(index: IvfIndex, assigned: DataFrame,
       path: String): Unit = {
-    val assigned = assignByCosine(newRows, embCol, index.centers)
-    // loud schema check: appending rows whose columns differ from the
-    // persisted layout (e.g. an index carrying withSq8/withPq code
-    // columns the new rows lack) would write a MIXED-schema directory
-    // that later reads resolve arbitrarily — derive the code columns
-    // on newRows first (sq8Code / pq_encode) if the index has them.
-    // Name AND type: a same-named column with a drifted type (vec_id
-    // int vs long, embedding float[] vs double[]) writes files later
-    // reads can only merge by widening or failing — exactly the
-    // corruption this guard exists to refuse.
     def sig(df: DataFrame) =
       df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
     require(sig(assigned).sameElements(sig(index.assigned)),

@@ -200,6 +200,36 @@ class AnnSpec extends SparkTestBase {
       rest.limit(0), "embedding", path, batchId = 1L))
   }
 
+  test("appendToIvfHier: two-pass frozen-center appends equal a rebuild-style assignment of all rows") {
+    import org.apache.spark.sql.functions.col
+    // fit on the even half, append the odd half through the SAME
+    // two-pass routing the build uses — the reloaded index must be
+    // row-for-row the two-pass assignment of ALL rows under h's
+    // centers (the flat argmax is a different function and would
+    // drift on cell-boundary rows)
+    val base = emb.select($"vec_id", $"embedding")
+    val h = Ann.buildIvfHierarchical(base.filter($"vec_id" % 2 === 0),
+      "embedding", k = 16)
+    val path = java.nio.file.Files.createTempDirectory("ivfhierappend").toString
+    Ann.persistIvfHier(h, path)
+    Ann.appendToIvfHier(h, base.filter($"vec_id" % 2 === 1), "embedding", path)
+    val loaded = Ann.loadIvfHier(spark, path)
+    val got = loaded.index.assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Ann.assignByCosineHier(base, "embedding", h)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want && got.size === base.count())
+    // exhaustive two-level search over the grown index is exact
+    val tie = Seq(col("vec_id"))
+    val exact = Ann.bruteForce(emb, "embedding", query, 10, tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val searched = Ann.searchIvfHier(loaded, "embedding", query, topK = 10,
+        nprobeCoarse = loaded.k1, nprobe = loaded.k1 * loaded.k2, tieBreak = tie)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(searched === exact)
+  }
+
   test("compactIvf: small files collapse to one per cluster dir, content identical, markers survive") {
     val first = emb.filter($"vec_id" < 400)
     val index = Ann.buildIvf(first, "embedding", k = 4)
