@@ -181,7 +181,10 @@ object Bench {
     def touchMemos(phase: String): Unit =
       if (only.isEmpty && elapsed < deadlineSec) {
         val m0 = System.nanoTime()
-        val cap = math.max(30L, math.min(3 * capSec, deadlineSec - elapsed.toLong))
+        // a third of the remaining window at most: a cold rebuild here
+        // must never starve the rescue phases this pre-touch protects
+        val cap = math.max(15L,
+          math.min(3 * capSec, (deadlineSec - elapsed.toLong) / 3))
         val group = s"bench-memo-touch-$phase"
         val worker = new Thread(() => {
           try {

@@ -898,31 +898,37 @@ object Ann {
     * pass the same token they pair with that checkpoint. Caller
     * starts the writer. */
   def appendToIvfStream(index: IvfIndex, stream: DataFrame, embCol: String,
-      path: String, runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val token =
-      if (runToken.nonEmpty) runToken
-      else java.util.UUID.randomUUID().toString
-    stream.writeStream.foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        appendBatchIdempotent(index, batch, embCol, path, batchId, token); ()
+      path: String, runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    idempotentForeachBatch(stream, path, runToken) { batch =>
+      appendToIvf(index, batch, embCol, path)
     }
-  }
 
   /** Applied-batch marker guard shared by every idempotent
     * foreachBatch sink: run `body` unless `<path>/_applied_batches/
     * <runToken>/<batchId>` exists; the marker commits AFTER the body
-    * via an ATOMIC create (no overwrite) so two racing writers — a
-    * zombie driver and its replacement both executing the same
-    * micro-batch — cannot both claim the batch silently: the loser's
-    * create throws and is reported as already-applied. Returns true
-    * if body ran and this writer won the marker. */
+    * via a no-overwrite create, so on stores with atomic
+    * create-if-absent (HDFS namenode) two racing writers — a zombie
+    * driver and its replacement executing the same micro-batch —
+    * cannot both claim the batch silently: the loser's create throws
+    * and is reported. On stores without it (S3A's HEAD-then-PUT, the
+    * local FS) the guard is best-effort against races but still exact
+    * against the common case, sequential retries. Any OTHER marker-
+    * write failure propagates and fails the query loudly — swallowing
+    * it would leave the batch unmarked and let a later replay
+    * double-append silently. Returns true if body ran and this writer
+    * won the marker. */
   def onceBatch(spark: SparkSession, path: String, batchId: Long,
       runToken: String)(body: => Unit): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches/$runToken")
     val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
+    // pre-runToken layouts put markers directly under _applied_batches
+    // — honor them so an index written before the run-scoped layout
+    // still dedups its replays
+    val legacy = new org.apache.hadoop.fs.Path(
+      s"$path/_applied_batches", batchId.toString)
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) {
+    if (fs.exists(marker) || (fs.exists(legacy) && fs.getFileStatus(legacy).isFile)) {
       System.err.println(
         s"[onceBatch] batch $batchId (run $runToken) already applied at $path — skipping retry")
       false
@@ -933,8 +939,7 @@ object Ann {
         fs.create(marker, /* overwrite = */ false).close()
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException =>
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           // a concurrent writer won the check-then-act race; its body
           // also ran (the non-transactional window) — surface loudly
           System.err.println(
@@ -942,6 +947,23 @@ object Ann {
               "both bodies executed; dedup on an id column at read time")
           false
       }
+    }
+  }
+
+  /** The idempotent foreachBatch shell shared by every streaming sink
+    * here (flat/hier index appends, the streaming k-NN join, the gate
+    * replay scaffold): per-writer run token (UUID unless the caller
+    * pairs one with a durable checkpoint — see [[appendToIvfStream]])
+    * + [[onceBatch]] marker guard around the caller's per-batch body. */
+  def idempotentForeachBatch(stream: DataFrame, path: String,
+      runToken: String)(body: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val token =
+      if (runToken.nonEmpty) runToken
+      else java.util.UUID.randomUUID().toString
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        onceBatch(batch.sparkSession, path, batchId, token) { body(batch) }
+        ()
     }
   }
 
@@ -955,6 +977,16 @@ object Ann {
       runToken: String = "run-0"): Boolean =
     onceBatch(batch.sparkSession, path, batchId, runToken) {
       appendToIvf(index, batch, embCol, path)
+    }
+
+  /** [[appendToIvfStream]] for hierarchical indexes: the same
+    * run-scoped idempotent micro-batch appends, routed through the
+    * build's two-pass assignment ([[assignByCosineHier]]) instead of
+    * the flat O(k·d) argmax. */
+  def appendToIvfHierStream(h: HierIvf, stream: DataFrame, embCol: String,
+      path: String, runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    idempotentForeachBatch(stream, path, runToken) { batch =>
+      appendToIvfHier(h, batch, embCol, path)
     }
 
   /** Compact an appended index layout. Every [[appendToIvf]] adds at
@@ -974,7 +1006,17 @@ object Ann {
     * leaves `assigned_old` beside a missing `assigned` — recoverable
     * by hand, and the temp write itself is fully materialized before
     * anything is touched. Applied-batch markers live outside
-    * `assigned` and survive compaction. */
+    * `assigned` and survive compaction.
+    *
+    * WRITERS must be quiesced for the compaction window: the rewrite
+    * reads a SNAPSHOT of the layout, so an append landing mid-rewrite
+    * exists only in the doomed old copy (and its surviving batch
+    * marker would stop the checkpoint replay from restoring it —
+    * permanent loss). The file listing is re-checked after the
+    * rewrite and the compaction ABORTS loudly, swapping nothing, if
+    * the layout changed; a tiny list-to-rename window remains, so the
+    * check is a tripwire for un-quiesced deployments, not a
+    * substitute for quiescing. */
   def compactIvf(spark: SparkSession, path: String,
       maxRecordsPerFile: Long = 0L): Unit = {
     import org.apache.spark.sql.functions.col
@@ -983,6 +1025,16 @@ object Ann {
     val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
+    def layoutFingerprint(): Seq[(String, Long)] = {
+      val it = fs.listFiles(live, /* recursive = */ true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        b += ((st.getPath.toString, st.getLen))
+      }
+      b.result().sortBy(_._1)
+    }
+    val beforeLayout = layoutFingerprint()
     // repartition(cluster) puts each cluster WHOLLY in one task — the
     // one-file-per-directory guarantee — but at small k over a huge
     // corpus a single cluster is terabytes; `maxRecordsPerFile` re-
@@ -996,6 +1048,12 @@ object Ann {
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer)
       .partitionBy("cluster").parquet(tmp.toString)
+    if (layoutFingerprint() != beforeLayout) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactIvf: $live changed during the rewrite (concurrent appends?) — " +
+          "nothing was swapped; quiesce writers and retry")
+    }
     fs.delete(old, true)
     require(fs.rename(live, old), s"compactIvf: could not stage $live aside")
     require(fs.rename(tmp, live), s"compactIvf: could not swap $tmp in")

@@ -66,19 +66,29 @@ object Catalog {
     val schema = s.read.parquet(s"$src/$file").schema
     val out = java.nio.file.Files
       .createTempDirectory("graft_replay_out_").toString
-    val token = java.util.UUID.randomUUID().toString
-    val q = xform(s.readStream.schema(schema).parquet(src.toString))
-      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Ann.onceBatch(batch.sparkSession, out, batchId, token) {
-          perBatch(batch).write.mode("append").parquet(s"$out/results")
-        }
-        ()
-      }.start()
-    try q.processAllAvailable() finally q.stop()
-    try {
-      java.nio.file.Files.deleteIfExists(src.resolve(file))
-      java.nio.file.Files.deleteIfExists(src)
-    } catch { case _: Exception => () }
+    val streamed = xform(s.readStream.schema(schema).parquet(src.toString))
+    val q = graft.ops.Ann.idempotentForeachBatch(streamed, out, "") { batch =>
+      perBatch(batch).write.mode("append").parquet(s"$out/results")
+    }.start()
+    // cleanup rides the SAME finally as stop so a failing replay
+    // doesn't leak its fixture copy
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        java.nio.file.Files.deleteIfExists(src.resolve(file))
+        java.nio.file.Files.deleteIfExists(src)
+      } catch { case _: Exception => () }
+    }
+    // an xform matching zero fixture rows leaves no results dir; an
+    // empty frame WITH the right schema beats an unrelated
+    // path-does-not-exist five frames from the real cause. The schema
+    // comes from perBatch over an empty batch of the stream's shape.
+    if (!new java.io.File(s"$out/results").exists()) {
+      val emptyBatch = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamed.schema)
+      perBatch(emptyBatch).limit(0)
+        .write.mode("overwrite").parquet(s"$out/results")
+    }
     s.read.parquet(s"$out/results")
   }
 

@@ -203,20 +203,12 @@ object Streaming {
       idCol: String, queryStream: DataFrame, qIdCol: String,
       qEmbCol: String, topK: Int, nprobe: Int,
       excludeSelf: Boolean = false, outPath: String,
-      runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val token =
-      if (runToken.nonEmpty) runToken
-      else java.util.UUID.randomUUID().toString
-    queryStream.writeStream.foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        graft.ops.Ann.onceBatch(batch.sparkSession, outPath, batchId, token) {
-          graft.ops.Ann.knnJoinIvf(index, embCol, idCol, batch,
-              qIdCol, qEmbCol, topK, nprobe, excludeSelf)
-            .write.mode("append").parquet(s"$outPath/results")
-        }
-        ()
+      runToken: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.ops.Ann.idempotentForeachBatch(queryStream, outPath, runToken) { batch =>
+      graft.ops.Ann.knnJoinIvf(index, embCol, idCol, batch,
+          qIdCol, qEmbCol, topK, nprobe, excludeSelf)
+        .write.mode("append").parquet(s"$outPath/results")
     }
-  }
 
   /** Q10 queued-writes semantics: micro-batch the stream through a
     * user function; the batchId is the reference's `sequence_number`

@@ -195,6 +195,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size === want.size && got === want)
   }
 
+  test("hier IVF append twin: streaming two-pass appends == the two-pass assignment of all rows") {
+    // the hierarchical flavor of the append twin: same frozen-center
+    // stream-append lifecycle, but routed through the build's two-pass
+    // assignment (coarse cell then cell-bounded argmax)
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val h = graft.ops.Ann.buildIvfHierarchical(
+      emb.filter($"vec_id" < 500), "embedding", k = 16)
+    val path = tmp()
+    graft.ops.Ann.persistIvfHier(h, path)
+    val feed = tmp()
+    emb.filter($"vec_id" >= 500).write.mode("overwrite").parquet(feed)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(feed).schema).parquet(feed)
+    val q = graft.ops.Ann.appendToIvfHierStream(h, stream, "embedding", path)
+      .option("checkpointLocation", tmp())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val loaded = graft.ops.Ann.loadIvfHier(spark, path)
+    val got = loaded.index.assigned.select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = graft.ops.Ann.assignByCosineHier(emb, "embedding", h)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === want.size && got === want)
+  }
+
   test("pack_sequences twin: stateful shard packing on a documents stream == batch rows") {
     // the running (lang, shard) token offsets live in GroupState; on
     // the ordered fixture feed the stream must pack every document
