@@ -1060,6 +1060,26 @@ object Ann {
     fs.delete(old, true)
   }
 
+  /** Recover an index layout from a compaction crash: a death between
+    * [[compactIvf]]'s two renames leaves `assigned_old` staged beside
+    * a missing `assigned`. Restores the staged copy (the pre-compact
+    * layout — nothing was lost, the swap just never completed) and
+    * clears any half-written `assigned_compacting`. Returns true if a
+    * repair was performed, false if the layout was already healthy. */
+  def repairIvf(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
+    fs.delete(tmp, true)
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"repairIvf: could not restore $old to $live")
+      true
+    } else false
+  }
+
   /** Housekeeping for the run-scoped applied-batch markers: every
     * streaming run leaves one `_applied_batches/<runToken>/` tree, and
     * markers for long-dead runs serve no retry again. Deletes every

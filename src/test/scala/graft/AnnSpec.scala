@@ -271,6 +271,17 @@ class AnnSpec extends SparkTestBase {
     assert(markerRoot.exists() && markerRoot.listFiles().nonEmpty)
     Ann.pruneAppliedMarkers(spark, path, keepTokens = Set.empty)
     assert(markerRoot.listFiles().isEmpty)
+    // crash recovery: simulate a death between the two renames
+    // (assigned staged aside, swap never completed) — repair restores
+    // the staged layout and the index serves again
+    assert(!Ann.repairIvf(spark, path)) // healthy layout: no-op
+    new java.io.File(s"$path/assigned")
+      .renameTo(new java.io.File(s"$path/assigned_old"))
+    assert(Ann.repairIvf(spark, path))
+    val repaired = spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(repaired === before)
   }
 
   test("knnJoinAuto: route flips at the hier threshold, both routes exact at exhaustive settings") {
