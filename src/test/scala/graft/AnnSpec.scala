@@ -284,6 +284,25 @@ class AnnSpec extends SparkTestBase {
     assert(repaired === before)
   }
 
+  test("onceBatch honors pre-runToken flat-layout markers (upgrade compatibility)") {
+    val path = java.nio.file.Files.createTempDirectory("oncebatch").toString
+    // an index written before the run-scoped layout has markers
+    // directly under _applied_batches — a replay of that batch must
+    // still be recognized as applied after the upgrade
+    val legacyDir = new java.io.File(s"$path/_applied_batches")
+    assert(legacyDir.mkdirs())
+    assert(new java.io.File(legacyDir, "7").createNewFile())
+    var ran = false
+    assert(!Ann.onceBatch(spark, path, 7L, "any-token") { ran = true })
+    assert(!ran, "legacy-marked batch re-executed")
+    // other batches under the new layout proceed normally
+    assert(Ann.onceBatch(spark, path, 8L, "any-token") { ran = true })
+    assert(ran)
+    // and the retry of the new-layout batch is swallowed
+    assert(!Ann.onceBatch(spark, path, 8L, "any-token") { ran = false })
+    assert(ran)
+  }
+
   test("knnJoinAuto: route flips at the hier threshold, both routes exact at exhaustive settings") {
     val h = Ann.buildIvfHierarchical(emb.select($"vec_id", $"embedding"),
       "embedding", k = 64)
