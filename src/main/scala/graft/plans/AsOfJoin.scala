@@ -164,8 +164,14 @@ final case class AsOfJoinExec(
           // further away — a single output-time check is exact
           val chosen: InternalRow =
             if (!near) {
+              // same overflow saturation as the nearest branch: the
+              // candidate QUALIFIES (rt <= lt), so the true distance
+              // is >= 0 — a negative difference is a Long wrap
+              // (adversarial time spread > 2^63) and must read as
+              // "maximally far", not as within-tolerance
               if (candidate != null && tol.forall { t =>
-                lTime.getLong(0) - rTimeProj(candidate).getLong(0) <= t
+                val d = lTime.getLong(0) - rTimeProj(candidate).getLong(0)
+                (if (d < 0) Long.MaxValue - 1 else d) <= t
               }) candidate else null
             } else {
               // nearest: when the backward scan stops, the cursor IS

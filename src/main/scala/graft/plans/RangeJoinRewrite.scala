@@ -166,9 +166,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner, Some(cond), _)
         if !j.left.isStreaming && !j.right.isStreaming =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // casts count: the analyzer wraps type-mismatched equi-keys as
+      // EqualTo(Cast(a), b), which ExtractEquiJoinKeys still plans as
+      // a hash/SMJ key — firing the rewrite there would only add the
+      // 2x explode on top of an already-equi-keyed join
+      def stripCast(e: Expression): Expression = e match {
+        case Cast(c, _, _, _) => stripCast(c)
+        case other => other
+      }
       val hasCrossEquality = conjuncts.exists {
-        case EqualTo(a: Attribute, b: Attribute) => crossSide(a, b, j)
-        case EqualNullSafe(a: Attribute, b: Attribute) => crossSide(a, b, j)
+        case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+          case (a: Attribute, b: Attribute) => crossSide(a, b, j)
+          case _ => false
+        }
+        case EqualNullSafe(l, r) => (stripCast(l), stripCast(r)) match {
+          case (a: Attribute, b: Attribute) => crossSide(a, b, j)
+          case _ => false
+        }
         case _ => false
       }
       val bounds = conjuncts.flatMap(c => bound(c).map(c -> _))
@@ -176,38 +190,49 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           bd.a.deterministic && bd.b.deterministic }
       if (hasCrossEquality || bounds.isEmpty) j
       else {
-        // canonical pair = first bound's orientation with x on the left
-        val (x0, y0) = (bounds.head._2.a, bounds.head._2.b)
-        val (x, y) =
-          if (left.outputSet.contains(x0)) (x0, y0) else (y0, x0)
-        val oriented = bounds.flatMap { case (c, bd) => orient(bd, x, y).map(c -> _) }
-        val uppers = oriented.collect { case (_, bd) if bd.isUpper => bd.k }
-        val lowers = oriented.collect { case (_, bd) if !bd.isUpper => bd.k }
-        if (uppers.isEmpty || lowers.isEmpty) j
-        else {
-          val hi = uppers.min
-          val lo = lowers.max
-          val w = hi - lo
-          if (w <= 0 || w > maxW || math.abs(hi) > maxW || math.abs(lo) > maxW) j
-          else {
-            // left: one bucket of x
-            val bucketL = Alias(fdiv(asLong(x), w), "__graft_rbucket_l")()
-            val leftProj = Project(left.output :+ bucketL, left)
-            // right: the band [y+lo, y+hi] touches exactly these buckets
-            val yl = asLong(y)
-            val arr = CreateArray(Seq(
-              fdivAdd(yl, lo, w),
-              fdivAdd(yl, hi, w)))
-            val bucketR = AttributeReference("__graft_rbucket_r", LongType,
-              nullable = arr.dataType.asInstanceOf[ArrayType].containsNull)()
-            val rightGen = Generate(Explode(arr), unrequiredChildIndex = Nil,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(bucketR), right)
-            val newCond = (conjuncts :+
-              EqualTo(bucketL.toAttribute, bucketR)).reduce(And)
-            Project(left.output ++ right.output,
-              Join(leftProj, rightGen, Inner, Some(newCond), JoinHint.NONE))
-          }
+        // try each candidate attribute pair (canonicalized x-on-left)
+        // until one forms a COMPLETE band: fixing the pair to
+        // bounds.head made whether a 100-TB join rewrote depend on
+        // conjunct order when an unrelated one-sided inequality
+        // happened to come first
+        val pairs = bounds.map { case (_, bd) =>
+          if (left.outputSet.contains(bd.a)) (bd.a, bd.b) else (bd.b, bd.a)
+        }.distinct
+        val complete = pairs.iterator.map { case (x, y) =>
+          val oriented = bounds.flatMap { case (c, bd) => orient(bd, x, y).map(c -> _) }
+          val uppers = oriented.collect { case (_, bd) if bd.isUpper => bd.k }
+          val lowers = oriented.collect { case (_, bd) if !bd.isUpper => bd.k }
+          (x, y, uppers, lowers)
+        }.find { case (_, _, uppers, lowers) => uppers.nonEmpty && lowers.nonEmpty }
+        complete match {
+          case None => j
+          case Some((x, y, uppers, lowers)) =>
+            val hi = uppers.min
+            val lo = lowers.max
+            val w = hi - lo
+            if (w <= 0 || w > maxW || math.abs(hi) > maxW || math.abs(lo) > maxW) j
+            else {
+              // left: one bucket of x
+              val bucketL = Alias(fdiv(asLong(x), w), "__graft_rbucket_l")()
+              val leftProj = Project(left.output :+ bucketL, left)
+              // right: the band [y+lo, y+hi] touches exactly these buckets
+              val yl = asLong(y)
+              val arr = CreateArray(Seq(
+                fdivAdd(yl, lo, w),
+                fdivAdd(yl, hi, w)))
+              val bucketR = AttributeReference("__graft_rbucket_r", LongType,
+                nullable = arr.dataType.asInstanceOf[ArrayType].containsNull)()
+              val rightGen = Generate(Explode(arr), unrequiredChildIndex = Nil,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(bucketR), right)
+              val newCond = (conjuncts :+
+                EqualTo(bucketL.toAttribute, bucketR)).reduce(And)
+              // the caller's join hint survives the rewrite — a user's
+              // /*+ BROADCAST */ on the band join still binds to the
+              // same sides of the rebuilt equi-join
+              Project(left.output ++ right.output,
+                Join(leftProj, rightGen, Inner, Some(newCond), j.hint))
+            }
         }
       }
   }

@@ -154,14 +154,20 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bound(e: Expression, rn: Attribute): Option[Int] = e match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
       if a.semanticEquals(rn) => Some(v)
+    // the strict (<) forms exclude Int.MinValue: v - 1 would wrap to
+    // Int.MaxValue and silently DROP an unsatisfiable conjunct (the
+    // original plan returns zero rows; the wrapped rewrite would emit
+    // top-MaxValue). Returning None instead routes the conjunct into
+    // `rest`, where restReferencesRn keeps the Window — original
+    // semantics preserved.
     case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-      if a.semanticEquals(rn) => Some(v - 1)
+      if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: Attribute, Literal(1, IntegerType))
       if a.semanticEquals(rn) => Some(1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
       if a.semanticEquals(rn) => Some(v)
     case GreaterThan(Literal(v: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rn) => Some(v - 1)
+      if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
     case _ => None
   }
 

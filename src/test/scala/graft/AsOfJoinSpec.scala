@@ -100,6 +100,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Map(100L -> 7L, 200L -> -1L))
   }
 
+  test("tolerance distance saturates on adversarial Long overflow instead of wrapping") {
+    // a qualifying candidate at the far end of the Long domain: the
+    // true distance (~2^64) exceeds any tolerance, but lT - rT wraps
+    // NEGATIVE — an unsaturated check would read the wrap as
+    // within-tolerance and keep a match 18 quintillion ticks away
+    val l = Seq((1L, Long.MaxValue, "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, Long.MinValue + 10L, 7L)).toDF("k2", "t2", "rid")
+    val got = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"),
+        tolerance = Some(1000L))
+      .select($"rid").collect()
+    assert(got.length === 1 && got.head.isNullAt(0),
+      s"wrapped distance passed tolerance: ${got.mkString}")
+    // sanity: without tolerance the same candidate matches (backward
+    // as-of has no distance bound)
+    val free = AsOf.asofJoin(l, r, Seq("k"), Seq("k2"), "t", "t2", Seq("rid"))
+      .select($"rid").collect()
+    assert(free.length === 1 && free.head.getLong(0) === 7L)
+  }
+
   test("forward as-of: earliest right at or after, ties to highest tiebreak") {
     val l = Seq((1L, 100L, "a"), (1L, 300L, "b")).toDF("k", "t", "lv")
     val r = Seq((1L, 150L, 1L), (1L, 150L, 2L), (1L, 50L, 9L)).toDF("k2", "t2", "rid")

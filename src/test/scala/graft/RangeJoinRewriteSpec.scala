@@ -107,6 +107,40 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
   }
 
+  test("guard: a CAST-wrapped cross-side equi key also means no rewrite") {
+    // int-vs-long key: the analyzer plants EqualTo(Cast(k), k2), which
+    // ExtractEquiJoinKeys still plans as a hash key — firing here
+    // would only add the 2x explode on an already-equi-keyed join
+    val l = side(opt, "l", lVals).withColumn("k", (col("l_t") % 3).cast("int"))
+    val r = side(opt, "r", rVals).withColumn("k2", col("r_t") % 3)
+    val joined = l.join(r,
+      col("k") === col("k2") &&
+        col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
+  }
+
+  test("a one-sided inequality on an UNRELATED pair doesn't mask the complete band") {
+    // conjunct order puts (l_x < r_y) first: the old bounds.head
+    // canonicalization locked onto that incomplete pair and abandoned
+    // the rewrite — whether a 100-TB join bucketized depended on
+    // predicate order. The complete (l_t, r_t) band must be found.
+    val l = side(opt, "l", lVals).withColumn("l_x", col("l_t") + 1000L)
+    val r = side(opt, "r", rVals).withColumn("r_y", col("r_t") + 2000L)
+    val joined = l.join(r,
+      col("l_x") < col("r_y") &&
+        col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rbucket"), s"band masked by unrelated pair:\n${plan.take(2000)}")
+    // and result-identical to the naive plan (the unrelated conjunct
+    // rides along as a residual)
+    val naiveL = side(spark, "l", lVals).withColumn("l_x", col("l_t") + 1000L)
+    val naiveR = side(spark, "r", rVals).withColumn("r_y", col("r_t") + 2000L)
+    val naive = naiveL.join(naiveR,
+      col("l_x") < col("r_y") &&
+        col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"))
+    assert(pairs(joined) === pairs(naive) && pairs(naive).nonEmpty)
+  }
+
   test("guard: outer joins are untouched") {
     val l = side(opt, "l", lVals); val r = side(opt, "r", rVals)
     val joined = l.join(r,

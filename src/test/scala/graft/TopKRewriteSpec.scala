@@ -106,6 +106,24 @@ class TopKRewriteSpec extends SparkTestBase {
     assert(rankQ.count() > 0 && refQ.count() > 0 && bigQ.count() === 200)
   }
 
+  test("guard: rn < Int.MinValue keeps the Window (v - 1 must not wrap into a bound)") {
+    // `rn < Int.MinValue` is unsatisfiable — the original plan returns
+    // zero rows. A wrapping v - 1 would classify it as bound
+    // Int.MaxValue, DROP the conjunct, and emit top-5 rows per group.
+    val df = fixture(opt)
+    val w = Window.partitionBy(col("user")).orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue && col("rn") <= 5)
+    assert(q.queryExecution.optimizedPlan.toString.contains("Window") ||
+      q.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      q.queryExecution.optimizedPlan.toString.take(2000))
+    assert(q.count() === 0)
+    // the mirrored literal-on-the-left spelling wraps the same way
+    val q2 = df.withColumn("rn", row_number().over(w))
+      .filter(lit(Int.MinValue) > col("rn") && col("rn") <= 5)
+    assert(q2.count() === 0)
+  }
+
   test("RowTopK executes as partial+final ObjectHashAggregate (map-side combine)") {
     // the whole point of the rewrite is O(groups·k) rows through the
     // shuffle — that requires a PARTIAL ObjectHashAggregate before the
