@@ -110,7 +110,12 @@ final class KvEngine(spark: SparkSession, initial: DataFrame,
       // localCheckpoint every `compactEvery` batches: materializes the
       // current state as cached blocks and resets lineage to a leaf.
       // Superseded checkpoints are dropped here and reclaimed by
-      // Spark's ContextCleaner once unreferenced.
+      // Spark's ContextCleaner once unreferenced. localCheckpoint is
+      // deliberate here (r11 verdict): the KV state is tiny, driver-
+      // adjacent, and rebuilt from the statement log on any failure —
+      // a reliable-FS checkpoint per compaction would be pure
+      // overhead. The shared analytics subtrees use [[graft.queries
+      // .Reuse]] instead, where executor loss must not kill queries.
       batchesSinceCompact += 1
       if (batchesSinceCompact >= compactEvery) {
         stateDf = stateDf.localCheckpoint(true)

@@ -61,7 +61,7 @@ object Batch10 {
 
   /** Memoized SemDeDup result per (session, dir) — the k-means fit +
     * within-cluster pair scan run once; later invocations read the
-    * checkpointed keep-set (bench marks the entry `amortized`).
+    * cached keep-set (bench marks the entry `amortized`).
     * buildIvfAuto picks the fit: flat MLlib at catalog-fixture k,
     * the two-level hierarchical fit once k outgrows a single Lloyd
     * problem (above ~4k centroids) — so the un-capped [[semanticK]]
@@ -74,7 +74,7 @@ object Batch10 {
       maxFitRows = semanticFitRows(k))
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
-      .localCheckpoint(false)
+      .transform(Reuse.cache)
   }, "semanticDedup")
 
   /** SemDeDup through the FORCED two-level fit: `hierThreshold = 8`
@@ -94,7 +94,7 @@ object Batch10 {
       maxFitRows = semanticFitRows(k), hierThreshold = 8)
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
-      .localCheckpoint(false)
+      .transform(Reuse.cache)
   }, "semanticDedupHier")
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */

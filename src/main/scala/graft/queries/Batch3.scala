@@ -130,16 +130,18 @@ object Batch3 {
     * downstream math: the >=0.5-Jaccard consumers (dedup_corpus,
     * dedup_clusters, pipeline_training_corpus via [[ngramPairs]]) and
     * dedup_containment (inter/min metric). Within one Verify/Bench run
-    * it executes once, not once per consumer. The checkpoint is LAZY —
+    * it executes once, not once per consumer. The persist is LAZY —
     * nothing runs at plan-construction time; the first consumer's
-    * action materializes it and later consumers read the truncated
-    * lineage. What is stored is only the aggregated pair counts
+    * action materializes it and later consumers read the cached
+    * blocks, while the retained lineage keeps the subtree recomputable
+    * if an executor (and its blocks) is lost — see [[Reuse.cache]].
+    * What is stored is only the aggregated pair counts
     * (5 numeric columns/row), never the Σdf² join rows.
     * (dedup_ngram_jaccard itself stays un-memoized so its bench time
     * reflects the real mining cost; Bench marks the consumers
     * `amortized` in its JSON line.) */
   private val interMemo = new SessionMemo[DataFrame]((s, dir) =>
-    minePairCounts(s, dir).localCheckpoint(false), "pairCounts")
+    Reuse.cache(minePairCounts(s, dir)), "pairCounts")
 
   /** The mining shape itself: inverted index on xxhash64(shingle) →
     * self-join → per-pair intersection counts, sizes joined AFTER the
@@ -155,12 +157,13 @@ object Batch3 {
     * failure direction for dedup). DedupSpec pins a cap that leaves the
     * fixtures' >=0.5 pair set intact while provably filtering shingles.
     *
-    * The inverted index is checkpointed so executions after the first
-    * read stored blocks instead of re-running the shingle HOFs; the
-    * checkpoint is LAZY (an eager one fires a Spark job at every plan
-    * construction, even .explain), so on the very first action the two
-    * join sides may race and compute the index twice — a one-time cost,
-    * accepted deliberately (round-2 advice). */
+    * The inverted index is cached ([[Reuse.cache]]) so executions
+    * after the first read stored blocks instead of re-running the
+    * shingle HOFs; the persist is LAZY (an eager materialization fires
+    * a Spark job at every plan construction, even .explain), so on the
+    * very first action the two join sides may race and compute the
+    * index twice — a one-time cost, accepted deliberately (round-2
+    * advice). */
   def minePairCounts(s: SparkSession, dir: String,
       maxDf: Option[Int] = None): DataFrame = {
     val docs = table(s, dir, "documents")
@@ -175,7 +178,7 @@ object Batch3 {
       val keep = invAll.groupBy("shash").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("shash")
       invAll.join(keep, "shash")
-    }.localCheckpoint(false)
+    }.transform(Reuse.cache)
     val sizes = docs.select(col("doc_id"), col("n_sh"))
     inv.select(col("doc_id").as("doc_a"), col("shash"))
       .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
@@ -206,7 +209,7 @@ object Batch3 {
     * propagation. Memoized per (session, dir) — the propagation loop
     * runs actions (one `count` per round), so dedup_clusters and
     * split_by_cluster share ONE run and later consumers read the
-    * checkpointed fixpoint (Bench marks both `amortized`). */
+    * reliably-checkpointed fixpoint (Bench marks both `amortized`). */
   private val clusterMemo = new SessionMemo[DataFrame]((s, dir) => {
     val pairs = ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // materialize the (small) edge set once — otherwise the whole
@@ -216,15 +219,18 @@ object Batch3 {
     // (relayed through the driver) dies; the shuffle partitions on
     // v/doc_id and AQE still turns it into a broadcast join when
     // the edge set happens to be tiny.
-    val edges = pairs.union(
+    val edges = Reuse.cache(pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v")
-      .localCheckpoint(false)
-    // per round, truncate lineage (localCheckpoint) so round N+1
-    // doesn't replay rounds 1..N, and stop when no label changes —
-    // the standard distributed connected-components loop.
+      .toDF("u", "v"))
+    // per round, cut lineage with a RELIABLE checkpoint (files on the
+    // checkpoint FS, not executor-local blocks — an executor loss in
+    // round N must not orphan rounds 1..N-1; see
+    // [[Reuse.checkpointReliable]]) so round N+1 doesn't replay the
+    // whole history, and stop when no label changes — the standard
+    // distributed connected-components loop. Round 0 needs no
+    // checkpoint: its lineage is just the parquet scan.
     val docs = table(s, dir, "documents").select(col("doc_id"))
-    var labels = docs.withColumn("rep", col("doc_id")).localCheckpoint(true)
+    var labels = docs.withColumn("rep", col("doc_id"))
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
@@ -236,7 +242,7 @@ object Batch3 {
         .join(nmin.select(col("u").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
+        .transform(Reuse.checkpointReliable)
       changed = next
         .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
         .filter(col("rep") =!= col("old")).count()
@@ -317,7 +323,7 @@ object Batch3 {
     * persists the assignment `partitionBy("cluster")` once. */
   private val ivfMemo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
     val idx = graft.ops.Ann.buildIvf(table(s, dir, "embeddings"), "embedding", k = 16)
-    idx.copy(assigned = idx.assigned.localCheckpoint(false))
+    idx.copy(assigned = Reuse.cache(idx.assigned))
   }, "ivfIndex")
   def ivfIndex(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex = ivfMemo(s, dir)
 
@@ -330,7 +336,7 @@ object Batch3 {
   private val hierMemo = new SessionMemo[graft.ops.Ann.HierIvf]((s, dir) => {
     val h = graft.ops.Ann.buildIvfHierarchical(
       table(s, dir, "embeddings"), "embedding", k = 16)
-    h.copy(index = h.index.copy(assigned = h.index.assigned.localCheckpoint(false)))
+    h.copy(index = h.index.copy(assigned = Reuse.cache(h.index.assigned)))
   }, "hierIndex")
   def hierIndex(s: SparkSession, dir: String): graft.ops.Ann.HierIvf =
     hierMemo(s, dir)
@@ -341,14 +347,14 @@ object Batch3 {
   private val pqMemo = new SessionMemo[(graft.ops.Ann.IvfIndex, graft.ops.Ann.PqCodebook)]((s, dir) => {
     val cb = graft.ops.Ann.fitPq(table(s, dir, "embeddings"), "embedding", m = 8)
     val coded = graft.ops.Ann.withPq(ivfMemo(s, dir), "embedding", cb)
-    (coded.copy(assigned = coded.assigned.localCheckpoint(false)), cb)
+    (coded.copy(assigned = Reuse.cache(coded.assigned)), cb)
   }, "pqIndex")
   def pqIndex(s: SparkSession, dir: String): (graft.ops.Ann.IvfIndex, graft.ops.Ann.PqCodebook) =
     pqMemo(s, dir)
 
   /** SQ8-coded flavor of [[ivfIndex]], memoized like [[pqIndex]]: the
     * int8 code + norm columns are derived once per (session, dir) and
-    * checkpointed — without this every ann_ivf_sq8 execution re-ran
+    * cached — without this every ann_ivf_sq8 execution re-ran
     * the qvec/qnorm HOFs over the whole assignment, a per-run cost the
     * bench's `amortized` label wrongly claimed was paid once (the
     * round-10 4.1×-floor swing surface). Mirrors a real deployment,
@@ -356,7 +362,7 @@ object Batch3 {
     * beside the assignment and searches only ever read them. */
   private val sq8Memo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
     val coded = graft.ops.Ann.withSq8(ivfMemo(s, dir), "embedding")
-    coded.copy(assigned = coded.assigned.localCheckpoint(false))
+    coded.copy(assigned = Reuse.cache(coded.assigned))
   }, "sq8Index")
   def sq8Index(s: SparkSession, dir: String): graft.ops.Ann.IvfIndex =
     sq8Memo(s, dir)
@@ -621,14 +627,14 @@ object Batch3 {
       (s, dir) => {
         val k = 128
         val bands = 32 // 4 rows per band → catches J>=0.8 w.p. ~1-(1-J^4)^32
-        // checkpoint: the shingle HOFs + k·|sh| minhash mixes run ONCE;
-        // both consumers below (band projection, verify side) read the
-        // stored blocks instead of recomputing the signatures.
-        val docs = table(s, dir, "documents")
+        // cached (lineage retained): the shingle HOFs + k·|sh| minhash
+        // mixes run ONCE; both consumers below (band projection,
+        // verify side) read the stored blocks instead of recomputing
+        // the signatures.
+        val docs = Reuse.cache(table(s, dir, "documents")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
-          .withColumn("sig", minhash_sig(col("sh"), k))
-          .localCheckpoint(false)
+          .withColumn("sig", minhash_sig(col("sh"), k)))
         // Stage 1 — candidate generation: band join over (band, hash)
         // carrying ONLY ids. Shingle arrays must not ride through the
         // band join: a pair colliding in b bands would otherwise be

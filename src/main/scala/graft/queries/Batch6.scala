@@ -69,14 +69,13 @@ object Batch6 {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val n = docs.count().toDouble
-        // Lazy-checkpointed like minePairCounts' index: inv feeds FOUR
+        // Lazily cached like minePairCounts' index: inv feeds FOUR
         // consumers (idf2, weighted, norms, the b-side) — without the
-        // checkpoint the shingle HOFs re-run per consumer whenever the
+        // cache the shingle HOFs re-run per consumer whenever the
         // optimizer fails to reuse the exchange (plan-shape luck).
-        val inv = docs
+        val inv = Reuse.cache(docs
           .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
-          .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
-          .localCheckpoint(false)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shash")))
         val idf2 = inv.groupBy("shash").agg(count(lit(1)).as("df"))
           .select(col("shash"),
             (log(lit(n) / col("df")) * log(lit(n) / col("df")))

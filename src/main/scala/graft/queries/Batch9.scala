@@ -49,7 +49,7 @@ object Batch9 {
     require(!graft.ops.Ann.appendBatchIdempotent(idx, odd, "embedding", path, 0L),
       "ann_append_search: replayed batch was not recognized as applied")
     val loaded = graft.ops.Ann.loadIvf(s, path)
-    loaded.copy(assigned = loaded.assigned.localCheckpoint(false))
+    loaded.copy(assigned = Reuse.cache(loaded.assigned))
   }, "appendIdx")
 
   /** The append lifecycle continued through COMPACTION for the
@@ -72,7 +72,7 @@ object Batch9 {
       emb.filter(col("vec_id") % 4 === 3), "embedding", path, 1L)
     graft.ops.Ann.compactIvf(s, path)
     val loaded = graft.ops.Ann.loadIvf(s, path)
-    loaded.copy(assigned = loaded.assigned.localCheckpoint(false))
+    loaded.copy(assigned = Reuse.cache(loaded.assigned))
   }, "compactIdx")
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */

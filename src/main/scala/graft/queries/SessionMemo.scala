@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *    (relative path, size, mtime of every file) taken at build time;
   *    an access that sees a different fingerprint rebuilds instead of
   *    serving results mined from data that has since been rewritten.
-  *    Dropping the stale entry releases its localCheckpoint blocks via
+  *    Dropping the stale entry releases its persisted blocks via
   *    the ContextCleaner once unreferenced.
   *
   * The walk is driver-side metadata only (no data read); non-local or
