@@ -251,6 +251,32 @@ object Batch7 {
              |FROM f ORDER BY media_id, frame_no""".stripMargin),
       "multimodal frame-sampling offsets hash-verified (4 evenly-spaced byte windows)"),
 
+    // ---- REAL image decode (round 12): per doc, synthesize a
+    // deterministic PNG (pixel = hash(doc_id, x, y); lossless format,
+    // JDK writer), then run the real ImageIO decode kernel over the
+    // binary column — magic-byte sniff, BufferedImage decode, grid
+    // pixel statistics. Rows-only gate (DuckDB can't decode PNGs);
+    // MultimodalSpec asserts the exact dims/mime/feature invariants,
+    // including JPEG and dirty-bytes fallback.
+    "mm_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticPng(
+              id, 8 + (id % 16).toInt, 8 + (id % 12).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.extractImageFeatures(media).toDF()
+          .select(col("media_id"), col("mime"), col("decoded"),
+            col("width"), col("height"),
+            round(element_at(col("feature"), 4).cast("double"), 6).as("mean_luma"),
+            round(element_at(col("feature"), 7).cast("double"), 6).as("aspect"))
+          .orderBy("media_id")
+      },
+      None,
+      "real JDK ImageIO decode kernel over synthesized PNGs (mime sniff + dims + grid pixel stats; rows-only gate)"),
+
     // ---- corpus bigram-LM scoring: mean log P(w2|w1) per document,
     // with P = c(bigram)/c(unigram w1) over the whole corpus (history
     // counts include doc-final tokens; a simple consistent convention,

@@ -43,4 +43,110 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts === Map(1L -> 4L, 2L -> 4L))
   }
+
+  // ---- REAL decode kernel (round 12, JDK ImageIO) ----
+
+  private def pngOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("sniffMime: PNG/JPEG/GIF/BMP magic bytes, octet-stream otherwise") {
+    assert(Multimodal.sniffMime(pngOf(2, 2, 0x123456)) === "image/png")
+    assert(Multimodal.sniffMime(jpegOf(2, 2, 0x123456)) === "image/jpeg")
+    assert(Multimodal.sniffMime("GIF89a...".getBytes("UTF-8")) === "image/gif")
+    assert(Multimodal.sniffMime("BMxxxx".getBytes("UTF-8")) === "image/bmp")
+    assert(Multimodal.sniffMime("plain text".getBytes("UTF-8"))
+      === "application/octet-stream")
+    assert(Multimodal.sniffMime(Array.emptyByteArray) === "application/octet-stream")
+    assert(Multimodal.sniffMime(null) === "application/octet-stream")
+  }
+
+  test("decodeImage: genuine PNG round-trip — dims, mime, exact pixel statistics") {
+    // pure red 10x20: meanR=1, meanG=meanB=0, luma=0.299 exactly
+    // (PNG is lossless, the grid sampler sees the exact pixels)
+    val f = Multimodal.decodeImage(7L, pngOf(10, 20, 0xff0000))
+    assert(f.decoded && f.mime === "image/png")
+    assert(f.width === 10 && f.height === 20)
+    assert(f.feature.length === 8)
+    assert(math.abs(f.feature(0) - 1.0f) < 1e-6, "meanR")
+    assert(math.abs(f.feature(1)) < 1e-6 && math.abs(f.feature(2)) < 1e-6)
+    assert(math.abs(f.feature(3) - 0.299f) < 1e-6, "meanLuma")
+    assert(math.abs(f.feature(4)) < 1e-6, "stdLuma uniform -> 0")
+    assert(math.abs(f.feature(5)) < 1e-6, "edge energy uniform -> 0")
+    assert(math.abs(f.feature(6) - 0.5f) < 1e-6, "aspect 10/20")
+    assert(f.content_hash === graft.functions.HashOps.fnv64(pngOf(10, 20, 0xff0000)))
+  }
+
+  test("decodeImage: genuine JPEG decodes with true dimensions") {
+    val f = Multimodal.decodeImage(8L, jpegOf(32, 16, 0x808080))
+    assert(f.decoded && f.mime === "image/jpeg")
+    assert(f.width === 32 && f.height === 16)
+    // JPEG is lossy: mid-gray stays approximately mid-gray
+    assert(math.abs(f.feature(3) - 0.5) < 0.05, s"luma=${f.feature(3)}")
+  }
+
+  test("decodeImage: non-image and corrupt bytes fall back to the stub, never throw") {
+    val text = Multimodal.decodeImage(9L, "not an image".getBytes("UTF-8"))
+    assert(!text.decoded && text.mime === "application/octet-stream")
+    // PNG magic but garbage body: sniff says png, decoder fails, stub serves
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42)
+    val c = Multimodal.decodeImage(10L, corrupt)
+    assert(!c.decoded && c.mime === "image/png")
+    assert(!Multimodal.decodeImage(11L, null).decoded)
+  }
+
+  test("extractImageFeatures: distributed real decode, no shuffle, partitioning-invariant") {
+    val rows = Seq(
+      (1L, pngOf(12, 8, 0x00ff00)),
+      (2L, jpegOf(8, 8, 0x0000ff)),
+      (3L, "junk".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "media")
+    val a = Multimodal.extractImageFeatures(df).collect().sortBy(_.media_id)
+    val b = Multimodal.extractImageFeatures(df.repartition(3))
+      .collect().sortBy(_.media_id)
+    assert(a.map(f => (f.media_id, f.mime, f.decoded, f.width, f.height)).toSeq
+      === b.map(f => (f.media_id, f.mime, f.decoded, f.width, f.height)).toSeq)
+    assert(a(0).decoded && a(0).width === 12 && a(0).height === 8)
+    assert(a(1).decoded && a(1).mime === "image/jpeg")
+    assert(!a(2).decoded)
+    val plan = Multimodal.extractImageFeatures(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("syntheticPng: deterministic and decodes to the requested dims") {
+    val p1 = Multimodal.syntheticPng(42L, 9, 7)
+    val p2 = Multimodal.syntheticPng(42L, 9, 7)
+    assert(p1.toSeq === p2.toSeq)
+    val f = Multimodal.decodeImage(42L, p1)
+    assert(f.decoded && f.width === 9 && f.height === 7)
+    // different seed -> different image content
+    assert(Multimodal.syntheticPng(43L, 9, 7).toSeq !== p1.toSeq)
+  }
+
+  test("mm_decode catalog entry: every row really decoded with the synthesized dims") {
+    val got = graft.queries.Catalog.queries("mm_decode")(spark, sf("sf0.001"))
+      .collect()
+    assert(got.length > 0)
+    assert(got.forall(r => r.getAs[String]("mime") == "image/png"
+      && r.getAs[Boolean]("decoded")))
+    assert(got.forall { r =>
+      val id = r.getAs[Long]("media_id")
+      r.getAs[Int]("width") == 8 + (id % 16).toInt &&
+        r.getAs[Int]("height") == 8 + (id % 12).toInt
+    })
+  }
 }
