@@ -46,6 +46,71 @@ object Scale {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Skew-guarded blocked SELF-join for pair mining (triangle
+    * distribution): EXACTLY the pair set of
+    * {{{ df a JOIN df b ON a.block = b.block AND a.id < b.id }}}
+    * but with no reducer ever seeing more than ~`cap`² candidate
+    * pairs from one block.
+    *
+    * Why: blocking keys derived from content (prefixes, cheap hashes)
+    * are adversarially skewed — a corpus where b documents share one
+    * boilerplate opening (license headers, templated pages) puts b²
+    * verification pairs on ONE key = one task that runs for hours at
+    * 100 TB while 999 executors idle. The classic exact fix is to
+    * split an oversized block's members into g groups and fan its
+    * self-join out over the g(g+1)/2 group pairs:
+    *
+    *  - g = ceil(blockSize / cap), clamped to [1, maxGroups]; normal
+    *    blocks get g = 1, where the scheme degenerates to the plain
+    *    equi-join (zero replication, same plan shape);
+    *  - each member (group p) is replicated to the g tasks
+    *    {(min(p,q), max(p,q)) : q < g}, so replication grows linearly
+    *    in skew while per-task work falls quadratically;
+    *  - a cross-group pair (p ≠ q) shares exactly one task key, and
+    *    same-group pairs are kept only in the diagonal task (lo = hi),
+    *    so every qualifying pair is emitted EXACTLY once — the result
+    *    is provably identical to the naive join, which is what lets
+    *    the DuckDB oracle stay the plain blocked join.
+    *
+    * Group assignment hashes `idCol` (not position), so the output is
+    * deterministic under any input partitioning. Returns the joined
+    * frame with `a`-side columns suffixed "_a", `b`-side "_b", with
+    * `idCol + "_a" < idCol + "_b"` enforced. */
+  def blockedSelfJoinPairs(df: DataFrame, blockCol: String, idCol: String,
+      cap: Int = 1024, maxGroups: Int = 64): DataFrame = {
+    val repl = triangleReplicate(df, blockCol, idCol, cap, maxGroups)
+    def side(suffix: String): DataFrame =
+      repl.columns.foldLeft(repl) { (d, c) =>
+        if (c == blockCol || c == "__lo" || c == "__hi") d
+        else d.withColumnRenamed(c, c + suffix)
+      }
+    side("_a").join(side("_b"), Seq(blockCol, "__lo", "__hi"))
+      .filter(col(idCol + "_a") < col(idCol + "_b"))
+      // same-group pairs appear in every task containing their group:
+      // keep only the diagonal occurrence
+      .filter(col("__gid_a") =!= col("__gid_b") || col("__lo") === col("__hi"))
+      .drop("__lo", "__hi", "__gid_a", "__gid_b")
+  }
+
+  /** The replicated-and-task-keyed frame [[blockedSelfJoinPairs]]
+    * self-joins on `(blockCol, __lo, __hi)`. Exposed to ops so the
+    * per-task candidate bound is assertable against the REAL join
+    * input, not a re-derivation. */
+  private[graft] def triangleReplicate(df: DataFrame, blockCol: String,
+      idCol: String, cap: Int, maxGroups: Int): DataFrame = {
+    require(cap > 0 && maxGroups > 0)
+    val sizes = df.groupBy(blockCol).agg(count(lit(1)).as("__bn"))
+    df.join(sizes, blockCol)
+      .withColumn("__g",
+        least(ceil(col("__bn").cast("double") / cap), lit(maxGroups)).cast("int"))
+      .withColumn("__gid", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+      .drop("__bn")
+      .withColumn("__q", explode(sequence(lit(0), col("__g") - 1)))
+      .withColumn("__lo", least(col("__gid"), col("__q")))
+      .withColumn("__hi", greatest(col("__gid"), col("__q")))
+      .drop("__q", "__g")
+  }
+
   /** Persist a DataFrame bucketed by `key` as a managed table (the
     * co-location primitive: two tables bucketed the same way join
     * without any Exchange). */

@@ -123,22 +123,22 @@ object Batch7 {
     // cheap blocking key (shared 24-char prefix — an equi-join, the
     // blocking discipline every entity-resolution pipeline uses), then
     // exact levenshtein <= 15 on the candidates only. Both engines
-    // implement standard unit-cost levenshtein. At 100 TB the prefix
-    // block is replaceable by any LSH bucket; the point is the shape:
-    // candidates via equi-join, O(len^2) verification only on
-    // candidates, never all pairs.
+    // implement standard unit-cost levenshtein. The self-join goes
+    // through Scale.blockedSelfJoinPairs (round 12): content-derived
+    // blocks are adversarially skewed (b docs sharing one boilerplate
+    // opening = b² pairs on ONE key), so oversized blocks fan out over
+    // triangle-distributed group pairs — bit-identical pair set (the
+    // oracle stays the plain blocked join), bounded per-task work.
     "dedup_edit_distance" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             substring(col("text"), 1, 24).as("block"))
-        docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("ta"))
-          .join(docs.select(col("block"), col("doc_id").as("doc_b"),
-            col("text").as("tb")), "block")
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        graft.ops.Scale.blockedSelfJoinPairs(docs, "block", "doc_id")
+          .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
           .filter(col("dist") <= 15)
-          .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+          .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+            col("dist").cast("long").as("dist"))
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH d AS (

@@ -274,4 +274,57 @@ class ScaleSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ord_bkt")
     }
   }
+
+  // ---- triangle-distributed blocked self-join (round-12 skew guard) ----
+
+  /** Adversarial fixture: `hot` docs all sharing one blocking key (the
+    * boilerplate-opening corpus that melts naive prefix blocking),
+    * plus normal small blocks. */
+  private def skewedDocs(hot: Int) = (
+    (1 to hot).map(i => (i.toLong, "SAME-BLOCK", s"payload $i")) ++
+      (1 to 40).map(i => ((10000 + i).toLong, s"blk${i % 10}", s"other $i"))
+    ).toDF("doc_id", "block", "text")
+
+  test("blockedSelfJoinPairs: pair set identical to the naive blocked join (skewed corpus)") {
+    val docs = skewedDocs(300)
+    val naive = docs.select($"block", $"doc_id".as("a"), $"text".as("ta"))
+      .join(docs.select($"block", $"doc_id".as("b"), $"text".as("tb")), "block")
+      .filter($"a" < $"b")
+      .select($"a", $"b", $"ta", $"tb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val guarded = Scale.blockedSelfJoinPairs(docs, "block", "doc_id", cap = 32)
+      .select($"doc_id_a", $"doc_id_b", $"text_a", $"text_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(guarded === naive) // exactly once each: Set equality + next test's count
+    assert(Scale.blockedSelfJoinPairs(docs, "block", "doc_id", cap = 32).count()
+      === naive.size.toLong) // no pair emitted twice before the Set collapse
+  }
+
+  test("blockedSelfJoinPairs: per-task candidate pairs bounded on the REAL join input") {
+    val cap = 32
+    val docs = skewedDocs(400) // naive: one key with 400*399/2 = 79,800 pairs
+    val repl = Scale.triangleReplicate(docs, "block", "doc_id", cap, 64)
+    // the join key is (block, __lo, __hi); a reducer's candidate count
+    // for a key is sideA(key) x sideB(key) = n(key)^2 for a self-join
+    val worst = repl.groupBy($"block", $"__lo", $"__hi")
+      .agg(count(lit(1)).as("n"))
+      .agg(max($"n" * $"n")).collect()(0).getLong(0)
+    // per-group expectation: (400/13 rounded) docs on each of lo/hi ->
+    // ~2x cap per key; allow 4x slack for hash imbalance. The naive
+    // join would put 160,000 candidate products on one key.
+    assert(worst <= 4L * (2L * cap) * (2L * cap), s"worst per-task candidates $worst")
+    // small blocks degenerate to g=1: exactly one task key, no replication
+    val small = repl.filter($"block" =!= "SAME-BLOCK")
+    assert(small.count() === 40)
+    assert(small.filter($"__lo" =!= 0 || $"__hi" =!= 0).count() === 0)
+  }
+
+  test("blockedSelfJoinPairs: deterministic under repartitioning") {
+    val docs = skewedDocs(120)
+    val a = Scale.blockedSelfJoinPairs(docs, "block", "doc_id", cap = 16)
+      .select($"doc_id_a", $"doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Scale.blockedSelfJoinPairs(docs.repartition(7), "block", "doc_id", cap = 16)
+      .select($"doc_id_a", $"doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
 }
