@@ -903,6 +903,14 @@ object Ann {
       appendToIvf(index, batch, embCol, path)
     }
 
+  /** The opt-in token that makes [[onceBatch]] honor pre-runToken
+    * flat-layout markers (`_applied_batches/<batchId>`). Pass it as
+    * `runToken` ONLY when resuming the single pre-upgrade run that
+    * wrote those markers; new runs must use a fresh token (flat
+    * markers are then ignored, so a new run's batch 0 can never be
+    * swallowed by a marker from an unrelated earlier run). */
+  val legacyCompatToken: String = "legacy-flat"
+
   /** Applied-batch marker guard shared by every idempotent
     * foreachBatch sink: run `body` unless `<path>/_applied_batches/
     * <runToken>/<batchId>` exists; the marker commits AFTER the body
@@ -922,13 +930,23 @@ object Ann {
     val conf = spark.sparkContext.hadoopConfiguration
     val markerDir = new org.apache.hadoop.fs.Path(s"$path/_applied_batches/$runToken")
     val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
-    // pre-runToken layouts put markers directly under _applied_batches
-    // — honor them so an index written before the run-scoped layout
-    // still dedups its replays
+    // Pre-runToken layouts put markers directly under _applied_batches.
+    // Honoring them for EVERY token would be silent data loss: a brand-
+    // new run's batchIds restart at 0 and would be skipped wherever
+    // they collide with an unrelated earlier run's flat markers —
+    // at-least-once turning into at-most-once across runs (ADVICE
+    // r11). So flat markers are consulted ONLY when the caller
+    // explicitly resumes a pre-upgrade run by passing
+    // [[legacyCompatToken]]; any other token ignores them. Before
+    // starting new-layout runs against a pre-upgrade index path, prune
+    // the flat markers ([[pruneAppliedMarkers]]) or keep using the
+    // compat token for the remainder of that run's lifetime.
     val legacy = new org.apache.hadoop.fs.Path(
       s"$path/_applied_batches", batchId.toString)
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker) || (fs.exists(legacy) && fs.getFileStatus(legacy).isFile)) {
+    val legacyApplied = runToken == legacyCompatToken &&
+      fs.exists(legacy) && fs.getFileStatus(legacy).isFile
+    if (fs.exists(marker) || legacyApplied) {
       System.err.println(
         s"[onceBatch] batch $batchId (run $runToken) already applied at $path — skipping retry")
       false
@@ -1065,13 +1083,38 @@ object Ann {
     * a missing `assigned`. Restores the staged copy (the pre-compact
     * layout — nothing was lost, the swap just never completed) and
     * clears any half-written `assigned_compacting`. Returns true if a
-    * repair was performed, false if the layout was already healthy. */
-  def repairIvf(spark: SparkSession, path: String): Boolean = {
+    * repair was performed, false if the layout was already healthy.
+    *
+    * Crashed-versus-LIVE compaction (ADVICE r11): a healthy `assigned`
+    * next to an `assigned_compacting` tree that was modified within
+    * `tmpStaleMs` looks exactly like a compaction mid-write — deleting
+    * it would destroy the rewrite under the live operator, which then
+    * fails confusingly at its missing tmp path. Repair REFUSES that
+    * case; quiesce the compactor (or wait out the staleness window,
+    * or pass `tmpStaleMs = 0` when provably nothing runs) and retry.
+    * A missing `assigned` is always safe to act on — the compactor
+    * only removes it inside the rename sequence, after tmp is fully
+    * written. */
+  def repairIvf(spark: SparkSession, path: String,
+      tmpStaleMs: Long = 10 * 60 * 1000L): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
+    if (fs.exists(live) && fs.exists(tmp)) {
+      def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+        var newest = fs.getFileStatus(p).getModificationTime
+        val it = fs.listFiles(p, /* recursive = */ true)
+        while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+        newest
+      }
+      val age = System.currentTimeMillis() - newestMtime(tmp)
+      if (age < tmpStaleMs) throw new IllegalStateException(
+        s"repairIvf: $tmp was modified ${age} ms ago — a compaction may be " +
+          "live; quiesce compactIvf before repairing (or pass tmpStaleMs=0 " +
+          "if nothing can be running)")
+    }
     fs.delete(tmp, true)
     if (!fs.exists(live) && fs.exists(old)) {
       require(fs.rename(old, live),

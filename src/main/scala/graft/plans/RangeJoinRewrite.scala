@@ -198,20 +198,30 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val pairs = bounds.map { case (_, bd) =>
           if (left.outputSet.contains(bd.a)) (bd.a, bd.b) else (bd.b, bd.a)
         }.distinct
-        val complete = pairs.iterator.map { case (x, y) =>
+        // a candidate pair only counts if its band is VALID (both
+        // bounds AND sane width) — checking the width after committing
+        // to the first both-bounded pair reintroduced conjunct-order
+        // dependence (ADVICE r11: a degenerate zero-width band listed
+        // first would mask a valid band on another pair), so validity
+        // is folded into the search and the iterator advances past
+        // rejects
+        val complete = pairs.iterator.flatMap { case (x, y) =>
           val oriented = bounds.flatMap { case (c, bd) => orient(bd, x, y).map(c -> _) }
           val uppers = oriented.collect { case (_, bd) if bd.isUpper => bd.k }
           val lowers = oriented.collect { case (_, bd) if !bd.isUpper => bd.k }
-          (x, y, uppers, lowers)
-        }.find { case (_, _, uppers, lowers) => uppers.nonEmpty && lowers.nonEmpty }
-        complete match {
-          case None => j
-          case Some((x, y, uppers, lowers)) =>
+          if (uppers.isEmpty || lowers.isEmpty) None
+          else {
             val hi = uppers.min
             val lo = lowers.max
             val w = hi - lo
-            if (w <= 0 || w > maxW || math.abs(hi) > maxW || math.abs(lo) > maxW) j
-            else {
+            if (w <= 0 || w > maxW || math.abs(hi) > maxW || math.abs(lo) > maxW) None
+            else Some((x, y, hi, lo, w))
+          }
+        }.nextOption()
+        complete match {
+          case None => j
+          case Some((x, y, hi, lo, w)) =>
+            {
               // left: one bucket of x
               val bucketL = Alias(fdiv(asLong(x), w), "__graft_rbucket_l")()
               val leftProj = Project(left.output :+ bucketL, left)

@@ -64,8 +64,15 @@ object Catalog {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, file), src.resolve(file))
     val schema = s.read.parquet(s"$src/$file").schema
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_replay_out_").toString
+    // the result dir must outlive this call (the returned DataFrame
+    // reads it lazily), so it can't be reclaimed with the fixture copy
+    // below — but a bench run replays each streaming entry across
+    // warmup + several timed passes, and un-registered dirs full of
+    // result data accumulated in /tmp for the JVM's whole life
+    // (ADVICE r11). Register the tree for deletion on exit.
+    val outPath = java.nio.file.Files.createTempDirectory("graft_replay_out_")
+    Reuse.deleteOnExit(outPath)
+    val out = outPath.toString
     val streamed = xform(s.readStream.schema(schema).parquet(src.toString))
     val q = graft.ops.Ann.idempotentForeachBatch(streamed, out, "") { batch =>
       perBatch(batch).write.mode("append").parquet(s"$out/results")

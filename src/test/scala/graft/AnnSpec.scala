@@ -282,24 +282,44 @@ class AnnSpec extends SparkTestBase {
       .select("vec_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(repaired === before)
+    // live-compaction guard (ADVICE r11): a healthy `assigned` beside
+    // a FRESH assigned_compacting looks like a compaction mid-write —
+    // repair must refuse (and leave the tmp tree alone) instead of
+    // destroying the rewrite under the live operator
+    val tmpDir = new java.io.File(s"$path/assigned_compacting")
+    assert(tmpDir.mkdirs())
+    assert(new java.io.File(tmpDir, "part-00000.parquet").createNewFile())
+    intercept[IllegalStateException] { Ann.repairIvf(spark, path) }
+    assert(tmpDir.exists(), "repair deleted a possibly-live compaction dir")
+    // the same tmp tree past the staleness window (or with the window
+    // explicitly zeroed by an operator who quiesced writers) is
+    // crashed-compaction debris: cleaned, layout reported healthy
+    assert(!Ann.repairIvf(spark, path, tmpStaleMs = 0L))
+    assert(!tmpDir.exists())
   }
 
-  test("onceBatch honors pre-runToken flat-layout markers (upgrade compatibility)") {
+  test("onceBatch: flat-layout markers honored ONLY under the explicit compat token") {
     val path = java.nio.file.Files.createTempDirectory("oncebatch").toString
     // an index written before the run-scoped layout has markers
-    // directly under _applied_batches — a replay of that batch must
-    // still be recognized as applied after the upgrade
+    // directly under _applied_batches
     val legacyDir = new java.io.File(s"$path/_applied_batches")
     assert(legacyDir.mkdirs())
     assert(new java.io.File(legacyDir, "7").createNewFile())
     var ran = false
-    assert(!Ann.onceBatch(spark, path, 7L, "any-token") { ran = true })
-    assert(!ran, "legacy-marked batch re-executed")
-    // other batches under the new layout proceed normally
-    assert(Ann.onceBatch(spark, path, 8L, "any-token") { ran = true })
+    // resuming THAT run via the compat token: the replay is recognized
+    assert(!Ann.onceBatch(spark, path, 7L, Ann.legacyCompatToken) { ran = true })
+    assert(!ran, "legacy-marked batch re-executed under compat token")
+    // a NEW run (fresh token, batchIds restarting) must NOT be
+    // swallowed by the unrelated flat marker — that would be silent
+    // data loss (at-most-once across runs)
+    assert(Ann.onceBatch(spark, path, 7L, "fresh-run-token") { ran = true })
+    assert(ran, "new run's batch swallowed by an unrelated legacy marker")
+    // other batches under the compat token proceed normally...
+    ran = false
+    assert(Ann.onceBatch(spark, path, 8L, Ann.legacyCompatToken) { ran = true })
     assert(ran)
-    // and the retry of the new-layout batch is swallowed
-    assert(!Ann.onceBatch(spark, path, 8L, "any-token") { ran = false })
+    // ...and their retries are swallowed (markers land run-scoped)
+    assert(!Ann.onceBatch(spark, path, 8L, Ann.legacyCompatToken) { ran = false })
     assert(ran)
   }
 

@@ -325,4 +325,30 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_rbucket"))
     assert(joined.count() === 0)
   }
+
+  test("a degenerate zero-width band on one pair doesn't mask a valid band on another") {
+    // (l_x, r_y) forms a COMPLETE but zero-width band (l_x <= r_y AND
+    // l_x >= r_y — satisfiable only at equality, so Catalyst can't
+    // fold it away, and hi = lo = 0 gives w = 0) and its bounds come
+    // first; the old code committed to the first both-bounded pair,
+    // then bailed on w <= 0 — abandoning the valid (l_t, r_t) band
+    // behind it (ADVICE r11). Validity is now part of the search, so
+    // the iterator must advance and rewrite on (l_t, r_t).
+    val l = side(opt, "l", lVals).withColumn("l_x", col("l_t") + 1000L)
+    val r = side(opt, "r", rVals).withColumn("r_y", col("r_t") + 2000L)
+    val joined = l.join(r,
+      col("l_x") <= col("r_y") && col("l_x") >= col("r_y") &&
+        col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_rbucket"),
+      s"valid band masked by a degenerate pair listed first:\n${plan.take(2000)}")
+    // the zero-width conjuncts ride along as residuals — result equals
+    // the naive plan's
+    val naiveL = side(spark, "l", lVals).withColumn("l_x", col("l_t") + 1000L)
+    val naiveR = side(spark, "r", rVals).withColumn("r_y", col("r_t") + 2000L)
+    val naive = naiveL.join(naiveR,
+      col("l_x") <= col("r_y") && col("l_x") >= col("r_y") &&
+        col("l_t") >= col("r_t") - 10L && col("l_t") < col("r_t"))
+    assert(pairs(joined) === pairs(naive))
+  }
 }
