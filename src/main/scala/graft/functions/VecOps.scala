@@ -34,6 +34,21 @@ object VecOps {
     else math.max(-1.0, math.min(1.0, dot(a, b) / (na * nb)))
   }
 
+  /** l2-normalized copy of an `array<float>` as `array<double>` (the
+    * unit vector the k-means fit consumes); a zero-norm input returns
+    * its unnormalized (all-zero) copy. Matches the retired fit-side
+    * UDF bit-for-bit: same double widening, same sqrt, same division. */
+  def unitVec(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; out(i) = v; s += v * v; i += 1 }
+    val nm = math.sqrt(s)
+    if (nm != 0.0) { i = 0; while (i < n) { out(i) /= nm; i += 1 } }
+    ArrayData.toArrayData(out)
+  }
+
   /** Random-hyperplane LSH bits: bit j = sign of <r_j, v> where the
     * hyperplane components are deterministic ±1 (Achlioptas-style
     * sparse random projection, seeded by (j, i) through splitmix64 —

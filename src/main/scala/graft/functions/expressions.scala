@@ -153,6 +153,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** l2-normalize an array<float> embedding to an array<double> unit
+  * vector (codegen'd; replaced the last Scala UDF in the library —
+  * the k-means fit's feature prep, r11 finding 4). */
+case class UnitVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.unitVec(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.unitVec($a)")
+  override protected def withNewChildInternal(c: Expression): UnitVec =
+    copy(child = c)
+  override def prettyName: String = "unit_vec"
+}
+
 /** Argmax-cosine centroid assignment for an array<float> vector. The
   * k·d center floats ride as a plan REFERENCE OBJECT, not inlined
   * literals: at k=256, d=64 the literal form is ~16k constants whose

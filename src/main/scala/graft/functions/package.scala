@@ -40,6 +40,9 @@ package object functions {
   /** Dot product between two array<float> vectors. */
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
 
+  /** l2-normalized array<double> copy of an array<float> embedding. */
+  def unit_vec(c: Column): Column = col(UnitVec(expr(c)))
+
   /** Random-hyperplane LSH bits for an array<float> vector. */
   def rp_bits(c: Column, nBits: Int, seed: Long): Column =
     col(RpBits(expr(c), nBits, seed))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,14 +36,13 @@ object Ann {
 
   final case class IvfIndex(centers: Array[Array[Float]], assigned: DataFrame)
 
-  /** Fit-side-only UDF: runs on at most `maxFitRows` sampled rows,
-    * never on the full table. Normalizes so the Euclidean k-means
-    * objective on the sample matches the cosine geometry of the probe. */
-  private val toUnitVec = udf((a: Seq[Float]) => {
-    val d = a.map(_.toDouble).toArray
-    val n = math.sqrt(d.map(x => x * x).sum)
-    Vectors.dense(if (n == 0.0) d else d.map(_ / n))
-  })
+  /** Fit-side feature prep (at most `maxFitRows` sampled rows):
+    * codegen'd [[graft.functions.unit_vec]] l2-normalization — so the
+    * Euclidean k-means objective on the sample matches the cosine
+    * geometry of the probe — then Spark ML's own array_to_vector
+    * bridge into the VectorUDT KMeans consumes. No Scala UDF. */
+  private def toUnitVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.ml.functions.array_to_vector(graft.functions.unit_vec(c))
 
   /** Assign every row to its max-cosine center via the codegen'd
     * [[graft.functions.ArgMaxCosine]] expression. The centers ride as

@@ -34,13 +34,24 @@ object Catalog {
     *    the naive value the same instant), keeping every downstream
     *    plan and oracle comparison byte-identical to the nanos era. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The nanos probe needs spark.sql.legacy.parquet.nanosAsLong, but
+    // setting it on the CALLER's session is the conf-bleed class the
+    // bloom build already eliminated (r11 finding 3) — so probe (and,
+    // for nanos-era files, read) under a DEDICATED newSession: same
+    // SparkContext and catalog, separate runtime conf. Current-era
+    // (micros) files take the parent-session read below, so the
+    // caller's session is never mutated on any path.
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = probe.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // nanos-era file: stays bound to the probe session, whose conf
+        // the parquet scan captures (plans compose freely with parent-
+        // session frames — one shared SparkContext)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
-        raw.withColumn("ts",
+        spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
   }

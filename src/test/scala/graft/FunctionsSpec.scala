@@ -299,4 +299,32 @@ class FunctionsSpec extends SparkTestBase {
     // one — arrival order survives an ORDER BY id (job.go:86-88)
     assert(b1.max < b2.min)
   }
+
+  test("unit_vec: exact l2 normalization, zero-vector passthrough, codegen'd") {
+    import graft.functions.unit_vec
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-1.0f, 1.0f, 1.0f, 1.0f))).toDF("id", "v")
+      .select($"id", unit_vec($"v").as("u"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) === Seq(0.6, 0.8))
+    assert(got(2L) === Seq(0.0, 0.0)) // zero norm: unnormalized copy
+    assert(math.abs(got(3L).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(got(3L)(0) === -0.5)
+    // over a real scan (a literal source constant-folds before any
+    // codegen question arises) the expression must sit INSIDE a
+    // WholeStageCodegen span — it replaced the library's last Scala
+    // UDF, so an eval-fallback Project here would be a regression
+    val scan = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(unit_vec($"embedding").as("u"))
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.toLowerCase.contains("unit_vec"), plan)
+    // and every non-degenerate output really is unit length
+    val norms = scan.limit(50).collect()
+      .map(_.getSeq[Double](0)).filter(_.exists(_ != 0.0))
+      .map(v => v.map(x => x * x).sum)
+    assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-9))
+  }
 }

@@ -327,4 +327,15 @@ class ScaleSpec extends SparkTestBase {
       .select($"doc_id_a", $"doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a === b)
   }
+
+  test("Catalog.events never mutates the caller session's confs (nanosAsLong bleed)") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = graft.queries.Catalog.events(spark, sf("sf0.001"))
+    assert(df.count() > 0)
+    assert(spark.conf.getOption(key) === before,
+      "events() probe leaked the legacy parquet conf into the caller's session")
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
