@@ -69,6 +69,43 @@ object Batch2 {
       Some("SELECT 'x' AS key, 'y' AS value WHERE 1 = 0"),
       "GET miss returns empty typed table, not an error (store.go:1376-1380)"),
 
+    // ---- kv_apply through the STREAMING KV plane (round 12): the
+    // same events-derived base + statement batch, but every op travels
+    // as a statement FEED through StatefulKv's flatMapGroupsWithState
+    // (Spark-managed per-key state) under the replay scaffold's
+    // idempotent-sink discipline. Base state rides as one SET op per
+    // event with seq = event_id, so last-write-wins reproduces
+    // max(event_id) per key exactly; the 6 statements follow at seqs
+    // above every event. Shares kv_apply's oracle verbatim — the
+    // GroupState path must land on the identical final state.
+    "kv_apply_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val stmtSeq0 = Long.MaxValue - 6
+        val feed = events(s, dir).select(
+          concat(lit("u"), col("user_id")).as("key"),
+          lit("set").as("op"),
+          col("event_id").cast(StringType).as("value"),
+          col("event_id").cast(LongType).as("seq"))
+        val stmts = Seq(
+          ("u3", "set", "999"), ("zz", "set", "hello world"),
+          ("u7", "set", ""), ("u5", "delete", null),
+          ("nosuch", "delete", null), ("u3", "set", "1000"))
+          .zipWithIndex.map { case ((k, op, v), i) => (k, op, v, stmtSeq0 + i) }
+          .toDF("key", "op", "value", "seq")
+        Catalog.replayFeedToParquet(s, feed.unionByName(stmts),
+          xform = raw => {
+            val ops = raw.select(col("key"), col("op"), col("value"), col("seq"))
+              .as[graft.streaming.StatefulKv.KvOp]
+            graft.streaming.StatefulKv.materialize(s, ops).toDF()
+          })
+          .filter(col("exists"))
+          .select(col("key"), col("value"))
+          .orderBy("key")
+      },
+      Some(s"$kvOracleBase SELECT key, value FROM applied ORDER BY key"),
+      "kv_apply through the streaming GroupState plane (flatMapGroupsWithState; shared oracle)"),
+
     // ---- rollup / grouping sets
     "agg_rollup" -> Q(
       (s, dir) => {

@@ -74,7 +74,26 @@ object Catalog {
     val src = java.nio.file.Files.createTempDirectory("graft_replay_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, file), src.resolve(file))
-    val schema = s.read.parquet(s"$src/$file").schema
+    replayScratch(s, src, xform, perBatch)
+  }
+
+  /** [[replayToParquet]] for a COMPUTED feed (no fixture file has the
+    * right shape — e.g. the KV statement feed): materializes `feed` to
+    * the scratch source dir as ONE parquet file (one file = one
+    * micro-batch = deterministic replay) and streams it through the
+    * same idempotent-sink scaffold. */
+  private[queries] def replayFeedToParquet(s: SparkSession, feed: DataFrame,
+      xform: DataFrame => DataFrame = identity,
+      perBatch: DataFrame => DataFrame = identity): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("graft_replay_")
+    feed.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    replayScratch(s, src, xform, perBatch)
+  }
+
+  private def replayScratch(s: SparkSession, src: java.nio.file.Path,
+      xform: DataFrame => DataFrame,
+      perBatch: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.parquet(src.toString).schema
     // the result dir must outlive this call (the returned DataFrame
     // reads it lazily), so it can't be reclaimed with the fixture copy
     // below — but a bench run replays each streaming entry across
@@ -93,8 +112,11 @@ object Catalog {
     try q.processAllAvailable() finally {
       q.stop()
       try {
-        java.nio.file.Files.deleteIfExists(src.resolve(file))
-        java.nio.file.Files.deleteIfExists(src)
+        val walk = java.nio.file.Files.walk(src)
+        try
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally walk.close()
       } catch { case _: Exception => () }
     }
     // an xform matching zero fixture rows leaves no results dir; an
