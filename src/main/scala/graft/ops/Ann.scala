@@ -863,7 +863,28 @@ object Ann {
       s"appendToIvf: appended schema ${sig(assigned).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")} " +
         s"!= index schema ${sig(index.assigned).map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")}; " +
         "derive any code columns (sq8/pq) and match column types on the new rows before appending")
-    assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+    // append/compaction protocol (see [[compactIvf]]): announce the
+    // append with an inflight marker FIRST, then check the compaction
+    // lock — the marker being visible before the lock check means a
+    // compactor that this appender failed to see (lock created a beat
+    // later) is guaranteed to see the marker at its pre-swap checks
+    // and abort. Marker removed in finally; a crash leaves a stale
+    // marker that repairIvf clears under its staleness gate.
+    val spark = assigned.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(inflightDirPath(path),
+      java.util.UUID.randomUUID().toString)
+    fs.mkdirs(inflightDirPath(path))
+    fs.create(marker, /* overwrite = */ false).close()
+    try {
+      if (fs.exists(layoutLockPath(path)))
+        throw new CompactionInFlightException(
+          s"appendToIvf: a compaction holds ${layoutLockPath(path)} — an append " +
+            "landing mid-rewrite would exist only in the doomed old layout; " +
+            "retry after the compaction (idempotent-batch callers replay automatically)")
+      assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+    } finally fs.delete(marker, false)
   }
 
   /** Streaming flavor of [[appendToIvf]]: a stream of new vectors
@@ -1032,48 +1053,110 @@ object Ann {
     * rewrite and the compaction ABORTS loudly, swapping nothing, if
     * the layout changed; a tiny list-to-rename window remains, so the
     * check is a tripwire for un-quiesced deployments, not a
-    * substitute for quiescing. */
+    * substitute for quiescing.
+    *
+    * Round 12 upgraded the tripwire into an ENFORCED protocol (the
+    * seqlock shape): compaction holds `_layout_lock` (atomic
+    * no-overwrite create — a second compactor fails loudly instead of
+    * corrupting the staged swap), and every append announces itself
+    * with an `_appends_inflight/<uuid>` marker created BEFORE it
+    * checks the lock and removed after its files land. An append that
+    * sees the lock aborts with [[CompactionInFlightException]]
+    * (retryable — the idempotent-batch scaffold replays it); an append
+    * the compactor could miss is therefore impossible: if the appender
+    * passed its lock check before the lock existed, its marker is
+    * already visible, and the compactor both DRAINS inflight markers
+    * before reading the snapshot and re-checks markers + the file
+    * listing immediately before the swap, aborting (nothing swapped)
+    * if either changed. A crashed compactor leaves a stale lock;
+    * [[repairIvf]] clears it under the same staleness gate it applies
+    * to a crashed rewrite. */
+  final class CompactionInFlightException(msg: String)
+      extends IllegalStateException(msg)
+
+  private def layoutLockPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_layout_lock")
+  private def inflightDirPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_appends_inflight")
+
+  private def listInflight(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val dir = inflightDirPath(path)
+    if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
+  }
+
   def compactIvf(spark: SparkSession, path: String,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L, appendDrainMs: Long = 30000L): Unit = {
     import org.apache.spark.sql.functions.col
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
-    def layoutFingerprint(): Seq[(String, Long)] = {
-      val it = fs.listFiles(live, /* recursive = */ true)
-      val b = Seq.newBuilder[(String, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        b += ((st.getPath.toString, st.getLen))
+    val lock = layoutLockPath(path)
+    // one compactor at a time: atomic create-if-absent, held for the
+    // whole rewrite+swap, released in finally. A pre-existing lock is
+    // either a live compaction (caller bug) or a crashed one
+    // (repairIvf clears it) — refuse both loudly.
+    try fs.create(lock, /* overwrite = */ false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.io.IOException if fs.exists(lock) =>
+        throw new IllegalStateException(
+          s"compactIvf: $lock exists — another compaction is live, or a " +
+            "crashed one left its lock (run repairIvf to clear)")
+    }
+    try {
+      // drain appends that passed their lock check before the lock
+      // landed: their inflight markers are visible by construction
+      // (marker precedes lock check precedes write)
+      val deadline = System.currentTimeMillis() + appendDrainMs
+      while (listInflight(fs, path).nonEmpty) {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"compactIvf: appends still inflight after ${appendDrainMs} ms " +
+              s"(${listInflight(fs, path).map(_.getPath.getName).mkString(",")}) — " +
+              "a crashed appender leaves a stale marker; run repairIvf to clear")
+        Thread.sleep(50L)
       }
-      b.result().sortBy(_._1)
-    }
-    val beforeLayout = layoutFingerprint()
-    // repartition(cluster) puts each cluster WHOLLY in one task — the
-    // one-file-per-directory guarantee — but at small k over a huge
-    // corpus a single cluster is terabytes; `maxRecordsPerFile` re-
-    // splits such a task's output into bounded files (still one TASK'S
-    // contiguous write, so the directory stays compact: ceil(rows/max)
-    // files, not one per historical append)
-    val writer = spark.read.parquet(live.toString)
-      .repartition(col("cluster"))
-      .write.mode("overwrite")
-    (if (maxRecordsPerFile > 0L)
-       writer.option("maxRecordsPerFile", maxRecordsPerFile)
-     else writer)
-      .partitionBy("cluster").parquet(tmp.toString)
-    if (layoutFingerprint() != beforeLayout) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"compactIvf: $live changed during the rewrite (concurrent appends?) — " +
-          "nothing was swapped; quiesce writers and retry")
-    }
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"compactIvf: could not stage $live aside")
-    require(fs.rename(tmp, live), s"compactIvf: could not swap $tmp in")
-    fs.delete(old, true)
+      def layoutFingerprint(): Seq[(String, Long)] = {
+        val it = fs.listFiles(live, /* recursive = */ true)
+        val b = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          b += ((st.getPath.toString, st.getLen))
+        }
+        b.result().sortBy(_._1)
+      }
+      val beforeLayout = layoutFingerprint()
+      // repartition(cluster) puts each cluster WHOLLY in one task — the
+      // one-file-per-directory guarantee — but at small k over a huge
+      // corpus a single cluster is terabytes; `maxRecordsPerFile` re-
+      // splits such a task's output into bounded files (still one TASK'S
+      // contiguous write, so the directory stays compact: ceil(rows/max)
+      // files, not one per historical append)
+      val writer = spark.read.parquet(live.toString)
+        .repartition(col("cluster"))
+        .write.mode("overwrite")
+      (if (maxRecordsPerFile > 0L)
+         writer.option("maxRecordsPerFile", maxRecordsPerFile)
+       else writer)
+        .partitionBy("cluster").parquet(tmp.toString)
+      // final check immediately before the swap: any append that wrote
+      // files shows in the fingerprint; any append between lock-check
+      // and first file still holds its marker. Either → abort, swap
+      // nothing (the appends are safe in the live layout).
+      if (layoutFingerprint() != beforeLayout || listInflight(fs, path).nonEmpty) {
+        fs.delete(tmp, true)
+        throw new CompactionInFlightException(
+          s"compactIvf: $live changed during the rewrite (concurrent appends) — " +
+            "nothing was swapped; the appended rows are intact in the live layout; retry")
+      }
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compactIvf: could not stage $live aside")
+      require(fs.rename(tmp, live), s"compactIvf: could not swap $tmp in")
+      fs.delete(old, true)
+    } finally fs.delete(lock, false)
   }
 
   /** Recover an index layout from a compaction crash: a death between
@@ -1114,6 +1197,24 @@ object Ann {
           "if nothing can be running)")
     }
     fs.delete(tmp, true)
+    // a crashed compactor's lock and a crashed appender's inflight
+    // markers would block every future append (lock) or compaction
+    // (drain timeout) forever — clear them under the SAME staleness
+    // gate: anything modified within tmpStaleMs may belong to a live
+    // operator and is refused, not deleted.
+    val now = System.currentTimeMillis()
+    val lock = layoutLockPath(path)
+    if (fs.exists(lock)) {
+      val age = now - fs.getFileStatus(lock).getModificationTime
+      if (age < tmpStaleMs) throw new IllegalStateException(
+        s"repairIvf: $lock was created ${age} ms ago — a compaction may be " +
+          "live; quiesce compactIvf before repairing (or pass tmpStaleMs=0)")
+      fs.delete(lock, false)
+    }
+    listInflight(fs, path).foreach { st =>
+      if (now - st.getModificationTime >= tmpStaleMs)
+        fs.delete(st.getPath, false)
+    }
     if (!fs.exists(live) && fs.exists(old)) {
       require(fs.rename(old, live),
         s"repairIvf: could not restore $old to $live")
