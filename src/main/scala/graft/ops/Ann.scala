@@ -799,6 +799,71 @@ object Ann {
         topK, coarseProbes, nprobe, excludeSelf, maxCenterBroadcastBytes)
     }
 
+  /** Measure-then-choose the production `nprobe` for THIS corpus:
+    * recall-vs-nprobe is a property of the data (an isotropic corpus
+    * needs most of k probed for high recall; a clustered one needs a
+    * handful), so a deployment should never copy another corpus's
+    * setting — it should measure on a bounded query sample and pin
+    * what the measurement says.
+    *
+    * Mechanics: exact top-k per sampled query via [[knnJoinIvf]] at
+    * nprobe=k (the oracle-able exhaustive construction), then a binary
+    * search over nprobe — valid because recall is MONOTONE in nprobe:
+    * probed-cluster sets grow superset-wise as nprobe grows and both
+    * stages rank by the same exact float score, so a true neighbor
+    * once in the candidate set never leaves the approximate top-k.
+    * Each recall evaluation is one batched join + one scalar aggregate
+    * over |sample|·topK pairs; the whole tune is O(log k) Spark jobs
+    * over a driver-bounded sample — nothing data-sized leaves the
+    * executors. Returns (smallest nprobe whose mean recall@topK on the
+    * sample >= targetRecall, that measured recall); returns (k, recall
+    * at k = 1.0) if even k-1 misses the target. Tune on the float
+    * path; the SQ8/PQ first stages rank inside the same probed set, so
+    * their recall at a given nprobe tracks this measurement with
+    * `rescore` as the remaining knob. */
+  def tuneNprobe(index: IvfIndex, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      topK: Int = 20, targetRecall: Double = 0.9,
+      maxSample: Int = 200): (Int, Double) = {
+    val k = index.centers.length
+    // internal names so a corpus-as-queries call (qIdCol == idCol) never
+    // produces an ambiguous two-column result
+    val sample = queries
+      .select(col(qIdCol).as("__tune_qid"), col(qVecCol).as("__tune_qvec"))
+      .limit(maxSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nq = sample.count().toDouble
+      require(nq > 0, "tuneNprobe: empty query sample")
+      val exact = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
+          "__tune_qvec", topK, nprobe = k)
+        .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def recallAt(nprobe: Int): Double = {
+          val approx = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
+              "__tune_qvec", topK, nprobe)
+            .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
+          val hits = exact.join(approx, Seq("__tq", "__tid")).count()
+          hits.toDouble / (nq * topK)
+        }
+        var lo = 1; var hi = k // invariant: recall(hi) >= target (recall(k)=1)
+        var recLo = recallAt(lo)
+        if (recLo >= targetRecall) (lo, recLo)
+        else {
+          var recHi = 1.0
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            val r = recallAt(mid)
+            if (r >= targetRecall) { hi = mid; recHi = r }
+            else lo = mid
+          }
+          (hi, recHi)
+        }
+      } finally exact.unpersist()
+    } finally sample.unpersist()
+  }
+
   /** Incremental index maintenance: assign NEW rows against an
     * existing index's FROZEN centers and append them to the persisted
     * partitioned layout — the update path of build-once/search-many.
