@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Batch3.{shingles, shinglesSql}
+import graft.queries.Catalog.{Q, table}
+
+/** Query batch 11: the online near-dup service completed (streaming
+  * MinHash-LSH against a static corpus index) and single-pass dataset
+  * profiling — the "what is in this corpus" primitive every
+  * training-data pipeline runs before and after every transform.
+  *
+  * Scale notes:
+  *  - the streaming LSH twin re-uses the batch plan's shapes: banded
+  *    signatures are an equi-join on (band, band_hash) carrying ids
+  *    only, candidates are verified exactly once after `distinct()`,
+  *    and the static corpus side is the build-once artifact a 100-TB
+  *    deployment would persist (here rebuilt per replay, cached).
+  *  - the profile is ONE aggregation pass over the table (Spark's
+  *    multi-distinct rewrite expands the input; at 100 TB swap the
+  *    exact `countDistinct` for `approx_count_distinct` — the catalog
+  *    ships that path as `approx_distinct`), then a `stack` of the
+  *    single aggregated row into the long (column, stats) shape —
+  *    nothing per-row ever reaches the driver.
+  */
+object Batch11 {
+
+  private val MinhashK = 128
+  private val MinhashBands = 32 // 4 rows/band → J>=0.8 missed w.p. ~5e-8
+
+  /** (doc_id, sh, n_sh, sig) for a raw documents frame. */
+  private def withSig(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    .withColumn("n_sh", size(col("sh")))
+    .withColumn("sig", graft.functions.minhash_sig(col("sh"), MinhashK))
+
+  /** Banded view: one (doc_id, band, band_hash) row per band. */
+  private def banded(df: DataFrame): DataFrame = {
+    val r = MinhashK / MinhashBands
+    val bandCols = (0 until MinhashBands).map(b =>
+      xxhash64(concat_ws("_", slice(col("sig"), b * r + 1, r))))
+    df.select(col("doc_id"), posexplode(array(bandCols: _*))
+      .as(Seq("band", "band_hash")))
+  }
+
+  /** The per-micro-batch body of the streaming near-dup pair service:
+    * band-join the ARRIVING docs' signatures against the static corpus
+    * index (ids only), verify each distinct candidate pair exactly
+    * once with true Jaccard, and emit (doc_a, doc_b, jaccard) with the
+    * canonical doc_a < doc_b orientation. Asymmetric by design — the
+    * online shape is "is this new doc a near-dup of the corpus", the
+    * same contract as [[Batch9.incrementalKeeps]] but emitting the
+    * matched PAIRS instead of the keep set. */
+  private[queries] def minhashPairsVsCorpus(batch: DataFrame,
+      corpusSig: DataFrame, corpusBanded: DataFrame): DataFrame = {
+    val shardSig = withSig(batch)
+    val candidates = banded(shardSig)
+      .select(col("doc_id").as("sid"), col("band"), col("band_hash"))
+      .join(corpusBanded.select(col("doc_id").as("bid"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
+      .select("sid", "bid").distinct()
+    candidates
+      .join(shardSig.select(col("doc_id").as("sid"), col("n_sh").as("ns"),
+        col("sh").as("sh_s")), "sid")
+      .join(corpusSig.select(col("doc_id").as("bid"), col("n_sh").as("nb"),
+        col("sh").as("sh_b")), "bid")
+      .select(col("sid"), col("bid"), col("ns"), col("nb"),
+        size(array_intersect(col("sh_s"), col("sh_b"))).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("ns") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(least(col("sid"), col("bid")).as("doc_a"),
+        greatest(col("sid"), col("bid")).as("doc_b"), col("jaccard"))
+  }
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- the STREAMING MinHash-LSH near-dup twin on the oracle gate:
+    // shard documents (doc_id % 10 == 0) stream against the static
+    // rest-of-corpus band index; each micro-batch runs the banded
+    // candidate join + verify-once and appends its pairs under the
+    // applied-batchId marker discipline. Oracle = the EXACT Jaccard
+    // cross-pairs (one side in the shard, one in the corpus) — LSH at
+    // 32x4 bands misses a J>=0.8 pair w.p. ~5e-8, and the verify step
+    // removes false positives exactly, so the stream's emitted pairs
+    // hash-match the exact set.
+    "dedup_minhash_stream" -> Q(
+      (s, dir) => {
+        val corpusSig = Reuse.cache(withSig(
+          table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
+        val corpusBanded = Reuse.cache(banded(corpusSig))
+        Catalog.replayToParquet(s, dir, "documents.parquet",
+            xform = _.filter(col("doc_id") % 10 === 0),
+            perBatch = batch =>
+              minhashPairsVsCorpus(batch, corpusSig, corpusBanded))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id, ${shinglesSql("string_split(text, ' ')", 3)} AS sh
+              |  FROM documents)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              |WHERE jaccard >= 0.8 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      "streaming MinHash-LSH near-dup pairs vs a static corpus band index (micro-batched band equi-join + verify-once; == exact cross-shard Jaccard pairs)"),
+
+    // ---- single-pass dataset profile: per-column non-null count,
+    // exact distinct, lexicographic min/max (as strings so the long
+    // shape is uniform). One aggregation over the table, stack() of
+    // the single result row — the schema-shaped "what changed in this
+    // snapshot" check run before/after every corpus transform.
+    "profile_columns" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_dc"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max")))
+        val one = docs.agg(aggs.head, aggs.tail: _*)
+        val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', ${c}_nn, ${c}_dc, ${c}_min, ${c}_max").mkString(", ") +
+          ") AS (column_name, non_nulls, distinct_cnt, min_str, max_str)"
+        one.select(expr(stackExpr)).orderBy("column_name")
+      },
+      Some("""SELECT 'doc_id' AS column_name, count(doc_id) AS non_nulls,
+             |  count(DISTINCT doc_id) AS distinct_cnt,
+             |  CAST(min(doc_id) AS VARCHAR) AS min_str,
+             |  CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
+             |UNION ALL
+             |SELECT 'text', count(text), count(DISTINCT text),
+             |  CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+             |UNION ALL
+             |SELECT 'lang', count(lang), count(DISTINCT lang),
+             |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+             |UNION ALL
+             |SELECT 'source', count(source), count(DISTINCT source),
+             |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+             |UNION ALL
+             |SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+             |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+             |ORDER BY column_name""".stripMargin),
+      "single-pass per-column dataset profile (non-null/distinct/min/max via one agg + stack; approx_distinct is the 100-TB distinct path)"))
+}

@@ -134,9 +134,14 @@ object Batch7 {
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             substring(col("text"), 1, 24).as("block"))
-        graft.ops.Scale.blockedSelfJoinPairs(docs, "block", "doc_id")
+        // the levenshtein cut rides in `verify` so it is evaluated
+        // once per DEDUPED candidate pair, after the cheap id/diagonal
+        // conjuncts — a stacked .filter would be pushed into the join
+        // ahead of them and run on every raw equi-match (the r12 bench
+        // regression: 21× the levenshtein volume)
+        graft.ops.Scale.blockedSelfJoinPairs(docs, "block", "doc_id",
+            verify = levenshtein(col("text_a"), col("text_b")) <= 15)
           .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-          .filter(col("dist") <= 15)
           .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
             col("dist").cast("long").as("dist"))
           .orderBy("doc_a", "doc_b")

@@ -319,6 +319,33 @@ class ScaleSpec extends SparkTestBase {
     assert(small.filter($"__lo" =!= 0 || $"__hi" =!= 0).count() === 0)
   }
 
+  test("blockedSelfJoinPairs: verify predicate runs AFTER the cheap dedup conjuncts") {
+    // the r12 bench regression: an expensive predicate stacked as a
+    // .filter on the result is pushed into the join condition ahead of
+    // the id/diagonal dedup, evaluating it on every raw equi-match
+    // (21x the deduped pair volume at sf0.1). Passed via `verify` it
+    // must sit LAST in the single join condition expression.
+    val docs = skewedDocs(60)
+    val out = Scale.blockedSelfJoinPairs(docs, "block", "doc_id", cap = 16,
+      verify = levenshtein($"text_a", $"text_b") <= 15)
+    val joinLine = out.queryExecution.executedPlan.toString
+      .split('\n').find(l => l.contains("Join") && l.contains("levenshtein"))
+    assert(joinLine.nonEmpty, "verify predicate not in the join condition")
+    val cond = joinLine.get
+    val idCmp = cond.indexOf("doc_id_a")
+    val lev = cond.indexOf("levenshtein")
+    assert(idCmp >= 0 && lev > idCmp,
+      s"cheap dedup conjunct must precede verify: $cond")
+    // and the verified pair set equals naive join + post-filter
+    val naive = docs.select($"block", $"doc_id".as("a"), $"text".as("ta"))
+      .join(docs.select($"block", $"doc_id".as("b"), $"text".as("tb")), "block")
+      .filter($"a" < $"b" && levenshtein($"ta", $"tb") <= 15)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select($"doc_id_a", $"doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
+
   test("blockedSelfJoinPairs: deterministic under repartitioning") {
     val docs = skewedDocs(120)
     val a = Scale.blockedSelfJoinPairs(docs, "block", "doc_id", cap = 16)
