@@ -864,6 +864,65 @@ object Ann {
     } finally sample.unpersist()
   }
 
+  /** [[tuneNprobe]] for hierarchical indexes at SemDeDup-scale k,
+    * where the flat tuner's exhaustive-reference join (|Q|·k ranking
+    * rows) is exactly the stage the hierarchy exists to avoid.
+    *
+    * The coarse cut is FIXED at `nprobeCoarse` and only `nprobe` is
+    * tuned within it: with the cell set pinned, the probed-cluster
+    * pool is constant (nprobeCoarse·k2 clusters) and take(nprobe)
+    * grows superset-wise — recall is monotone and the binary search
+    * valid. (Tuning both knobs at once breaks monotonicity: growing
+    * nprobe can swap the coarse cut's cluster ranking pool.) The
+    * recall reference is TRUE exact — nprobeCoarse=k1, nprobe=k — so
+    * if even the full fixed cut misses the target, the tuner returns
+    * (nprobeCoarse·k2, that recall): the caller's signal to raise
+    * `nprobeCoarse`, the knob this tuner deliberately doesn't touch. */
+  def tuneNprobeHier(h: HierIvf, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobeCoarse: Int, topK: Int = 20, targetRecall: Double = 0.9,
+      maxSample: Int = 200): (Int, Double) = {
+    val k = h.index.centers.length
+    val cutMax = math.min(k, nprobeCoarse * h.k2)
+    val sample = queries
+      .select(col(qIdCol).as("__tune_qid"), col(qVecCol).as("__tune_qvec"))
+      .limit(maxSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nq = sample.count().toDouble
+      require(nq > 0, "tuneNprobeHier: empty query sample")
+      val exact = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
+          "__tune_qvec", topK, nprobeCoarse = h.k1, nprobe = k)
+        .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def recallAt(nprobe: Int): Double = {
+          val approx = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
+              "__tune_qvec", topK, nprobeCoarse = nprobeCoarse, nprobe = nprobe)
+            .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
+          exact.join(approx, Seq("__tq", "__tid")).count().toDouble / (nq * topK)
+        }
+        val recMax = recallAt(cutMax)
+        if (recMax < targetRecall) (cutMax, recMax)
+        else {
+          var lo = 1; var hi = cutMax
+          var recHi = recMax
+          val recLo = recallAt(lo)
+          if (recLo >= targetRecall) (lo, recLo)
+          else {
+            while (hi - lo > 1) {
+              val mid = lo + (hi - lo) / 2
+              val r = recallAt(mid)
+              if (r >= targetRecall) { hi = mid; recHi = r }
+              else lo = mid
+            }
+            (hi, recHi)
+          }
+        }
+      } finally exact.unpersist()
+    } finally sample.unpersist()
+  }
+
   /** Incremental index maintenance: assign NEW rows against an
     * existing index's FROZEN centers and append them to the persisted
     * partitioned layout — the update path of build-once/search-many.

@@ -114,20 +114,9 @@ object Batch11 {
     // the single result row — the schema-shaped "what changed in this
     // snapshot" check run before/after every corpus transform.
     "profile_columns" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-        val aggs = cols.flatMap(c => Seq(
-          count(col(c)).as(s"${c}_nn"),
-          countDistinct(col(c)).as(s"${c}_dc"),
-          min(col(c)).cast("string").as(s"${c}_min"),
-          max(col(c)).cast("string").as(s"${c}_max")))
-        val one = docs.agg(aggs.head, aggs.tail: _*)
-        val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', ${c}_nn, ${c}_dc, ${c}_min, ${c}_max").mkString(", ") +
-          ") AS (column_name, non_nulls, distinct_cnt, min_str, max_str)"
-        one.select(expr(stackExpr)).orderBy("column_name")
-      },
+      (s, dir) => graft.ops.Profile.profile(table(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column_name"),
       Some("""SELECT 'doc_id' AS column_name, count(doc_id) AS non_nulls,
              |  count(DISTINCT doc_id) AS distinct_cnt,
              |  CAST(min(doc_id) AS VARCHAR) AS min_str,

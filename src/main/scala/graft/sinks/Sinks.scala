@@ -33,6 +33,8 @@ object Sinks {
         .write.mode("append").text(path(c))),
     "parquet" -> ((df, c) => df.write.mode(
       c.config.getOrElse("mode", "append")).parquet(path(c))),
+    "orc" -> ((df, c) => df.write.mode(
+      c.config.getOrElse("mode", "append")).orc(path(c))),
     "kafka" -> ((df, c) =>
       df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
         .write.format("kafka")

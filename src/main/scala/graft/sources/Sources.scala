@@ -34,6 +34,7 @@ object Sources {
       s.read.text(path(c)).withColumnRenamed("value", "payload")),
     "json" -> ((s, c) => s.read.json(path(c))),
     "csv" -> ((s, c) => s.read.option("header", "true").csv(path(c))),
+    "orc" -> ((s, c) => s.read.orc(path(c))), // columnar peer of parquet, in-box
     "mongodb" -> ((s, c) => // CDC envelope feed from files (see scaladoc)
       cdcProject(s.read.text(path(c)))),
     "kafka" -> ((s, c) => s.read.format("kafka")

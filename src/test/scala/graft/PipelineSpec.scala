@@ -57,6 +57,16 @@ class PipelineSpec extends SparkTestBase {
     assert(lines.exists(l => l.contains("GRACE") && l.contains("X")))
   }
 
+  test("orc source/sink round-trip through the factories") {
+    val dir = tmp() + "/orc"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val cfg = graft.model.EndpointConfig("o", "orc", Map("path" -> dir), "k")
+    graft.sinks.Sinks.batch("orc")(df, cfg)
+    val back = graft.sources.Sources.resolveBatch(cfg)(spark, cfg)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("invalid source/sink types fail like the reference factory") {
     val engine = new Engine(spark)
     val bad = ConfigParser.parsePipelineSpec(

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
-"""Append/refresh the self-generated bench table in BASELINE.md.
+"""Fold a bench run into the self-generated floor table in BASELINE.md.
 
-Usage: python tools/bench_to_baseline.py <bench.json>
+Usage: python tools/bench_to_baseline.py <bench.json> [--replace]
+
+Default is a MIN-FOLD: each query's floor is min(existing floor, this
+run) — a noisy run can only tighten floors, never loosen them, and new
+queries gain a first floor. `--replace` rewrites the table from this
+run alone (only for a deliberate reset, e.g. after a fixture change
+that invalidates every floor).
 """
 import json
 import re
@@ -10,29 +16,38 @@ import sys
 MARK = "<!-- graft-bench-table -->"
 
 
-def main(path: str) -> None:
+def main(path: str, replace: bool = False) -> None:
     d = json.load(open(path))
-    rows = sorted(d["queries"].items())
+    merged = dict(d["queries"])
+    md = open("BASELINE.md").read()
+    if not replace:
+        start = md.find(MARK)
+        if start >= 0:
+            for m in re.finditer(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", md[start:]):
+                q, f = m.group(1), float(m.group(2))
+                merged[q] = min(merged.get(q, float("inf")), f)
+    total = sum(merged.values())
+    rows = sorted(merged.items())
     lines = [
         MARK,
         "",
-        f"### Self-generated bench (graft, `{d['sf']}`, local mode, median of 3 after warmup)",
+        f"### Self-generated bench (graft, `{d['sf']}`, local mode, min-folded floors across clean runs)",
         "",
-        f"Total: **{d['value']:.1f} s** across {len(rows)} catalog queries.",
+        f"Total: **{total:.1f} s** across {len(rows)} catalog queries.",
         "",
         "| query | sec |",
         "|---|---|",
     ]
     lines += [f"| {k} | {v:.3f} |" for k, v in rows]
     block = "\n".join(lines) + "\n"
-    md = open("BASELINE.md").read()
     if MARK in md:
         md = re.sub(re.escape(MARK) + r".*", block, md, flags=re.S)
     else:
         md = md.rstrip() + "\n\n" + block
     open("BASELINE.md", "w").write(md)
-    print(f"BASELINE.md updated with {len(rows)} rows, total {d['value']:.1f}s")
+    mode = "replaced" if replace else "min-folded"
+    print(f"BASELINE.md {mode}: {len(rows)} rows, floor-sum {total:.1f}s")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], replace="--replace" in sys.argv[2:])
