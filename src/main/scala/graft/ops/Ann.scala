@@ -827,41 +827,46 @@ object Ann {
       maxSample: Int = 200): (Int, Double) = {
     val k = index.centers.length
     // internal names so a corpus-as-queries call (qIdCol == idCol) never
-    // produces an ambiguous two-column result
-    val sample = queries
+    // produces an ambiguous two-column result. The sample is PINNED on
+    // the driver (bounded by maxSample, by design): a bare
+    // limit(maxSample) has no defined row set, so a lost cached block
+    // recomputed mid-tune could select DIFFERENT rows — exact and
+    // approx recall would then be measured over disjoint query panels
+    // (r12 review). A LocalRelation recomputes to itself, always.
+    val sampled = queries
       .select(col(qIdCol).as("__tune_qid"), col(qVecCol).as("__tune_qvec"))
       .limit(maxSample)
+    val spark = queries.sparkSession
+    val sample = spark.createDataFrame(
+      java.util.Arrays.asList(sampled.collect(): _*), sampled.schema)
+    val nq = sample.count().toDouble
+    require(nq > 0, "tuneNprobe: empty query sample")
+    val exact = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
+        "__tune_qvec", topK, nprobe = k)
+      .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nq = sample.count().toDouble
-      require(nq > 0, "tuneNprobe: empty query sample")
-      val exact = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
-          "__tune_qvec", topK, nprobe = k)
-        .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        def recallAt(nprobe: Int): Double = {
-          val approx = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
-              "__tune_qvec", topK, nprobe)
-            .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
-          val hits = exact.join(approx, Seq("__tq", "__tid")).count()
-          hits.toDouble / (nq * topK)
+      def recallAt(nprobe: Int): Double = {
+        val approx = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
+            "__tune_qvec", topK, nprobe)
+          .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
+        val hits = exact.join(approx, Seq("__tq", "__tid")).count()
+        hits.toDouble / (nq * topK)
+      }
+      var lo = 1; var hi = k // invariant: recall(hi) >= target (recall(k)=1)
+      val recLo = recallAt(lo)
+      if (recLo >= targetRecall) (lo, recLo)
+      else {
+        var recHi = 1.0
+        while (hi - lo > 1) {
+          val mid = lo + (hi - lo) / 2
+          val r = recallAt(mid)
+          if (r >= targetRecall) { hi = mid; recHi = r }
+          else lo = mid
         }
-        var lo = 1; var hi = k // invariant: recall(hi) >= target (recall(k)=1)
-        var recLo = recallAt(lo)
-        if (recLo >= targetRecall) (lo, recLo)
-        else {
-          var recHi = 1.0
-          while (hi - lo > 1) {
-            val mid = lo + (hi - lo) / 2
-            val r = recallAt(mid)
-            if (r >= targetRecall) { hi = mid; recHi = r }
-            else lo = mid
-          }
-          (hi, recHi)
-        }
-      } finally exact.unpersist()
-    } finally sample.unpersist()
+        (hi, recHi)
+      }
+    } finally exact.unpersist()
   }
 
   /** [[tuneNprobe]] for hierarchical indexes at SemDeDup-scale k,
@@ -884,43 +889,44 @@ object Ann {
       maxSample: Int = 200): (Int, Double) = {
     val k = h.index.centers.length
     val cutMax = math.min(k, nprobeCoarse * h.k2)
-    val sample = queries
+    // sample pinned on the driver — see [[tuneNprobe]]'s rationale
+    val sampled = queries
       .select(col(qIdCol).as("__tune_qid"), col(qVecCol).as("__tune_qvec"))
       .limit(maxSample)
+    val spark = queries.sparkSession
+    val sample = spark.createDataFrame(
+      java.util.Arrays.asList(sampled.collect(): _*), sampled.schema)
+    val nq = sample.count().toDouble
+    require(nq > 0, "tuneNprobeHier: empty query sample")
+    val exact = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
+        "__tune_qvec", topK, nprobeCoarse = h.k1, nprobe = k)
+      .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nq = sample.count().toDouble
-      require(nq > 0, "tuneNprobeHier: empty query sample")
-      val exact = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
-          "__tune_qvec", topK, nprobeCoarse = h.k1, nprobe = k)
-        .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        def recallAt(nprobe: Int): Double = {
-          val approx = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
-              "__tune_qvec", topK, nprobeCoarse = nprobeCoarse, nprobe = nprobe)
-            .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
-          exact.join(approx, Seq("__tq", "__tid")).count().toDouble / (nq * topK)
-        }
-        val recMax = recallAt(cutMax)
-        if (recMax < targetRecall) (cutMax, recMax)
+      def recallAt(nprobe: Int): Double = {
+        val approx = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
+            "__tune_qvec", topK, nprobeCoarse = nprobeCoarse, nprobe = nprobe)
+          .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
+        exact.join(approx, Seq("__tq", "__tid")).count().toDouble / (nq * topK)
+      }
+      val recMax = recallAt(cutMax)
+      if (recMax < targetRecall) (cutMax, recMax)
+      else {
+        var lo = 1; var hi = cutMax
+        var recHi = recMax
+        val recLo = recallAt(lo)
+        if (recLo >= targetRecall) (lo, recLo)
         else {
-          var lo = 1; var hi = cutMax
-          var recHi = recMax
-          val recLo = recallAt(lo)
-          if (recLo >= targetRecall) (lo, recLo)
-          else {
-            while (hi - lo > 1) {
-              val mid = lo + (hi - lo) / 2
-              val r = recallAt(mid)
-              if (r >= targetRecall) { hi = mid; recHi = r }
-              else lo = mid
-            }
-            (hi, recHi)
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            val r = recallAt(mid)
+            if (r >= targetRecall) { hi = mid; recHi = r }
+            else lo = mid
           }
+          (hi, recHi)
         }
-      } finally exact.unpersist()
-    } finally sample.unpersist()
+      }
+    } finally exact.unpersist()
   }
 
   /** Incremental index maintenance: assign NEW rows against an
@@ -1307,6 +1313,23 @@ object Ann {
     val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/assigned_old")
+    // the missing-`assigned` restore runs FIRST, before any staleness
+    // gate (r12 review): a compactor kill-9'd between its two renames
+    // leaves a FRESH lock and tmp next to the missing live dir, and
+    // gating the restore on their age would keep the index unreadable
+    // for tmpStaleMs despite the scaladoc's "a missing `assigned` is
+    // always safe to act on" (live goes missing only inside the rename
+    // sequence — a compactor still alive in that sub-ms window and
+    // surviving to finish is not a scenario a human-run repair races).
+    val restored =
+      if (!fs.exists(live) && fs.exists(old)) {
+        require(fs.rename(old, live),
+          s"repairIvf: could not restore $old to $live")
+        // the crash that stranded `old` also stranded its lock and tmp
+        fs.delete(tmp, true)
+        fs.delete(layoutLockPath(path), false)
+        true
+      } else false
     if (fs.exists(live) && fs.exists(tmp)) {
       def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
         var newest = fs.getFileStatus(p).getModificationTime
@@ -1339,11 +1362,7 @@ object Ann {
       if (now - st.getModificationTime >= tmpStaleMs)
         fs.delete(st.getPath, false)
     }
-    if (!fs.exists(live) && fs.exists(old)) {
-      require(fs.rename(old, live),
-        s"repairIvf: could not restore $old to $live")
-      true
-    } else false
+    restored
   }
 
   /** Housekeeping for the run-scoped applied-batch markers: every

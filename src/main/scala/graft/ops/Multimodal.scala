@@ -71,21 +71,52 @@ object Multimodal {
     * that keeps a 100 TB image-corpus scan CPU-bounded per row. */
   private val FeatureGrid = 16
 
+  /** Decompression-bomb guard (r12 review): `ImageIO.read` materializes
+    * the FULL raster, so a ~60 KB PNG declaring 30000×30000 pixels
+    * would allocate gigabytes and kill the executor with an
+    * `OutOfMemoryError` no `catch Exception` sees — then the stage
+    * retries into the same row. Dimensions are therefore read from the
+    * image HEADER (reader.getWidth/getHeight decode no pixel data) and
+    * refused above this pixel cap BEFORE any raster exists; refused
+    * images take the `decoded=false` stub fallback like any other
+    * undecodable blob. 64 MP ≈ 256 MB ARGB — the largest raster worth
+    * a 16×16 feature grid, and bounded per task slot. */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
+  /** Header-checked decode: dims first, full read only under the cap. */
+  private def readImageGuarded(b: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, /* seekForwardOnly = */ true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } finally if (iis != null) iis.close()
+  }
+
   /** REAL image decode kernel, JDK-only (`javax.imageio`): sniffs the
     * mime, decodes PNG/JPEG/GIF/BMP via `ImageIO.read`, and derives an
     * 8-dim coarse feature vector from a fixed [[FeatureGrid]]²
     * pixel-sample grid:
     * `[meanR, meanG, meanB, meanLuma, stdLuma, horizEdgeEnergy,
     *   aspectRatio, log10(area)]` (channel means in [0,1]).
-    * Undecodable or non-image bytes fall back to the deterministic
-    * stub (`decoded=false`) instead of throwing mid-task. */
+    * Undecodable, non-image, or bomb-sized bytes (see
+    * [[MaxDecodePixels]]) fall back to the deterministic stub
+    * (`decoded=false`) instead of throwing — or OOM-ing — mid-task. */
   def decodeImage(id: Long, bytes: Array[Byte]): ImageFeature = {
     val b = if (bytes == null) Array.emptyByteArray else bytes
     val mime = sniffMime(b)
     val img =
       if (mime == "application/octet-stream") null
       else
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        try readImageGuarded(b)
         catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) {
       val f = decodeImageStub(id, b)

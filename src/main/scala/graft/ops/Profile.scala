@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * a new value are all caught by diffing two profiles).
   *
   * One aggregation pass over the table computes every metric for every
-  * profiled column, then a `stack` of the single aggregated row yields
-  * the long (column_name, stats) shape — nothing per-row ever reaches
-  * the driver, and the output is O(#columns) rows regardless of table
-  * size.
+  * profiled column, then a posexplode of the single aggregated row
+  * yields the long (column_name, stats) shape — nothing per-row ever
+  * reaches the driver, and the output is O(#columns) rows regardless
+  * of table size.
   *
   * `exact = true` uses `countDistinct` (Spark's multi-distinct rewrite
   * expands the input ×#distinct-aggs — fine to a few columns, and
@@ -27,18 +27,27 @@ object Profile {
     require(cols.nonEmpty, "Profile.profile: no columns given")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"Profile.profile: not in schema: ${missing.mkString(",")}")
-    val aggs = cols.flatMap { c =>
+    // aggregate aliases are POSITIONAL internal names, never derived
+    // from user column names: interpolating a name like `doc-id` into
+    // a stack() SQL string would parse as arithmetic (r12 review) —
+    // the real name travels only as data, inside a literal array
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"${c}_nn"),
+        count(col(c)).as(s"__p${i}_nn"),
         (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c), rsd)).as(s"${c}_dc"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
+         else approx_count_distinct(col(c), rsd)).as(s"__p${i}_dc"),
+        min(col(c)).cast("string").as(s"__p${i}_min"),
+        max(col(c)).cast("string").as(s"__p${i}_max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', ${c}_nn, ${c}_dc, ${c}_min, ${c}_max").mkString(", ") +
-      ") AS (column_name, non_nulls, distinct_cnt, min_str, max_str)"
-    one.select(expr(stackExpr))
+    val stacked = cols.indices.map(i => struct(
+      col(s"__p${i}_nn").as("non_nulls"),
+      col(s"__p${i}_dc").as("distinct_cnt"),
+      col(s"__p${i}_min").as("min_str"),
+      col(s"__p${i}_max").as("max_str")))
+    one.select(posexplode(array(stacked: _*)).as(Seq("__pos", "__s")))
+      .select(element_at(typedLit(cols), col("__pos") + 1).as("column_name"),
+        col("__s.non_nulls"), col("__s.distinct_cnt"),
+        col("__s.min_str"), col("__s.max_str"))
   }
 }

@@ -74,7 +74,7 @@ object Batch10 {
       maxFitRows = semanticFitRows(k))
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
-      .transform(Reuse.cache)
+      .transform(Reuse.cacheFresh("batch10.semanticDedup", _))
   }, "semanticDedup")
 
   /** SemDeDup through the FORCED two-level fit: `hierThreshold = 8`
@@ -94,7 +94,7 @@ object Batch10 {
       maxFitRows = semanticFitRows(k), hierThreshold = 8)
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
-      .transform(Reuse.cache)
+      .transform(Reuse.cacheFresh("batch10.semanticDedupHier", _))
   }, "semanticDedupHier")
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */

@@ -87,9 +87,10 @@ object Batch11 {
     // hash-match the exact set.
     "dedup_minhash_stream" -> Q(
       (s, dir) => {
-        val corpusSig = Reuse.cache(withSig(
+        val corpusSig = Reuse.cacheFresh("batch11.corpusSig", withSig(
           table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
-        val corpusBanded = Reuse.cache(banded(corpusSig))
+        val corpusBanded = Reuse.cacheFresh("batch11.corpusBanded",
+          banded(corpusSig))
         Catalog.replayToParquet(s, dir, "documents.parquet",
             xform = _.filter(col("doc_id") % 10 === 0),
             perBatch = batch =>

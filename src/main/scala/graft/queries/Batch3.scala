@@ -141,7 +141,7 @@ object Batch3 {
     * reflects the real mining cost; Bench marks the consumers
     * `amortized` in its JSON line.) */
   private val interMemo = new SessionMemo[DataFrame]((s, dir) =>
-    Reuse.cache(minePairCounts(s, dir)), "pairCounts")
+    Reuse.cacheFresh("batch3.pairCounts", minePairCounts(s, dir)), "pairCounts")
 
   /** The mining shape itself: inverted index on xxhash64(shingle) →
     * self-join → per-pair intersection counts, sizes joined AFTER the
@@ -178,7 +178,7 @@ object Batch3 {
       val keep = invAll.groupBy("shash").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("shash")
       invAll.join(keep, "shash")
-    }.transform(Reuse.cache)
+    }.transform(Reuse.cacheFresh("batch3.minePairCounts.inv", _))
     val sizes = docs.select(col("doc_id"), col("n_sh"))
     inv.select(col("doc_id").as("doc_a"), col("shash"))
       .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
@@ -219,7 +219,7 @@ object Batch3 {
     // (relayed through the driver) dies; the shuffle partitions on
     // v/doc_id and AQE still turns it into a broadcast join when
     // the edge set happens to be tiny.
-    val edges = Reuse.cache(pairs.union(
+    val edges = Reuse.cacheFresh("batch3.ccEdges", pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v"))
     // per round, cut lineage with a RELIABLE checkpoint (files on the
@@ -631,7 +631,7 @@ object Batch3 {
         // mixes run ONCE; both consumers below (band projection,
         // verify side) read the stored blocks instead of recomputing
         // the signatures.
-        val docs = Reuse.cache(table(s, dir, "documents")
+        val docs = Reuse.cacheFresh("batch3.minhashSig", table(s, dir, "documents")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
           .withColumn("sig", minhash_sig(col("sh"), k)))

@@ -73,7 +73,7 @@ object Batch6 {
         // consumers (idf2, weighted, norms, the b-side) — without the
         // cache the shingle HOFs re-run per consumer whenever the
         // optimizer fails to reuse the exchange (plan-shape luck).
-        val inv = Reuse.cache(docs
+        val inv = Reuse.cacheFresh("batch6.shingleInv", docs
           .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
           .select(col("doc_id"), xxhash64(col("shingle")).as("shash")))
         val idf2 = inv.groupBy("shash").agg(count(lit(1)).as("df"))

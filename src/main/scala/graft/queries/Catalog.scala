@@ -33,6 +33,17 @@ object Catalog {
     *    TIMESTAMP_NTZ — cast to TimestampType (UTC session TZ makes
     *    the naive value the same instant), keeping every downstream
     *    plan and oracle comparison byte-identical to the nanos era. */
+  // Whether $dir/events.parquet is a nanos-era file, probed ONCE per
+  // dir: events() is called by every events-touching catalog entry
+  // (several per bench pass), and paying newSession() + a second
+  // parquet footer read per call doubled the common micros path's
+  // setup cost (r12 review). A fixture REGENERATION changes the file's
+  // era at most from nanos to micros across driver rounds, never
+  // mid-JVM — and a wrong cached verdict fails loudly (PARQUET_TYPE
+  // _ILLEGAL), it cannot corrupt results.
+  private val eventsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The nanos probe needs spark.sql.legacy.parquet.nanosAsLong, but
     // setting it on the CALLER's session is the conf-bleed class the
@@ -41,19 +52,23 @@ object Catalog {
     // SparkContext and catalog, separate runtime conf. Current-era
     // (micros) files take the parent-session read below, so the
     // caller's session is never mutated on any path.
-    val probe = spark.newSession()
-    probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = probe.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // nanos-era file: stays bound to the probe session, whose conf
-        // the parquet scan captures (plans compose freely with parent-
-        // session frames — one shared SparkContext)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    val nanos = eventsIsNanos.computeIfAbsent(dir, { d =>
+      val probe = spark.newSession()
+      probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      probe.read.parquet(s"$d/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    })
+    if (nanos) {
+      val reader = spark.newSession()
+      reader.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanos-era file: stays bound to the reader session, whose conf
+      // the parquet scan captures (plans compose freely with parent-
+      // session frames — one shared SparkContext)
+      reader.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      spark.read.parquet(s"$dir/events.parquet").withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Shared replay scaffold for the streaming gate entries: copy ONE

@@ -43,9 +43,60 @@ object Reuse {
     * temp scratch dir registered for deletion on exit. */
   val checkpointDirProp = "graft.checkpoint.dir"
 
-  /** Lazy, lineage-retaining reuse of a shared subtree. */
+  /** Lazy, lineage-retaining reuse of a shared subtree.
+    *
+    * ONLY for plans rooted at paths that are unique per build (index
+    * scratch dirs, replay outputs): Spark's CacheManager matches cached
+    * entries by CANONICAL PLAN, and `InMemoryFileIndex` equality is by
+    * root path — so persisting a plan rooted at a SHARED fixture dir
+    * makes every later identically-shaped plan (including a rebuild
+    * after the fixture was rewritten in place) silently read the old
+    * blocks. Fixture-rooted subtrees go through [[cacheFresh]]. */
   def cache(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  private val freshEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val freshReg =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[queries] val epochCol = "__graft_cache_epoch"
+
+  /** [[cache]] for subtrees rooted at SHARED (fixture) paths: persist
+    * for within-build reuse, with two guarantees a bare persist cannot
+    * give there (r12 review):
+    *
+    *  1. NO cross-build cache hits. A unique epoch literal inside the
+    *     persisted plan makes each build's canonical plan distinct, so
+    *     CacheManager can never substitute a PREVIOUS build's blocks
+    *     into a new plan — which it otherwise would, both serving
+    *     STALE data after an in-session fixture rewrite (the
+    *     SessionMemo fingerprint rebuild builds the same canonical
+    *     plan and would silently hit the old entry) and AMORTIZING
+    *     deliberately un-memoized bench entries (minhash signatures,
+    *     the shingle inverted index) whose floors must reflect real
+    *     mining cost.
+    *  2. Bounded cache growth: the previous build's entry for the same
+    *     `site` is unpersisted when a new one registers, so per-build
+    *     persists don't accumulate for the JVM's life.
+    *
+    * The epoch column is dropped from the returned frame; consumers
+    * see the original schema, and the cached node (inside the
+    * projection) is still matched for reuse WITHIN the build. */
+  def cacheFresh(site: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val marked = df.withColumn(epochCol, lit(freshEpoch.incrementAndGet()))
+    marked.persist(StorageLevel.MEMORY_AND_DISK)
+    val prev = freshReg.put(site, marked)
+    if (prev != null) prev.unpersist(blocking = false)
+    marked.drop(epochCol)
+  }
+
+  /** Drop the cached blocks currently registered for `site` (test /
+    * memory-pressure hook). Frames built from them stay valid —
+    * lineage is retained, so consumers recompute from source. */
+  def unpersistSite(site: String, blocking: Boolean = true): Unit = {
+    val d = freshReg.get(site)
+    if (d != null) d.unpersist(blocking)
+  }
 
   /** [[cache]] for typed Datasets. */
   def cacheDs[T](ds: Dataset[T]): Dataset[T] =
@@ -75,14 +126,30 @@ object Reuse {
   }
 
   /** Recursive delete-on-exit for scratch trees (deepest-first). */
-  def deleteOnExit(p: java.nio.file.Path): Unit =
+  // ONE static shutdown hook draining a concurrent queue — a bench run
+  // registers a scratch dir per streaming-entry replay, and a
+  // hook-thread per call would accumulate in ApplicationShutdownHooks
+  // for the JVM's life (r12 review).
+  private val exitPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val walk = java.nio.file.Files.walk(p)
-        try
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        finally walk.close()
-      } catch { case _: Exception => () }
+      var p = exitPaths.poll()
+      while (p != null) {
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          try
+            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally walk.close()
+        } catch { case _: Exception => () }
+        p = exitPaths.poll()
+      }
     }))
+
+  def deleteOnExit(p: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    exitPaths.add(p)
+    ()
+  }
 }

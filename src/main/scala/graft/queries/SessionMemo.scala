@@ -15,8 +15,14 @@ import org.apache.spark.sql.SparkSession
   *    (relative path, size, mtime of every file) taken at build time;
   *    an access that sees a different fingerprint rebuilds instead of
   *    serving results mined from data that has since been rewritten.
-  *    Dropping the stale entry releases its persisted blocks via
-  *    the ContextCleaner once unreferenced.
+  *    For the rebuild to actually see fresh data, fixture-rooted
+  *    persists inside memoized builders must go through
+  *    [[Reuse.cacheFresh]]: a bare persist is keyed by canonical plan
+  *    in the shared CacheManager (which holds a strong reference — the
+  *    ContextCleaner does NOT reclaim it), so the rebuilt identical
+  *    plan would silently read the previous build's blocks. cacheFresh
+  *    both makes each build's plan unique and unpersists the previous
+  *    build's entry.
   *
   * The walk is driver-side metadata only (no data read); non-local or
   * unreadable paths fingerprint to a constant, degrading to the plain

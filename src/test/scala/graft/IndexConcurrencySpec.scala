@@ -162,6 +162,25 @@ class IndexConcurrencySpec extends SparkTestBase {
       s"reader observed partial layouts with counts ${badCounts}")
   }
 
+  test("repairIvf restores a mid-swap crash immediately, even under a fresh lock") {
+    // kill-9 between compactIvf's two renames: assigned missing,
+    // assigned_old staged, tmp half-written, lock FRESH (finally never
+    // ran). The restore must run before any staleness gate — gating it
+    // on lock age would keep the index unreadable for tmpStaleMs.
+    val (_, path) = freshIndex()
+    val n = spark.read.parquet(s"$path/assigned").count()
+    assert(fs.rename(new Path(s"$path/assigned"), new Path(s"$path/assigned_old")))
+    fs.mkdirs(new Path(s"$path/assigned_compacting"))
+    fs.create(new Path(s"$path/_layout_lock"), false).close()
+    assert(Ann.repairIvf(spark, path))
+    assert(spark.read.parquet(s"$path/assigned").count() === n)
+    assert(!fs.exists(new Path(s"$path/assigned_compacting")))
+    assert(!fs.exists(new Path(s"$path/_layout_lock")))
+    // and the layout is fully operable again
+    Ann.compactIvf(spark, path)
+    assert(spark.read.parquet(s"$path/assigned").count() === n)
+  }
+
   test("repairIvf clears stale lock and markers but refuses fresh ones") {
     val (_, path) = freshIndex()
     val lock = new Path(s"$path/_layout_lock")

@@ -109,6 +109,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(!Multimodal.decodeImage(11L, null).decoded)
   }
 
+  test("decodeImage: a decompression-bomb header is refused before any raster exists") {
+    // a valid PNG signature + IHDR declaring 40000x40000 (1.6 GP ≈ 6.4 GB
+    // ARGB): ImageIO.read would allocate the full raster and die in
+    // OutOfMemoryError (an Error — uncatchable by the Exception
+    // fallback); the header-checked guard must refuse on declared dims
+    // and take the stub path, in microseconds and bounded memory
+    def bombPng(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      dos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(ihdr)
+      d.writeBytes("IHDR"); d.writeInt(w); d.writeInt(h)
+      d.writeByte(8); d.writeByte(6); d.writeByte(0); d.writeByte(0); d.writeByte(0)
+      val chunk = ihdr.toByteArray
+      dos.writeInt(13); dos.write(chunk)
+      val crc = new java.util.zip.CRC32(); crc.update(chunk)
+      dos.writeInt(crc.getValue.toInt)
+      bos.toByteArray
+    }
+    val f = Multimodal.decodeImage(12L, bombPng(40000, 40000))
+    assert(f.mime === "image/png" && !f.decoded)
+    // the same construction under the cap still decodes via the guard
+    val ok = Multimodal.decodeImage(13L, Multimodal.syntheticPng(13L, 12, 9))
+    assert(ok.decoded && ok.width === 12 && ok.height === 9)
+  }
+
   test("extractImageFeatures: distributed real decode, no shuffle, partitioning-invariant") {
     val rows = Seq(
       (1L, pngOf(12, 8, 0x00ff00)),

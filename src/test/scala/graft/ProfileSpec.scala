@@ -38,6 +38,16 @@ class ProfileSpec extends SparkTestBase {
     assert(!approxPlan.contains("Expand"), approxPlan)
   }
 
+  test("profile handles non-identifier column names (no SQL-string injection)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("doc-id", "v'al")
+    val out = Profile.profile(df, Seq("doc-id", "v'al")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("doc-id") === ((3L, 2L)))
+    assert(out("v'al") === ((3L, 2L)))
+  }
+
   test("profile refuses unknown columns loudly") {
     val e = intercept[IllegalArgumentException] {
       Profile.profile(docs, Seq("doc_id", "nope"))

@@ -42,11 +42,31 @@ class ReuseSpec extends SparkTestBase {
       case _: LogicalRelation => true
       case l => !l.isInstanceOf[LogicalRDD]
     }, leaves.map(_.getClass.getName))
-    // (c) drop EVERY cached block; the count must be recomputed from
-    // source, not fail on missing blocks
-    pc.unpersist(blocking = true)
+    // (c) drop EVERY cached block (pairCounts persists through
+    // cacheFresh, so the site hook is the real release path); the
+    // count must be recomputed from source, not fail on missing blocks
+    Reuse.unpersistSite("batch3.pairCounts")
+    Reuse.unpersistSite("batch3.minePairCounts.inv")
     assert(pc.count() == first)
-    pc.persist(StorageLevel.MEMORY_AND_DISK) // restore for later suites
+  }
+
+  test("cacheFresh: a rebuild never hits the previous build's cache (stale-fixture defense)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("freshfx").toString
+    Seq(1L, 2L, 3L).toDF("n").write.mode("overwrite").parquet(dir)
+    def build() = Reuse.cacheFresh("reusespec.fresh",
+      spark.read.parquet(dir).groupBy().count())
+    val a = build()
+    assert(a.collect()(0).getLong(0) === 3L)
+    // rewrite the fixture IN PLACE (same path — the canonical-plan
+    // trap: a bare persist would serve the 3-row blocks forever)
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("n").write.mode("overwrite").parquet(dir)
+    val b = build()
+    assert(b.collect()(0).getLong(0) === 5L,
+      "second build served the first build's cached blocks")
+    // and the two builds' plans are NOT cache-interchangeable
+    assert(!b.queryExecution.optimizedPlan.sameResult(a.queryExecution.optimizedPlan))
+    Reuse.unpersistSite("reusespec.fresh")
   }
 
   test("cluster fixpoint: reliable checkpoint files on the checkpoint FS, not executor blocks") {

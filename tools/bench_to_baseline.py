@@ -5,9 +5,14 @@ Usage: python tools/bench_to_baseline.py <bench.json> [--replace]
 
 Default is a MIN-FOLD: each query's floor is min(existing floor, this
 run) — a noisy run can only tighten floors, never loosen them, and new
-queries gain a first floor. `--replace` rewrites the table from this
-run alone (only for a deliberate reset, e.g. after a fixture change
-that invalidates every floor).
+queries gain a first floor. Two guards keep the fold honest:
+  - the existing table's recorded sf dir must match this run's (floors
+    from different scale factors must never min-fold together);
+  - queries absent from this run (renamed/removed catalog entries) are
+    DROPPED, so the floor-sum always corresponds to the runnable
+    catalog.
+`--replace` rewrites the table from this run alone (deliberate reset,
+e.g. after a fixture regeneration that invalidates every floor).
 """
 import json
 import re
@@ -20,12 +25,23 @@ def main(path: str, replace: bool = False) -> None:
     d = json.load(open(path))
     merged = dict(d["queries"])
     md = open("BASELINE.md").read()
-    if not replace:
-        start = md.find(MARK)
-        if start >= 0:
-            for m in re.finditer(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", md[start:]):
-                q, f = m.group(1), float(m.group(2))
-                merged[q] = min(merged.get(q, float("inf")), f)
+    start = md.find(MARK)
+    if not replace and start >= 0:
+        block = md[start:]
+        prev_sf = re.search(r"### Self-generated bench \(graft, `([^`]+)`", block)
+        if prev_sf and prev_sf.group(1) != d["sf"]:
+            sys.exit(
+                f"refusing to min-fold across scale factors: table has "
+                f"{prev_sf.group(1)!r}, run has {d['sf']!r} (use --replace)")
+        dropped = []
+        for m in re.finditer(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", block):
+            q, f = m.group(1), float(m.group(2))
+            if q in merged:
+                merged[q] = min(merged[q], f)
+            else:
+                dropped.append(q)
+        if dropped:
+            print(f"dropped stale floors (not in this run): {', '.join(dropped)}")
     total = sum(merged.values())
     rows = sorted(merged.items())
     lines = [
