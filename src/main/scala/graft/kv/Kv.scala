@@ -135,6 +135,16 @@ final class KvEngine(spark: SparkSession, initial: DataFrame,
   def query(get: GetStmt,
       consistency: ReadConsistency = ReadConsistency()): DataFrame =
     stateDf.filter(col("key") === lit(get.key)).select(col("key"), col("value"))
+
+  /** Swap in a full replacement state (the `/db/load` restore path —
+    * a dump is a complete database, so loading one REPLACES, exactly
+    * like restoring a BadgerDB backup would in the reference's
+    * commented-out handleLoad, `internal/http/service.go:762`). */
+  def replaceState(newState: DataFrame): Unit = {
+    stateDf = newState.select(
+      col("key").cast(StringType), col("value").cast(StringType))
+    batchesSinceCompact = 0
+  }
 }
 
 object KvEngine {

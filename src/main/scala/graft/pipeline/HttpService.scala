@@ -90,6 +90,8 @@ final class HttpService(
       case (("GET" | "POST"), "/boot")        => handleBoot(ex)
       case ("POST", "/db/execute")            => handleExecute(ex)
       case (("GET" | "POST"), "/db/query")    => handleQuery(ex)
+      case ("GET", "/db/backup")              => handleDbBackup(ex)
+      case ("POST", "/db/load")               => handleDbLoad(ex)
       case ("POST", "/db/request")            =>
         // mixed read/write batches are ErrNotImplemented in the
         // reference store (Q5, new/store/store.go:653-655) — surface
@@ -304,6 +306,62 @@ final class HttpService(
             }
             sendJson(ex, 200, mapper.writeValueAsString(root))
         }
+    }
+  }
+
+  /** `GET /db/backup` — a consistent full dump of the KV state as
+    * NDJSON lines `{"key":...,"value":...}` sorted by key. The
+    * reference's handleBackup is fully commented out
+    * (`internal/http/service.go:695-760`); this is the working
+    * equivalent over the Spark state plane. Rows are STREAMED via
+    * `toLocalIterator` (chunked response, one partition on the driver
+    * at a time) — a 100 TB-state backup never materializes driver-side. */
+  private def handleDbBackup(ex: HttpExchange): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val out = ex.getResponseBody
+    val it = kv.synchronized { kv.state }
+      .orderBy("key").toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val line = mapper.createObjectNode()
+      line.put("key", r.getString(0))
+      line.put("value", r.getString(1))
+      out.write(mapper.writeValueAsString(line).getBytes(UTF_8))
+      out.write('\n')
+    }
+    out.flush()
+  }
+
+  /** `POST /db/load` — restore a [[handleDbBackup]] dump. A dump is a
+    * COMPLETE database, so the default REPLACES the state (what
+    * restoring a BadgerDB backup does — the reference's handleLoad,
+    * also commented out, `internal/http/service.go:762`); `?merge`
+    * applies the dump as last-write-wins SETs over the current state
+    * instead. */
+  private def handleDbLoad(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val parsed =
+      try Right(body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val n = mapper.readTree(l)
+        require(n.hasNonNull("key") && n.hasNonNull("value"),
+          s"dump line missing key/value: $l")
+        (n.get("key").asText(), n.get("value").asText())
+      }.toSeq)
+      catch { case NonFatal(e) => Left(s"bad dump: ${e.getMessage}") }
+    parsed match {
+      case Left(err) => envelope(ex, 400, success = false, error = err)
+      case Right(rows) =>
+        val spark = kv.state.sparkSession
+        import spark.implicits._
+        kv.synchronized {
+          if (flag(queryParams(ex), "merge"))
+            kv.execute(rows.map { case (k, v) => graft.kv.SetStmt(k, v) })
+          else kv.replaceState(rows.toDF("key", "value"))
+        }
+        val data = mapper.createObjectNode()
+        data.put("loaded", rows.size)
+        envelope(ex, 200, success = true, data = Some(data))
     }
   }
 

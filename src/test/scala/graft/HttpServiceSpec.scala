@@ -67,6 +67,36 @@ class HttpServiceSpec extends SparkTestBase {
     assert(post("/db/execute", """["FROB x"]""").statusCode() === 400)
   }
 
+  test("db/backup streams an NDJSON dump; db/load restores it (replace) or merges") {
+    // seed state, dump it
+    assert(post("/db/execute",
+      """["SET bk1 alpha", "SET bk2 beta gamma", "SET bk3 x"]""").statusCode() === 200)
+    val dump = get("/db/backup")
+    assert(dump.statusCode() === 200)
+    val lines = dump.body().split('\n').filter(_.contains("\"key\":\"bk"))
+    assert(lines.length === 3)
+    assert(lines.exists(l => l.contains("\"bk2\"") && l.contains("beta gamma")))
+    // mutate past the dump, then RESTORE (replace): post-dump writes gone
+    assert(post("/db/execute",
+      """["DELETE bk1", "SET bk4 postdump"]""").statusCode() === 200)
+    val restored = post("/db/load", dump.body())
+    assert(restored.statusCode() === 200)
+    assert(mapper.readTree(restored.body()).get("data").get("loaded").asInt() >= 3)
+    assert(get("/key?key=bk1").body() === "alpha")
+    assert(get("/key?key=bk4").body() === "nil") // replace semantics
+    // MERGE mode: existing keys survive, dump keys overwrite as SETs
+    assert(post("/db/execute", """["SET bk5 keepme", "SET bk2 stale"]""")
+      .statusCode() === 200)
+    assert(post("/db/load?merge", dump.body()).statusCode() === 200)
+    assert(get("/key?key=bk5").body() === "keepme") // merge kept it
+    assert(get("/key?key=bk2").body() === "beta gamma") // dump overwrote
+    // malformed dump line → 400, state untouched
+    assert(post("/db/load", """{"nope":1}""").statusCode() === 400)
+    assert(get("/key?key=bk5").body() === "keepme")
+    // cleanup for other tests sharing the service
+    post("/db/execute", """["DELETE bk1","DELETE bk2","DELETE bk3","DELETE bk5"]""")
+  }
+
   test("the reference's /key test endpoints: put, get, miss writes 'nil'") {
     assert(post("/key?key=x&value=yz", "").statusCode() === 200)
     assert(get("/key?key=x").body() === "yz")
