@@ -17,9 +17,21 @@ import graft.functions.HashOps
   * grid so per-image cost is bounded regardless of resolution. Bytes
   * that are not a decodable image fall back to [[decodeImageStub]]'s
   * deterministic fake features, so mixed/dirty corpora never throw on
-  * the executor. Audio/video decode remains stubbed (no codec libs in
-  * the JDK): `sampleFrames` keeps the byte-slice stand-in, with the
-  * real row-explosion shape.
+  * the executor.
+  *
+  * The AUDIO path is real too (round 12): the JDK ships a PCM codec —
+  * `javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU containers
+  * with zero extra deps — so [[decodeAudio]] reads genuine PCM bytes
+  * into (sample_rate, channels, frames, duration) plus an 8-dim
+  * signal-statistics feature vector (RMS, peak, zero-crossing rate,
+  * coarse energy envelope), streamed in bounded chunks so a row never
+  * materializes the full clip. Compressed codecs (MP3/AAC/Opus) are
+  * NOT in the JDK; those bytes — like any undecodable blob — fall
+  * back to the deterministic stub (`decoded=false`).
+  *
+  * VIDEO decode remains stubbed (genuinely no JDK codec):
+  * `sampleFrames` keeps the byte-slice stand-in, with the real
+  * row-explosion shape.
   */
 object Multimodal {
 
@@ -159,6 +171,229 @@ object Multimodal {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Audio (real, JDK-only: javax.sound.sampled)
+  // -------------------------------------------------------------------
+
+  /** Real decoded-audio features. `decoded=false` means the bytes were
+    * not JDK-decodable PCM audio (compressed codec, corrupt header,
+    * non-audio blob) and the deterministic stub supplied the fields —
+    * the same executor-safe dirty-corpus contract as [[ImageFeature]]. */
+  final case class AudioFeature(
+      media_id: Long, mime: String, decoded: Boolean,
+      n_bytes: Int, content_hash: Long,
+      sample_rate: Int, channels: Int, n_frames: Long,
+      duration_sec: Double, feature: Array[Float])
+
+  /** Magic-byte audio mime sniff — no decode, O(1), never throws.
+    * Recognizes the three container formats the JDK codec reads. */
+  def sniffAudioMime(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (bytes != null && i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+        at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "audio/wav"
+    else if (at(0) == 'F' && at(1) == 'O' && at(2) == 'R' && at(3) == 'M' &&
+        at(8) == 'A' && at(9) == 'I' && at(10) == 'F') "audio/aiff"
+    else if (at(0) == '.' && at(1) == 's' && at(2) == 'n' && at(3) == 'd') "audio/basic"
+    else "application/octet-stream"
+  }
+
+  /** CPU guard, the audio analogue of [[MaxDecodePixels]]: feature
+    * extraction streams PCM frames and stops after this many, so one
+    * hour-long clip costs the same bounded scan as a one-second one
+    * (~16M frames ≈ 6 min @ 44.1 kHz — more than any signal statistic
+    * here needs). `n_frames`/`duration_sec` report frames actually
+    * read, never the header's claim: a truncated file (header declares
+    * more data than exists — the audio shape of a decompression bomb)
+    * yields its true decoded length instead of a lie or an OOM. */
+  private val MaxDecodeFrames = 16L * 1024 * 1024
+
+  /** Streaming-read chunk: 64 KiB of raw PCM per executor read call —
+    * the per-row memory ceiling regardless of clip length. */
+  private val AudioChunkBytes = 64 * 1024
+
+  /** Deterministic stub fields for undecodable audio bytes (mirrors
+    * [[decodeImageStub]]: plumbing stays verifiable on dirty blobs). */
+  def decodeAudioStub(id: Long, bytes: Array[Byte]): AudioFeature = {
+    val h = HashOps.fnv64(bytes)
+    val feat = Array.tabulate(8)(i =>
+      ((HashOps.mix64(h ^ (i + 16).toLong) >>> 40).toFloat / (1 << 24).toFloat) - 0.5f)
+    AudioFeature(id, sniffAudioMime(bytes), decoded = false,
+      bytes.length, h, 0, 0, 0L, 0.0, feat)
+  }
+
+  /** REAL audio decode kernel, JDK-only (`javax.sound.sampled`):
+    * parses WAV/AIFF/AU via `AudioSystem.getAudioInputStream`, streams
+    * 8/16-bit PCM frames in [[AudioChunkBytes]] chunks (channels mixed
+    * to mono, samples normalized to [-1,1]) and derives an 8-dim
+    * signal feature vector:
+    * `[rms, peak, zeroCrossRate, e0, e1, e2, e3, log10(1+frames)]`
+    * where e0..e3 is a coarse 4-bucket energy envelope (bucket = RMS
+    * of that quarter of the *read* span). Undecodable, compressed, or
+    * header-only bytes fall back to the deterministic stub
+    * (`decoded=false`) instead of throwing mid-task; reads are capped
+    * at [[MaxDecodeFrames]] so per-row CPU is bounded. */
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioFeature = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val mime = sniffAudioMime(b)
+    if (mime == "application/octet-stream") return decodeAudioStub(id, b)
+    var ais: javax.sound.sampled.AudioInputStream = null
+    try {
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      // only raw 8/16-bit PCM is decoded here; anything else (float
+      // PCM, µ-law, a compressed payload inside a WAV container) takes
+      // the stub fallback rather than a half-right sample parse
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+          channels <= 0 || frameBytes != channels * (bits / 8))
+        return decodeAudioStub(id, b)
+      val big = fmt.isBigEndian
+      val bytesPerSample = bits / 8
+      // cap frames READ from the header's claim; stream never trusts it
+      val headerFrames = ais.getFrameLength // -1 if unknown
+      val capFrames =
+        if (headerFrames >= 0) math.min(headerFrames, MaxDecodeFrames)
+        else MaxDecodeFrames
+      // two-pass-free envelope: quarter boundaries need the read span
+      // up front, so bucket by the CAPPED expectation and fold any
+      // tail (short read) into the last bucket
+      val chunk = new Array[Byte](AudioChunkBytes - AudioChunkBytes % math.max(frameBytes, 1))
+      var frames = 0L
+      var sumSq, peak = 0.0
+      var crossings = 0L
+      var prevSign = 0
+      val envSumSq = new Array[Double](4)
+      val envN = new Array[Long](4)
+      val quarter = math.max(capFrames / 4, 1L)
+      var eof = false
+      while (!eof && frames < capFrames) {
+        val want = math.min(chunk.length.toLong,
+          (capFrames - frames) * frameBytes).toInt
+        val got = ais.read(chunk, 0, want)
+        if (got <= 0) eof = true
+        else {
+          var off = 0
+          while (off + frameBytes <= got) {
+            // mono mix: mean of channels, normalized to [-1,1]
+            var csum = 0.0
+            var c = 0
+            while (c < channels) {
+              val so = off + c * bytesPerSample
+              val v =
+                if (bits == 8) {
+                  if (signed) chunk(so).toDouble / 128.0
+                  else ((chunk(so) & 0xff) - 128).toDouble / 128.0
+                } else {
+                  val lo = chunk(so + (if (big) 1 else 0)) & 0xff
+                  val hi = chunk(so + (if (big) 0 else 1)).toInt
+                  val raw = (hi << 8) | lo
+                  val s16 = if (signed) raw.toShort.toInt
+                            else (raw & 0xffff) - 32768
+                  s16.toDouble / 32768.0
+                }
+              csum += v
+              c += 1
+            }
+            val s = csum / channels
+            sumSq += s * s
+            val as = math.abs(s)
+            if (as > peak) peak = as
+            val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) crossings += 1
+              prevSign = sign
+            }
+            val bucket = math.min(frames / quarter, 3L).toInt
+            envSumSq(bucket) += s * s
+            envN(bucket) += 1
+            frames += 1
+            off += frameBytes
+          }
+        }
+      }
+      if (frames == 0) return decodeAudioStub(id, b)
+      val rms = math.sqrt(sumSq / frames)
+      val zcr = crossings.toDouble / frames
+      val env = Array.tabulate(4)(i =>
+        if (envN(i) == 0) 0f else math.sqrt(envSumSq(i) / envN(i)).toFloat)
+      val sr = fmt.getSampleRate
+      AudioFeature(id, mime, decoded = true, b.length, HashOps.fnv64(b),
+        math.round(sr), channels, frames,
+        if (sr > 0) frames / sr.toDouble else 0.0,
+        Array(rms.toFloat, peak.toFloat, zcr.toFloat,
+          env(0), env(1), env(2), env(3),
+          math.log10(1.0 + frames).toFloat))
+    } catch {
+      case _: Exception => decodeAudioStub(id, b)
+    } finally if (ais != null) ais.close()
+  }
+
+  /** Batched REAL audio feature extraction over (media_id, media)
+    * rows: partition-local `mapPartitions`, no shuffle, one
+    * [[decodeAudio]] per row with the stub fallback keeping dirty
+    * corpora from failing tasks. */
+  def extractAudioFeatures(df: DataFrame): Dataset[AudioFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
+  /** Deterministic synthetic 16-bit little-endian PCM WAV: sample i of
+    * channel c is a hash mix of (seed, i, c) — a byte-exact fixture
+    * (hand-rolled RIFF header, no float path) the `mm_audio` gate and
+    * MultimodalSpec push through the REAL [[decodeAudio]] kernel, the
+    * audio analogue of [[syntheticPng]]. */
+  def syntheticWav(seed: Long, sampleRate: Int, nFrames: Int,
+      channels: Int = 1): Array[Byte] = {
+    val samples = Array.tabulate(nFrames * channels) { i =>
+      (HashOps.mix64(seed ^ i.toLong) >>> 48).toShort
+    }
+    pcm16Wav(samples, sampleRate, channels)
+  }
+
+  /** A pure sine WAV (16-bit LE PCM): the spec fixture whose RMS
+    * (≈ amp/√2) and zero-crossing rate (≈ 2·freq/rate) have
+    * closed-form expectations, so [[decodeAudio]]'s signal statistics
+    * are checked against math, not against themselves. */
+  def sineWav(freqHz: Double, sampleRate: Int, nFrames: Int,
+      amplitude: Double = 0.5): Array[Byte] = {
+    val samples = Array.tabulate(nFrames) { i =>
+      (amplitude * 32767.0 *
+        math.sin(2.0 * math.Pi * freqHz * i / sampleRate)).toShort
+    }
+    pcm16Wav(samples, sampleRate, 1)
+  }
+
+  /** Minimal canonical RIFF/WAVE writer for 16-bit LE PCM:
+    * interleaved `samples` (frame-major), 44-byte header. */
+  def pcm16Wav(samples: Array[Short], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"pcm16Wav: ${samples.length} samples not a multiple of $channels channels")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)        // byte rate
+      .putShort((channels * 2).toShort)         // block align
+      .putShort(16)                             // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
   /** Batched REAL feature extraction over (media_id, media) rows:
     * partition-local `mapPartitions` (no shuffle, streaming iterator),
     * one [[decodeImage]] per row. The kernel's fallback contract means
@@ -208,9 +443,78 @@ object Multimodal {
       })
   }
 
-  /** STUB resize: recompute target dimensions preserving aspect ratio
-    * (the arithmetic a real resizer performs before touching pixels;
-    * the pixel resample itself would live in the decode kernel). */
+  /** Real resized image row: re-encoded PNG bytes + output dims.
+    * `resized=false` means the bytes were not decodable (or already
+    * within bounds and returned unchanged — see `changed`). */
+  final case class ResizedImage(
+      media_id: Long, resized: Boolean, changed: Boolean,
+      in_width: Int, in_height: Int, out_width: Int, out_height: Int,
+      out_bytes: Array[Byte])
+
+  /** Aspect-preserving target dims (floor, never upscale) — the exact
+    * arithmetic [[resizeMeta]] runs columnar and the oracle re-derives
+    * in SQL; shared so the real pixel path can't drift from it. */
+  def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+    (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+  }
+
+  /** REAL pixel resize, JDK-only: decode (under the same
+    * decompression-bomb guard as [[decodeImage]]), scale onto a new
+    * raster with bilinear `Graphics2D.drawImage`, re-encode as PNG
+    * (lossless, deterministic JDK writer). Bytes that don't decode
+    * fall back untouched with `resized=false`; images already within
+    * bounds skip the raster work (`changed=false`, original bytes
+    * pass through — at 100 TB most of a crawl corpus is already small,
+    * and not re-encoding it is the dominant cost win). */
+  def resizeImage(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): ResizedImage = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val img =
+      if (sniffMime(b) == "application/octet-stream") null
+      else
+        try readImageGuarded(b)
+        catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      ResizedImage(id, resized = false, changed = false, 0, 0, 0, 0, b)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val (ow, oh) = fitWithin(w, h, maxW, maxH)
+      if (ow == w && oh == h)
+        ResizedImage(id, resized = true, changed = false, w, h, w, h, b)
+      else {
+        val out = new java.awt.image.BufferedImage(
+          math.max(ow, 1), math.max(oh, 1),
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, out.getWidth, out.getHeight, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedImage(id, resized = true, changed = true, w, h,
+          out.getWidth, out.getHeight, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Batched real resize over (media_id, media) rows: partition-local
+    * `mapPartitions`, no shuffle — the bulk image-normalization pass
+    * of a multimodal training-data pipeline. */
+  def resizeImages(df: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizeImage(id, bytes, maxW, maxH) })
+  }
+
+  /** Columnar resize ARITHMETIC (aspect-preserving target dims over
+    * metadata columns — the planning half of [[resizeImage]], shared
+    * via [[fitWithin]]'s formula and oracled in SQL). */
   def resizeMeta(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(
       lit(maxW.toDouble) / col("fake_width"),

@@ -282,6 +282,34 @@ object Batch7 {
       None,
       "real JDK ImageIO decode kernel over synthesized PNGs (mime sniff + dims + grid pixel stats; rows-only gate)"),
 
+    // ---- REAL audio decode (round 12): per doc, synthesize a
+    // deterministic 16-bit PCM WAV (sample = hash(doc_id, i); byte-
+    // exact hand-rolled RIFF writer), then run the real
+    // javax.sound.sampled kernel over the binary column — magic-byte
+    // sniff, streamed chunked PCM read, mono mix, signal statistics.
+    // Rows-only gate (DuckDB can't parse WAV containers);
+    // MultimodalSpec checks the statistics against closed-form sine
+    // expectations and the dirty-bytes/stereo/AIFF paths.
+    "mm_audio" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticWav(
+              id, 8000, 64 + (id % 192).toInt, 1 + (id % 2).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.extractAudioFeatures(media).toDF()
+          .select(col("media_id"), col("mime"), col("decoded"),
+            col("sample_rate"), col("channels"), col("n_frames"),
+            round(col("duration_sec"), 6).as("duration_sec"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("rms"),
+            round(element_at(col("feature"), 3).cast("double"), 6).as("zcr"))
+          .orderBy("media_id")
+      },
+      None,
+      "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
+
     // ---- corpus bigram-LM scoring: mean log P(w2|w1) per document,
     // with P = c(bigram)/c(unigram w1) over the whole corpus (history
     // counts include doc-final tokens; a simple consistent convention,

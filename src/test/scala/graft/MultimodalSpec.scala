@@ -164,6 +164,159 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.syntheticPng(43L, 9, 7).toSeq !== p1.toSeq)
   }
 
+  // ---- REAL pixel resize (round 12, Graphics2D) ----
+
+  test("resizeImage: real raster downscale, re-decodable, dims match the shared formula") {
+    val src = Multimodal.syntheticPng(77L, 64, 48)
+    val r = Multimodal.resizeImage(77L, src, 32, 32)
+    assert(r.resized && r.changed)
+    assert((r.in_width, r.in_height) === ((64, 48)))
+    assert((r.out_width, r.out_height) === Multimodal.fitWithin(64, 48, 32, 32))
+    assert((r.out_width, r.out_height) === ((32, 24)))
+    // output is a genuine PNG that the real decoder reads back at the new dims
+    val back = Multimodal.decodeImage(77L, r.out_bytes)
+    assert(back.decoded && back.width === 32 && back.height === 24)
+    // bilinear downscale preserves coarse color statistics
+    val orig = Multimodal.decodeImage(77L, src)
+    assert(math.abs(back.feature(3) - orig.feature(3)) < 0.05,
+      s"meanLuma drifted: ${orig.feature(3)} -> ${back.feature(3)}")
+  }
+
+  test("resizeImage: within-bounds images pass through unchanged; junk falls back") {
+    val small = Multimodal.syntheticPng(5L, 10, 8)
+    val r = Multimodal.resizeImage(5L, small, 64, 64)
+    assert(r.resized && !r.changed && (r.out_bytes sameElements small))
+    assert((r.out_width, r.out_height) === ((10, 8)))
+    val junk = Multimodal.resizeImage(6L, "junk".getBytes("UTF-8"), 64, 64)
+    assert(!junk.resized && (junk.out_bytes sameElements "junk".getBytes("UTF-8")))
+  }
+
+  test("resizeImages: distributed, no shuffle, honors per-row decisions") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(1L, 100, 40)),
+      (2L, Multimodal.syntheticPng(2L, 8, 8)),
+      (3L, "noise".getBytes("UTF-8"))).toDF("media_id", "media")
+    val got = Multimodal.resizeImages(rows, 50, 50).collect().sortBy(_.media_id)
+    assert(got(0).changed && got(0).out_width === 50 && got(0).out_height === 20)
+    assert(got(1).resized && !got(1).changed)
+    assert(!got(2).resized)
+    val plan = Multimodal.resizeImages(rows, 50, 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  // ---- REAL audio kernel (round 12, javax.sound.sampled) ----
+
+  test("sniffAudioMime: WAV/AIFF/AU magic bytes, octet-stream otherwise") {
+    assert(Multimodal.sniffAudioMime(Multimodal.syntheticWav(1L, 8000, 16))
+      === "audio/wav")
+    assert(Multimodal.sniffAudioMime(".snd....".getBytes("US-ASCII")) === "audio/basic")
+    assert(Multimodal.sniffAudioMime("FORMxxxxAIFF".getBytes("US-ASCII")) === "audio/aiff")
+    assert(Multimodal.sniffAudioMime("RIFFxxxxAVI ".getBytes("US-ASCII"))
+      === "application/octet-stream") // RIFF container that is NOT WAVE
+    assert(Multimodal.sniffAudioMime(null) === "application/octet-stream")
+  }
+
+  test("decodeAudio: sine WAV statistics match closed-form expectations") {
+    // 440 Hz at 8 kHz, amplitude 0.5, one second: rms = amp/sqrt(2),
+    // zcr = 2 crossings per cycle = 2*440/8000 per frame
+    val f = Multimodal.decodeAudio(1L, Multimodal.sineWav(440.0, 8000, 8000, 0.5))
+    assert(f.decoded && f.mime === "audio/wav")
+    assert(f.sample_rate === 8000 && f.channels === 1 && f.n_frames === 8000L)
+    assert(math.abs(f.duration_sec - 1.0) < 1e-9)
+    assert(math.abs(f.feature(0) - 0.5 / math.sqrt(2)) < 1e-3, s"rms=${f.feature(0)}")
+    assert(math.abs(f.feature(1) - 0.5) < 1e-2, s"peak=${f.feature(1)}")
+    assert(math.abs(f.feature(2) - 2.0 * 440 / 8000) < 1e-3, s"zcr=${f.feature(2)}")
+    // stationary signal: all four envelope buckets equal the global rms
+    (3 to 6).foreach(i => assert(math.abs(f.feature(i) - f.feature(0)) < 1e-3))
+  }
+
+  test("decodeAudio: stereo WAV mono-mixes and counts frames (not samples)") {
+    // L = sine, R = -sine: the mono mix cancels to silence — the
+    // strongest possible check that channels are averaged per frame
+    val n = 2000
+    val inter = new Array[Short](n * 2)
+    (0 until n).foreach { i =>
+      val s = (0.5 * 32767 * math.sin(2 * math.Pi * 300 * i / 8000)).toShort
+      inter(2 * i) = s
+      inter(2 * i + 1) = (-s).toShort
+    }
+    val f = Multimodal.decodeAudio(2L, Multimodal.pcm16Wav(inter, 8000, 2))
+    assert(f.decoded && f.channels === 2 && f.n_frames === n.toLong)
+    assert(f.feature(0) < 1e-4, s"cancelled mix rms=${f.feature(0)}")
+  }
+
+  test("decodeAudio: AIFF (big-endian path via the JDK writer) decodes equal stats") {
+    val samples = Array.tabulate(1024)(i =>
+      (0.4 * 32767 * math.sin(2 * math.Pi * 200 * i / 8000)).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream({
+        val bb = java.nio.ByteBuffer.allocate(2048)
+        samples.foreach(s => bb.putShort(s))
+        bb.array()
+      }), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val aiff = Multimodal.decodeAudio(3L, out.toByteArray)
+    assert(aiff.decoded && aiff.mime === "audio/aiff")
+    val wav = Multimodal.decodeAudio(3L, Multimodal.pcm16Wav(samples, 8000, 1))
+    assert(aiff.n_frames === wav.n_frames)
+    // same PCM through both container/endianness paths -> same stats
+    assert(math.abs(aiff.feature(0) - wav.feature(0)) < 1e-6)
+    assert(math.abs(aiff.feature(2) - wav.feature(2)) < 1e-6)
+  }
+
+  test("decodeAudio: dirty/truncated/compressed bytes fall back to the stub, never throw") {
+    assert(!Multimodal.decodeAudio(4L, "not audio at all".getBytes("UTF-8")).decoded)
+    assert(!Multimodal.decodeAudio(5L, null).decoded)
+    // WAV magic but a truncated header: sniff says wav, parser fails, stub serves
+    val truncated = Multimodal.syntheticWav(5L, 8000, 64).take(20)
+    val t = Multimodal.decodeAudio(6L, truncated)
+    assert(!t.decoded && t.mime === "audio/wav")
+    // header DECLARES more frames than the data section holds (the
+    // audio bomb shape): n_frames must report frames actually read
+    val lying = Multimodal.syntheticWav(7L, 8000, 1000)
+    val cut = lying.take(44 + 2 * 100) // keep 100 of the declared 1000
+    val f = Multimodal.decodeAudio(7L, cut)
+    assert(!f.decoded || f.n_frames <= 100L,
+      s"declared-length lie leaked: ${f.n_frames}")
+  }
+
+  test("extractAudioFeatures: distributed real decode, no shuffle, partitioning-invariant") {
+    val rows = Seq(
+      (1L, Multimodal.sineWav(440.0, 8000, 800)),
+      (2L, Multimodal.syntheticWav(2L, 16000, 256, 2)),
+      (3L, "junk".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "media")
+    val a = Multimodal.extractAudioFeatures(df).collect().sortBy(_.media_id)
+    val b = Multimodal.extractAudioFeatures(df.repartition(3))
+      .collect().sortBy(_.media_id)
+    assert(a.map(f => (f.media_id, f.mime, f.decoded, f.sample_rate, f.channels,
+      f.n_frames)).toSeq === b.map(f => (f.media_id, f.mime, f.decoded,
+      f.sample_rate, f.channels, f.n_frames)).toSeq)
+    assert(a(0).decoded && a(0).sample_rate === 8000)
+    assert(a(1).decoded && a(1).channels === 2 && a(1).n_frames === 256L)
+    assert(!a(2).decoded)
+    val plan = Multimodal.extractAudioFeatures(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("mm_audio catalog entry: every row really decoded with the synthesized shape") {
+    val got = graft.queries.Catalog.queries("mm_audio")(spark, sf("sf0.001"))
+      .collect()
+    assert(got.length > 0)
+    assert(got.forall(r => r.getAs[String]("mime") == "audio/wav"
+      && r.getAs[Boolean]("decoded")))
+    assert(got.forall { r =>
+      val id = r.getAs[Long]("media_id")
+      r.getAs[Int]("sample_rate") == 8000 &&
+        r.getAs[Int]("channels") == 1 + (id % 2).toInt &&
+        r.getAs[Long]("n_frames") == 64 + (id % 192)
+    })
+  }
+
   test("mm_decode catalog entry: every row really decoded with the synthesized dims") {
     val got = graft.queries.Catalog.queries("mm_decode")(spark, sf("sf0.001"))
       .collect()
