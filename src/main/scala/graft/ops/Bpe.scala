@@ -1,0 +1,257 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned byte-pair-encoding tokenizer: the tokenization stage of an
+  * LLM training-data pipeline (the reference has only a whitespace
+  * splitter — `internal/transform/transform.go` never tokenizes — so
+  * this is a beyond-reference first-class component per the brief,
+  * next to the "BPE-ish regex" token counter in
+  * [[graft.functions.TextOps]]).
+  *
+  * Training follows the classic Sennrich et al. 2016 algorithm
+  * (arXiv:1508.07909, "Neural Machine Translation of Rare Words with
+  * Subword Units"), which learns merges over the WORD-FREQUENCY TABLE
+  * rather than the raw corpus — the property that makes it
+  * Spark-shaped at 100 TB:
+  *
+  *  1. DISTRIBUTED word count: one map-side-combined `groupBy(word)`
+  *     aggregation over the corpus — the only pass that touches all
+  *     the data, and it's the cheapest possible shape (no joins, no
+  *     windows, partial aggregation before the single shuffle).
+  *  2. BOUNDED fit: the top-`maxWords` (count desc, word asc — total
+  *     order, so the cut is deterministic) rows collect to the
+  *     driver. Zipf's law makes this a principled cut, not a hack: at
+  *     web scale the top ~1M distinct words carry ~all token mass, and
+  *     1M (word, count) rows are tens of MB — the same bounded-collect
+  *     fit contract as [[Ann]]'s k-means (`Ann.scala` sampleTarget).
+  *     Dropped tail words still ENCODE fine (they just never voted on
+  *     merge ranks).
+  *  3. DRIVER merge learning: `numMerges` greedy rounds over the word
+  *     table (pair counts weighted by word frequency, merge the
+  *     argmax; ties broken lexicographically so the learned model is a
+  *     pure function of the corpus, never of partitioning). Incremental
+  *     pair-count maintenance — only words containing the merged pair
+  *     are re-scanned — keeps fit cost O(merges · touched symbols).
+  *  4. DISTRIBUTED encode: the ~merges-sized rank map broadcasts to
+  *     executors; encoding is partition-local `mapPartitions` with a
+  *     per-partition word→tokens memo (Zipf again: the memo's hit rate
+  *     approaches 1 on natural text, so per-row cost is amortized
+  *     O(word length), not O(merges)).
+  *
+  * Words are whitespace-split and carry the standard `</w>`
+  * end-of-word sentinel as a separate final symbol, so merges never
+  * cross word boundaries and detokenization is exact (concatenate,
+  * split on the sentinel).
+  */
+object Bpe {
+
+  /** End-of-word sentinel symbol (kept OUT of the char vocabulary by
+    * construction: it is appended as its own symbol, never substring-
+    * matched, so no input character sequence can forge it). */
+  val EndOfWord = "</w>"
+
+  /** A learned model: merge list in rank order (rank = learning
+    * order; lower merges first at encode time) plus fit provenance a
+    * 100 TB deployment wants auditable. */
+  final case class BpeModel(
+      merges: IndexedSeq[(String, String)],
+      distinctWords: Long, fittedWords: Int, totalTokens: Long) {
+    /** rank lookup the encoder broadcasts: (left, right) -> rank */
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  private def splitWords(text: String): Iterator[String] =
+    if (text == null) Iterator.empty
+    else text.split("\\s+").iterator.filter(_.nonEmpty)
+
+  /** Initial symbol sequence of a word: one symbol per char + the
+    * end-of-word sentinel. */
+  private def initSymbols(word: String): Array[String] = {
+    val out = new Array[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { out(i) = word.charAt(i).toString; i += 1 }
+    out(word.length) = EndOfWord
+    out
+  }
+
+  /** Learn `numMerges` merges from the corpus' word-frequency table.
+    *
+    * Determinism contract (what the specs pin): the model is a pure
+    * function of the multiset of words in `textCol` — repartitioning,
+    * executor count, and row order never change it, because the word
+    * count is an exact aggregation, the fit cut is totally ordered,
+    * and every tie in pair counts breaks lexicographically. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1 << 20): BpeModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col(textCol).cast("string").as("text"))
+      .as[String]
+      .flatMap(splitWords _)
+      .groupBy(col("value").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = words.agg(
+      count(lit(1)).as("distinct_words"), sum("cnt").as("total")).head()
+    val distinctWords = agg.getLong(0)
+    val total = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    // the bounded fit cut — deterministic total order before limit
+    val fitted = words.orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+    learnMerges(fitted, numMerges, distinctWords, total)
+  }
+
+  /** The driver-side greedy loop, exposed for direct spec fixtures
+    * (hand-checkable word tables à la Sennrich's worked example). */
+  def learnMerges(wordCounts: Array[(String, Long)], numMerges: Int,
+      distinctWords: Long = -1, totalTokens: Long = -1): BpeModel = {
+    val words = wordCounts.map { case (w, c) =>
+      (mutable.ArrayBuffer.from(initSymbols(w)), c)
+    }
+    // pair -> weighted count, plus pair -> word indexes containing it
+    // (the incremental index: a merge only re-scans words it occurred in)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val (syms, c) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = pairCount.getOrElse(p, 0L) + sign * c
+        if (n == 0L) pairCount.remove(p) else pairCount(p) = n
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWordPairs(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      if (pairCount.isEmpty) done = true
+      else {
+        // argmax with lexicographic tie-break -> deterministic model
+        var best: (String, String) = null
+        var bestC = Long.MinValue
+        pairCount.foreach { case (p, c) =>
+          if (best == null || c > bestC || (c == bestC &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        merges += best
+        val merged = best._1 + best._2
+        val touched = pairWords.remove(best).getOrElse(mutable.HashSet.empty)
+        touched.foreach { wi =>
+          val (syms, _) = words(wi)
+          addWordPairs(wi, -1L) // retract this word's old pairs
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == best._1 && syms(i + 1) == best._2) {
+              syms(i) = merged
+              syms.remove(i + 1)
+            } else i += 1
+          }
+          addWordPairs(wi, 1L) // re-add under the new symbol sequence
+        }
+        round += 1
+      }
+    }
+    BpeModel(merges.toIndexedSeq, distinctWords, wordCounts.length,
+      totalTokens)
+  }
+
+  /** Encode one word with the standard greedy lowest-rank loop. Pure;
+    * the distributed paths wrap it in a per-partition memo. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = mutable.ArrayBuffer.from(initSymbols(word))
+    var go = syms.length > 1
+    while (go) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) go = false
+      else {
+        syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        syms.remove(bestAt + 1)
+        go = syms.length > 1
+      }
+    }
+    syms.toArray
+  }
+
+  /** Per-partition bounded memo around [[encodeWord]]: Zipf makes the
+    * hit rate approach 1 on natural text; the size cap keeps executor
+    * memory bounded on adversarial (all-distinct-words) corpora. */
+  private final class Memo(ranks: Map[(String, String), Int], cap: Int) {
+    private val m = new java.util.HashMap[String, Array[String]]()
+    def encode(w: String): Array[String] = {
+      val hit = m.get(w)
+      if (hit != null) hit
+      else {
+        val enc = encodeWord(w, ranks)
+        if (m.size < cap) m.put(w, enc)
+        enc
+      }
+    }
+  }
+
+  private val MemoCap = 1 << 18
+
+  /** Distributed encode: (id, tokens) per document. Partition-local
+    * (`mapPartitions`, no shuffle); the rank map rides an explicit
+    * broadcast so 1000 executors fetch it once each, not per task. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.ranks)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new Memo(bc.value, MemoCap)
+        it.map { case (id, text) =>
+          (id, splitWords(text).flatMap(memo.encode).toArray)
+        }
+      }.toDF(idCol, "tokens")
+  }
+
+  /** Distributed token count per document — the budgeting/packing
+    * input every pipeline stage downstream of tokenization consumes. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.ranks)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new Memo(bc.value, MemoCap)
+        it.map { case (id, text) =>
+          var n = 0L
+          splitWords(text).foreach(w => n += memo.encode(w).length)
+          (id, n)
+        }
+      }.toDF(idCol, "n_tokens")
+  }
+
+  /** Exact detokenization of [[encodeDocs]] output: concatenate and
+    * split on the end-of-word sentinel. Round-trips the original
+    * text modulo whitespace runs (specs assert equality against
+    * single-space-joined words). */
+  def detokenize(tokens: Seq[String]): String =
+    tokens.mkString("").split(java.util.regex.Pattern.quote(EndOfWord), -1)
+      .iterator.filter(_.nonEmpty).mkString(" ")
+}
