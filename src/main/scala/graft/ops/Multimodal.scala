@@ -346,6 +346,118 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
   }
 
+  /** One fixed-duration analysis window of a decoded clip: the audio
+    * analogue of a sampled video frame (real decode, row explosion). */
+  final case class AudioWindow(
+      media_id: Long, window_no: Int, start_frame: Long, n_frames: Long,
+      rms: Float, peak: Float, zcr: Float)
+
+  /** REAL windowed audio features: decode (same guarded kernel path as
+    * [[decodeAudio]]), then emit one row per `windowFrames`-sized
+    * window with its RMS / peak / zero-crossing rate — the
+    * feature-extraction shape a speech/audio training pipeline feeds
+    * into segment filtering. Undecodable bytes yield zero rows (the
+    * explode-to-nothing convention `sampleFrames` documents for dirty
+    * corpora). Streaming: windows are computed in one chunked pass —
+    * the clip is never materialized. */
+  def decodeAudioWindows(id: Long, bytes: Array[Byte],
+      windowFrames: Int): Iterator[AudioWindow] = {
+    require(windowFrames > 0, "decodeAudioWindows: windowFrames must be positive")
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    if (sniffAudioMime(b) == "application/octet-stream") return Iterator.empty
+    var ais: javax.sound.sampled.AudioInputStream = null
+    try {
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+          channels <= 0 || frameBytes != channels * (bits / 8)) return Iterator.empty
+      val big = fmt.isBigEndian
+      val bytesPerSample = bits / 8
+      val chunk = new Array[Byte](AudioChunkBytes - AudioChunkBytes % math.max(frameBytes, 1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+      var frames = 0L
+      var winNo = 0
+      var winStart = 0L
+      var winN = 0L
+      var sumSq, peak = 0.0
+      var crossings = 0L
+      var prevSign = 0
+      def flush(): Unit = if (winN > 0) {
+        out += AudioWindow(id, winNo, winStart, winN,
+          math.sqrt(sumSq / winN).toFloat, peak.toFloat,
+          (crossings.toDouble / winN).toFloat)
+        winNo += 1
+        winStart = frames
+        winN = 0; sumSq = 0.0; peak = 0.0; crossings = 0L
+        // prevSign carries across the boundary: a crossing between the
+        // last sample of one window and the first of the next is real
+      }
+      var eof = false
+      while (!eof && frames < MaxDecodeFrames) {
+        val got = ais.read(chunk, 0, chunk.length)
+        if (got <= 0) eof = true
+        else {
+          var off = 0
+          while (off + frameBytes <= got && frames < MaxDecodeFrames) {
+            var csum = 0.0
+            var c = 0
+            while (c < channels) {
+              val so = off + c * bytesPerSample
+              val v =
+                if (bits == 8) {
+                  if (signed) chunk(so).toDouble / 128.0
+                  else ((chunk(so) & 0xff) - 128).toDouble / 128.0
+                } else {
+                  val lo = chunk(so + (if (big) 1 else 0)) & 0xff
+                  val hi = chunk(so + (if (big) 0 else 1)).toInt
+                  val raw = (hi << 8) | lo
+                  val s16 = if (signed) raw.toShort.toInt
+                            else (raw & 0xffff) - 32768
+                  s16.toDouble / 32768.0
+                }
+              csum += v
+              c += 1
+            }
+            val sVal = csum / channels
+            sumSq += sVal * sVal
+            val as = math.abs(sVal)
+            if (as > peak) peak = as
+            val sign = if (sVal > 0) 1 else if (sVal < 0) -1 else 0
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) crossings += 1
+              prevSign = sign
+            }
+            winN += 1
+            frames += 1
+            if (winN == windowFrames) flush()
+            off += frameBytes
+          }
+        }
+      }
+      flush() // tail window (shorter than windowFrames)
+      out.iterator
+    } catch {
+      case _: Exception => Iterator.empty
+    } finally if (ais != null) ais.close()
+  }
+
+  /** Batched windowed audio features: partition-local `flatMap` — the
+    * row-explosion shape of [[sampleFrames]], but REAL. */
+  def audioWindows(df: DataFrame, windowFrames: Int): Dataset[AudioWindow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => decodeAudioWindows(id, bytes, windowFrames) }
+  }
+
   /** Deterministic synthetic 16-bit little-endian PCM WAV: sample i of
     * channel c is a hash mix of (seed, i, c) — a byte-exact fixture
     * (hand-rolled RIFF header, no float path) the `mm_audio` gate and

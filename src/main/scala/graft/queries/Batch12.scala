@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
+import graft.functions.fnv64
 import graft.queries.Catalog.{Q, table}
 
 /** Query batch 12: the learned-tokenizer plane ([[graft.ops.Bpe]]) —
@@ -64,6 +66,64 @@ object Batch12 {
           .orderBy("doc_id")
       },
       None,
-      "distributed BPE encode under the broadcast rank map (partition-local, memoized; rows-only gate)")
+      "distributed BPE encode under the broadcast rank map (partition-local, memoized; rows-only gate)"),
+
+    // ---- deterministic training-order shuffle: the stage between
+    // corpus selection and packing — every epoch reads documents in a
+    // pseudorandom but REPRODUCIBLE order, sharded for parallel
+    // writers. shard = fnv64('shuf-shard:'||id) % K routes each doc to
+    // an output shard; pos = rank of a SECOND salted hash within the
+    // shard gives the within-shard order. No rand() (survives task
+    // retries and file re-splits), no global sort: at 100 TB this is
+    // ONE shuffle by shard + a per-shard sort — the terasort shape,
+    // with K scaling to cluster width (8 keeps sf fixtures
+    // non-trivial). The two salts decorrelate routing from ordering
+    // (one hash for both would order every shard identically by the
+    // routing residue). Spark's signed Long hash view is matched in
+    // the oracle by an explicit HUGEINT→two's-complement conversion
+    // before the ORDER BY.
+    "corpus_shuffle" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("ord"), col("doc_id"))
+        table(s, dir, "documents")
+          .withColumn("shard",
+            pmod(fnv64(concat(lit("shuf-shard:"), col("doc_id"))), lit(8)))
+          .withColumn("ord", fnv64(concat(lit("shuf-ord:"), col("doc_id"))))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+          .orderBy("shard", "pos")
+      },
+      // the sample_weighted FNV-1a recursive-CTE kernel over BOTH
+      // salted keys; shard via % 8 (power of two, signed/unsigned
+      // agree), order via the two's-complement signed view of h so
+      // DuckDB sorts exactly like Spark's Long
+      Some("""WITH RECURSIVE k AS (
+             |  SELECT 'shuf-shard:' || doc_id AS s FROM documents
+             |  UNION
+             |  SELECT 'shuf-ord:' || doc_id FROM documents),
+             |fnv(s, i, h) AS (
+             |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
+             |  UNION ALL
+             |  SELECT s, i+1,
+             |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+             |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616
+             |  FROM fnv WHERE i <= length(s)),
+             |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1),
+             |d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(fs.h % 8 AS BIGINT) AS shard,
+             |    CAST(fo.h - CASE WHEN fo.h >= CAST(9223372036854775808 AS HUGEINT)
+             |      THEN CAST(18446744073709551616 AS HUGEINT)
+             |      ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ord
+             |  FROM documents
+             |  JOIN final fs ON fs.s = 'shuf-shard:' || doc_id
+             |  JOIN final fo ON fo.s = 'shuf-ord:' || doc_id)
+             |SELECT shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos,
+             |  doc_id, lang
+             |FROM d ORDER BY shard, pos""".stripMargin),
+      "deterministic sharded training-order shuffle (two salted hashes: route + order; retry-stable, terasort shape)")
   )
 }
