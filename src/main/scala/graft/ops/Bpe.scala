@@ -247,6 +247,45 @@ object Bpe {
       }.toDF(idCol, "n_tokens")
   }
 
+  /** Persist a learned model: the rank-ordered merge table plus fit
+    * provenance as tiny parquet sidecars — the train-once/encode-many
+    * deployment artifact (the tokenizer analogue of [[Ann.persistIvf]]:
+    * a 100 TB pipeline fits the vocabulary once, then every later
+    * job — including streaming encoders — loads it instead of
+    * re-reading the corpus). */
+  def save(model: BpeModel, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    Seq((model.distinctWords, model.fittedWords, model.totalTokens))
+      .toDF("distinct_words", "fitted_words", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted model. The merge list is rank-dense by
+    * construction; a gap or duplicate rank means a corrupted artifact
+    * and fails loudly rather than silently mis-encoding everything
+    * downstream. */
+  def load(spark: SparkSession, path: String): BpeModel = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$path/merges")
+      .select(col("rank").cast("int"), col("left_sym"), col("right_sym"))
+      .as[(Int, String, String)]
+      .collect().sortBy(_._1)
+    merges.zipWithIndex.foreach { case ((r, _, _), i) =>
+      require(r == i, s"Bpe.load: merge table at $path is not rank-dense " +
+        s"(found rank $r at position $i) — corrupted or partially written artifact")
+    }
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("distinct_words").cast("long"), col("fitted_words").cast("int"),
+        col("total_tokens").cast("long"))
+      .as[(Long, Int, Long)].head()
+    BpeModel(merges.map { case (_, l, r) => (l, r) }.toIndexedSeq,
+      meta._1, meta._2, meta._3)
+  }
+
   /** Exact detokenization of [[encodeDocs]] output: concatenate and
     * split on the end-of-word sentinel. Round-trips the original
     * text modulo whitespace runs (specs assert equality against

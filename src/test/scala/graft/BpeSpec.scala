@@ -125,6 +125,56 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.detokenize(enc.toIndexedSeq) === "zebra")
   }
 
+  test("save/load round-trips the model; corrupted rank tables fail loudly") {
+    val docs = sfDocs()
+    val m = Bpe.train(docs, "text", numMerges = 96, maxWords = 4096)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    Bpe.save(m, spark, path)
+    val back = Bpe.load(spark, path)
+    assert(back.merges === m.merges)
+    assert(back.distinctWords === m.distinctWords)
+    assert(back.fittedWords === m.fittedWords)
+    // the reloaded model encodes identically
+    val a = Bpe.tokenCounts(docs, "doc_id", "text", m).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Bpe.tokenCounts(docs, "doc_id", "text", back).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+    // rank-density guard: drop one merge row -> load must refuse
+    val broken = java.nio.file.Files.createTempDirectory("graft_bpe_bad_").toString
+    import spark.implicits._
+    m.merges.zipWithIndex.filter(_._2 != 3)
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+      .write.mode("overwrite").parquet(s"$broken/merges")
+    Seq((1L, 1, 1L)).toDF("distinct_words", "fitted_words", "total_tokens")
+      .write.parquet(s"$broken/meta")
+    val e = intercept[IllegalArgumentException](Bpe.load(spark, broken))
+    assert(e.getMessage.contains("rank-dense"))
+  }
+
+  test("streaming encode twin: token counts on a documents stream == batch rows") {
+    // encode is stateless (pure function of the row under the
+    // broadcast model), so the SAME tokenCounts call runs on a
+    // file-source stream and must produce the identical counts
+    val m = Bpe.train(sfDocs(), "text", numMerges = 80, maxWords = 4096)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_stream_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001"), "documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Bpe.tokenCounts(stream, "doc_id", "text", m)
+      .writeStream.format("memory").queryName("bpe_stream_counts")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bpe_stream_counts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Bpe.tokenCounts(sfDocs(), "doc_id", "text", m).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("empty and null text encode to zero tokens, never throw") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
