@@ -54,15 +54,34 @@ object Bpe {
     * matched, so no input character sequence can forge it). */
   val EndOfWord = "</w>"
 
+  /** Id 0 of every vocabulary: the unknown-symbol token. A character
+    * never seen at FIT time has no learned id; mapping it to a
+    * reserved unk id (instead of dropping or crashing) is what every
+    * production tokenizer does with out-of-charset bytes. */
+  val UnkToken = "<unk>"
+
   /** A learned model: merge list in rank order (rank = learning
-    * order; lower merges first at encode time) plus fit provenance a
-    * 100 TB deployment wants auditable. */
+    * order; lower merges first at encode time), the fit-time
+    * character set (the vocabulary's base alphabet), plus fit
+    * provenance a 100 TB deployment wants auditable. */
   final case class BpeModel(
       merges: IndexedSeq[(String, String)],
-      distinctWords: Long, fittedWords: Int, totalTokens: Long) {
+      distinctWords: Long, fittedWords: Int, totalTokens: Long,
+      baseChars: IndexedSeq[String] = IndexedSeq.empty) {
     /** rank lookup the encoder broadcasts: (left, right) -> rank */
     lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+
+    /** Deterministic token-id vocabulary: id 0 = [[UnkToken]], then
+      * the sorted fit-time base alphabet (+ sentinel), then the
+      * merged symbols in rank order — a pure function of the model,
+      * so any two loads of the same artifact agree. Downstream
+      * packing/batching consumes these ids, not strings. */
+    lazy val vocab: Map[String, Int] = {
+      val base = (baseChars.toSet + EndOfWord).toSeq.sorted
+      val mergedSyms = merges.map { case (l, r) => l + r }
+      (UnkToken +: (base ++ mergedSyms)).zipWithIndex.toMap
+    }
   }
 
   private def splitWords(text: String): Iterator[String] =
@@ -164,7 +183,9 @@ object Bpe {
       }
     }
     BpeModel(merges.toIndexedSeq, distinctWords, wordCounts.length,
-      totalTokens)
+      totalTokens,
+      wordCounts.iterator.flatMap(_._1.iterator).map(_.toString)
+        .toSet.toIndexedSeq.sorted)
   }
 
   /** Encode one word with the standard greedy lowest-rank loop. Pure;
@@ -228,6 +249,30 @@ object Bpe {
       }.toDF(idCol, "tokens")
   }
 
+  /** Distributed encode to token IDS: (id, token_ids) per document —
+    * what packing/batching actually consumes. Symbols outside the
+    * fit-time vocabulary (unseen characters) map to [[UnkToken]]'s
+    * id 0. Same partition-local broadcast-memo shape as
+    * [[encodeDocs]]. */
+  def encodeDocIds(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcRanks = spark.sparkContext.broadcast(model.ranks)
+    val bcVocab = spark.sparkContext.broadcast(model.vocab)
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new Memo(bcRanks.value, MemoCap)
+        val vocab = bcVocab.value
+        it.map { case (id, text) =>
+          (id, splitWords(text)
+            .flatMap(w => memo.encode(w).iterator.map(vocab.getOrElse(_, 0)))
+            .toArray)
+        }
+      }.toDF(idCol, "token_ids")
+  }
+
   /** Distributed token count per document — the budgeting/packing
     * input every pipeline stage downstream of tokenization consumes. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
@@ -262,6 +307,8 @@ object Bpe {
     Seq((model.distinctWords, model.fittedWords, model.totalTokens))
       .toDF("distinct_words", "fitted_words", "total_tokens")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    model.baseChars.toDF("ch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/chars")
   }
 
   /** Load a persisted model. The merge list is rank-dense by
@@ -282,8 +329,10 @@ object Bpe {
       .select(col("distinct_words").cast("long"), col("fitted_words").cast("int"),
         col("total_tokens").cast("long"))
       .as[(Long, Int, Long)].head()
+    val chars = spark.read.parquet(s"$path/chars")
+      .select(col("ch")).as[String].collect().toIndexedSeq.sorted
     BpeModel(merges.map { case (_, l, r) => (l, r) }.toIndexedSeq,
-      meta._1, meta._2, meta._3)
+      meta._1, meta._2, meta._3, chars)
   }
 
   /** Exact detokenization of [[encodeDocs]] output: concatenate and

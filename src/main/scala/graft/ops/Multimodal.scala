@@ -197,6 +197,29 @@ object Multimodal {
     else "application/octet-stream"
   }
 
+  /** Unified media container sniff across all three modalities —
+    * images and PCM audio route to the REAL kernels; video containers
+    * (MP4 `ftyp` box, Matroska/WebM EBML, RIFF/AVI) are identified by
+    * magic bytes even though their codecs stay stubbed, so a mixed
+    * 100 TB media corpus can be partitioned/routed by modality with
+    * one cheap O(1) scan before any decode is attempted. */
+  def sniffMediaMime(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (bytes != null && i < bytes.length) bytes(i) & 0xff else -1
+    val img = sniffMime(bytes)
+    if (img != "application/octet-stream") img
+    else {
+      val audio = sniffAudioMime(bytes)
+      if (audio != "application/octet-stream") audio
+      // ISO BMFF: size box then 'ftyp' at offset 4
+      else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "video/mp4"
+      // Matroska/WebM EBML header
+      else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3) "video/webm"
+      else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+          at(8) == 'A' && at(9) == 'V' && at(10) == 'I') "video/x-msvideo"
+      else "application/octet-stream"
+    }
+  }
+
   /** CPU guard, the audio analogue of [[MaxDecodePixels]]: feature
     * extraction streams PCM frames and stops after this many, so one
     * hour-long clip costs the same bounded scan as a one-second one

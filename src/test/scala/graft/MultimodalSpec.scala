@@ -217,6 +217,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.sniffAudioMime(null) === "application/octet-stream")
   }
 
+  test("sniffMediaMime routes all three modalities from magic bytes") {
+    assert(Multimodal.sniffMediaMime(pngOf(2, 2, 1)) === "image/png")
+    assert(Multimodal.sniffMediaMime(Multimodal.syntheticWav(1L, 8000, 8))
+      === "audio/wav")
+    val mp4 = Array[Byte](0, 0, 0, 0x18, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
+    assert(Multimodal.sniffMediaMime(mp4) === "video/mp4")
+    val webm = Array(0x1a, 0x45, 0xdf, 0xa3, 0x42).map(_.toByte)
+    assert(Multimodal.sniffMediaMime(webm) === "video/webm")
+    assert(Multimodal.sniffMediaMime("RIFFxxxxAVI LIST".getBytes("US-ASCII"))
+      === "video/x-msvideo")
+    assert(Multimodal.sniffMediaMime("plain".getBytes("US-ASCII"))
+      === "application/octet-stream")
+    assert(Multimodal.sniffMediaMime(null) === "application/octet-stream")
+  }
+
   test("decodeAudio: sine WAV statistics match closed-form expectations") {
     // 440 Hz at 8 kHz, amplitude 0.5, one second: rms = amp/sqrt(2),
     // zcr = 2 crossings per cycle = 2*440/8000 per frame
