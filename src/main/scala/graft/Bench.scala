@@ -303,7 +303,10 @@ object Bench {
       "dedup_degree", "ann_ivf_sq8", "ann_ivf_pq", "dedup_semantic",
       "dedup_semantic_hier", "ann_ivf_hier_topk", "split_by_cluster",
       "ann_ivf_knn_join", "ann_hier_knn_join", "ann_append_search",
-      "ann_compact_search", "ann_knn_join_stream")
+      "ann_compact_search", "ann_knn_join_stream",
+      // the BPE model memo (Batch12.model): whichever of the two bpe
+      // entries runs first pays the word-count fit, the other reads it
+      "bpe_train", "bpe_token_count")
     def render(queriesJson: String, extra: String) =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$extra,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
     val json = render(qs, "")

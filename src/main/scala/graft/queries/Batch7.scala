@@ -310,6 +310,33 @@ object Batch7 {
       None,
       "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
 
+    // ---- REAL pixel resize (round 12): synthesize per-doc PNGs (half
+    // above, half within the 12x10 bound by construction), run the
+    // real Graphics2D bilinear resize, then prove the output bytes by
+    // re-decoding them with the real kernel — dims must match the
+    // shared fitWithin arithmetic, passthroughs byte-identical.
+    // Rows-only gate; MultimodalSpec holds the pixel-statistics checks.
+    "mm_resize_real" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticPng(
+              id, 6 + (id % 16).toInt, 5 + (id % 12).toInt))
+          }).toDF("media_id", "media")
+        val resized = graft.ops.Multimodal.resizeImages(media, 12, 10)
+        resized.map { r =>
+          val back = graft.ops.Multimodal.decodeImage(r.media_id, r.out_bytes)
+          (r.media_id, r.changed, r.in_width, r.in_height,
+            r.out_width, r.out_height, back.width, back.height)
+        }.toDF("media_id", "changed", "in_w", "in_h",
+            "out_w", "out_h", "back_w", "back_h")
+          .orderBy("media_id")
+      },
+      None,
+      "real bilinear raster resize round-tripped through the real decoder (rows-only gate)"),
+
     // ---- corpus bigram-LM scoring: mean log P(w2|w1) per document,
     // with P = c(bigram)/c(unigram w1) over the whole corpus (history
     // counts include doc-final tokens; a simple consistent convention,

@@ -365,6 +365,24 @@ class MultimodalSpec extends SparkTestBase {
     })
   }
 
+  test("mm_resize_real catalog entry: resized dims obey fitWithin; round-trip decodes") {
+    val got = graft.queries.Catalog.queries("mm_resize_real")(spark, sf("sf0.001"))
+      .collect()
+    assert(got.length > 0)
+    var changed = 0
+    got.foreach { r =>
+      val (inW, inH) = (r.getAs[Int]("in_w"), r.getAs[Int]("in_h"))
+      val expect = Multimodal.fitWithin(inW, inH, 12, 10)
+      assert((r.getAs[Int]("out_w"), r.getAs[Int]("out_h")) === expect)
+      // output bytes are a genuine image at exactly the claimed dims
+      assert(r.getAs[Int]("back_w") === expect._1)
+      assert(r.getAs[Int]("back_h") === expect._2)
+      if (r.getAs[Boolean]("changed")) changed += 1
+    }
+    // the synthesized mix has both populations
+    assert(changed > 0 && changed < got.length)
+  }
+
   test("mm_decode catalog entry: every row really decoded with the synthesized dims") {
     val got = graft.queries.Catalog.queries("mm_decode")(spark, sf("sf0.001"))
       .collect()
