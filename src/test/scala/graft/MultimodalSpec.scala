@@ -283,6 +283,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(aiff.feature(2) - wav.feature(2)) < 1e-6)
   }
 
+  test("decodeAudio: 8-bit unsigned WAV exercises the 8-bit parse branch") {
+    // hand-rolled RIFF with fmt bits=8 (unsigned PCM by WAV spec):
+    // samples 128 + 100*sin — decode must center on 128 and scale /128
+    val n = 2000
+    val data = Array.tabulate(n)(i =>
+      (128 + 100 * math.sin(2 * math.Pi * 200 * i / 8000)).toByte)
+    val buf = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    buf.put(data)
+    val f = Multimodal.decodeAudio(20L, buf.array())
+    assert(f.decoded && f.n_frames === n.toLong && f.channels === 1)
+    // rms of a (100/128)-amp sine = (100/128)/sqrt(2) ≈ 0.5524
+    assert(math.abs(f.feature(0) - 100.0 / 128 / math.sqrt(2)) < 1e-2,
+      s"8-bit rms=${f.feature(0)}")
+    assert(math.abs(f.feature(2) - 2.0 * 200 / 8000) < 2e-3, "8-bit zcr")
+  }
+
+  test("decodeAudio: AU (audio/basic) container via the JDK writer decodes") {
+    val samples = Array.tabulate(512)(i =>
+      (0.3 * 32767 * math.sin(2 * math.Pi * 400 * i / 8000)).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val bb = java.nio.ByteBuffer.allocate(1024)
+    samples.foreach(s => bb.putShort(s))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AU, out)
+    val f = Multimodal.decodeAudio(21L, out.toByteArray)
+    assert(f.decoded && f.mime === "audio/basic")
+    assert(f.n_frames === 512L && f.sample_rate === 8000)
+    assert(math.abs(f.feature(0) - 0.3 / math.sqrt(2)) < 1e-2)
+  }
+
   test("decodeAudio: dirty/truncated/compressed bytes fall back to the stub, never throw") {
     assert(!Multimodal.decodeAudio(4L, "not audio at all".getBytes("UTF-8")).decoded)
     assert(!Multimodal.decodeAudio(5L, null).decoded)
