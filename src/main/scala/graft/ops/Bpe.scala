@@ -42,17 +42,21 @@ import org.apache.spark.sql.functions._
   *     approaches 1 on natural text, so per-row cost is amortized
   *     O(word length), not O(merges)).
   *
-  * Words are whitespace-split and carry the standard `</w>`
-  * end-of-word sentinel as a separate final symbol, so merges never
-  * cross word boundaries and detokenization is exact (concatenate,
-  * split on the sentinel).
+  * Words are whitespace-split and carry an end-of-word sentinel as a
+  * separate final symbol, so merges never cross word boundaries and
+  * detokenization is exact (concatenate, split on the sentinel).
   */
 object Bpe {
 
-  /** End-of-word sentinel symbol (kept OUT of the char vocabulary by
-    * construction: it is appended as its own symbol, never substring-
-    * matched, so no input character sequence can forge it). */
-  val EndOfWord = "</w>"
+  /** End-of-word sentinel symbol: a single space. Sennrich's paper
+    * prints `</w>`, but any PRINTABLE sentinel is forgeable — a corpus
+    * word like `</w>` itself would, after enough merges, fuse into a
+    * symbol string-equal to the sentinel and corrupt detokenization
+    * mid-word (r12 review). Words come from `split("\\s+")`, so a
+    * whitespace character is the one thing PROVABLY absent from every
+    * word — making the space sentinel unforgeable by construction, and
+    * detokenization exact on any corpus, markup included. */
+  val EndOfWord = " "
 
   /** Id 0 of every vocabulary: the unknown-symbol token. A character
     * never seen at FIT time has no learned id; mapping it to a
@@ -80,7 +84,13 @@ object Bpe {
     lazy val vocab: Map[String, Int] = {
       val base = (baseChars.toSet + EndOfWord).toSeq.sorted
       val mergedSyms = merges.map { case (l, r) => l + r }
-      (UnkToken +: (base ++ mergedSyms)).zipWithIndex.toMap
+      // distinct: two merges can produce the SAME symbol string
+      // (("a","bc") and ("ab","c") both yield "abc"); without dedup
+      // zipWithIndex.toMap keeps only the last id and the id space
+      // goes non-dense — an embedding table sized by vocab.size would
+      // be smaller than max(id)+1 (r12 review). First occurrence wins,
+      // ids stay dense 0..size-1.
+      (UnkToken +: (base ++ mergedSyms)).distinct.zipWithIndex.toMap
     }
   }
 
@@ -109,21 +119,29 @@ object Bpe {
       maxWords: Int = 1 << 20): BpeModel = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted across the two actions below (provenance agg + fit
+    // cut): without it each action re-plans and the full corpus scan +
+    // word-count shuffle — the expensive pass — runs twice (r12
+    // review). The persisted frame is the aggregated word table
+    // (|distinct words| rows), not the corpus.
     val words = docs.select(col(textCol).cast("string").as("text"))
       .as[String]
       .flatMap(splitWords _)
       .groupBy(col("value").as("word"))
       .agg(count(lit(1)).as("cnt"))
-    val agg = words.agg(
-      count(lit(1)).as("distinct_words"), sum("cnt").as("total")).head()
-    val distinctWords = agg.getLong(0)
-    val total = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    // the bounded fit cut — deterministic total order before limit
-    val fitted = words.orderBy(col("cnt").desc, col("word").asc)
-      .limit(maxWords)
-      .as[(String, Long)]
-      .collect()
-    learnMerges(fitted, numMerges, distinctWords, total)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = words.agg(
+        count(lit(1)).as("distinct_words"), sum("cnt").as("total")).head()
+      val distinctWords = agg.getLong(0)
+      val total = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      // the bounded fit cut — deterministic total order before limit
+      val fitted = words.orderBy(col("cnt").desc, col("word").asc)
+        .limit(maxWords)
+        .as[(String, Long)]
+        .collect()
+      learnMerges(fitted, numMerges, distinctWords, total)
+    } finally words.unpersist()
   }
 
   /** The driver-side greedy loop, exposed for direct spec fixtures
@@ -336,9 +354,10 @@ object Bpe {
   }
 
   /** Exact detokenization of [[encodeDocs]] output: concatenate and
-    * split on the end-of-word sentinel. Round-trips the original
-    * text modulo whitespace runs (specs assert equality against
-    * single-space-joined words). */
+    * split on the end-of-word sentinel — exact on ANY corpus because
+    * the whitespace sentinel cannot occur inside a word (see
+    * [[EndOfWord]]). Round-trips the original text modulo whitespace
+    * runs (specs assert equality against single-space-joined words). */
   def detokenize(tokens: Seq[String]): String =
     tokens.mkString("").split(java.util.regex.Pattern.quote(EndOfWord), -1)
       .iterator.filter(_.nonEmpty).mkString(" ")

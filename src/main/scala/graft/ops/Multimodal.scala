@@ -244,21 +244,20 @@ object Multimodal {
       bytes.length, h, 0, 0, 0L, 0.0, feat)
   }
 
-  /** REAL audio decode kernel, JDK-only (`javax.sound.sampled`):
-    * parses WAV/AIFF/AU via `AudioSystem.getAudioInputStream`, streams
-    * 8/16-bit PCM frames in [[AudioChunkBytes]] chunks (channels mixed
-    * to mono, samples normalized to [-1,1]) and derives an 8-dim
-    * signal feature vector:
-    * `[rms, peak, zeroCrossRate, e0, e1, e2, e3, log10(1+frames)]`
-    * where e0..e3 is a coarse 4-bucket energy envelope (bucket = RMS
-    * of that quarter of the *read* span). Undecodable, compressed, or
-    * header-only bytes fall back to the deterministic stub
-    * (`decoded=false`) instead of throwing mid-task; reads are capped
-    * at [[MaxDecodeFrames]] so per-row CPU is bounded. */
-  def decodeAudio(id: Long, bytes: Array[Byte]): AudioFeature = {
-    val b = if (bytes == null) Array.emptyByteArray else bytes
-    val mime = sniffAudioMime(b)
-    if (mime == "application/octet-stream") return decodeAudioStub(id, b)
+  /** Shared PCM streaming core (r12 review: the container/format guard
+    * and the 8/16-bit sample-parse/mono-mix loop previously existed
+    * verbatim in both kernels — one copy now): opens `b` as raw
+    * 8/16-bit PCM and hands `f` the format, the effective frame cap
+    * (min(header claim, `maxFrames`) — the stream never trusts the
+    * header), and a LAZY bounded mono-sample iterator reading
+    * [[AudioChunkBytes]] chunks, so per-row memory stays at the chunk
+    * ceiling whatever the clip length. Returns None — never throws —
+    * when the bytes are not JDK-decodable raw PCM (compressed payload,
+    * float PCM, µ-law, corrupt header): callers stub-fallback on None.
+    * The stream closes when `f` returns; the iterator must not escape. */
+  private def withPcmSamples[A](b: Array[Byte], maxFrames: Long)(
+      f: (javax.sound.sampled.AudioFormat, Long, Iterator[Double]) => A): Option[A] = {
+    if (sniffAudioMime(b) == "application/octet-stream") return None
     var ais: javax.sound.sampled.AudioInputStream = null
     try {
       ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -270,91 +269,123 @@ object Multimodal {
       val frameBytes = fmt.getFrameSize
       val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
       val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-      // only raw 8/16-bit PCM is decoded here; anything else (float
-      // PCM, µ-law, a compressed payload inside a WAV container) takes
-      // the stub fallback rather than a half-right sample parse
       if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
-          channels <= 0 || frameBytes != channels * (bits / 8))
-        return decodeAudioStub(id, b)
+          channels <= 0 || frameBytes != channels * (bits / 8)) return None
       val big = fmt.isBigEndian
       val bytesPerSample = bits / 8
-      // cap frames READ from the header's claim; stream never trusts it
       val headerFrames = ais.getFrameLength // -1 if unknown
-      val capFrames =
-        if (headerFrames >= 0) math.min(headerFrames, MaxDecodeFrames)
-        else MaxDecodeFrames
-      // two-pass-free envelope: quarter boundaries need the read span
-      // up front, so bucket by the CAPPED expectation and fold any
-      // tail (short read) into the last bucket
-      val chunk = new Array[Byte](AudioChunkBytes - AudioChunkBytes % math.max(frameBytes, 1))
+      val cap =
+        if (headerFrames >= 0) math.min(headerFrames, maxFrames) else maxFrames
+      val stream = ais
+      val samples = new Iterator[Double] {
+        private val chunk =
+          new Array[Byte](AudioChunkBytes - AudioChunkBytes % math.max(frameBytes, 1))
+        private var filled = 0
+        private var off = 0
+        private var frames = 0L
+        private var eof = false
+        private def refill(): Unit = {
+          if (off > 0 && filled > off) { // keep any partial tail frame
+            System.arraycopy(chunk, off, chunk, 0, filled - off)
+          }
+          filled -= off; off = 0
+          while (!eof && filled < frameBytes) {
+            val got = stream.read(chunk, filled, chunk.length - filled)
+            if (got <= 0) eof = true else filled += got
+          }
+        }
+        def hasNext: Boolean = {
+          if (frames >= cap) false
+          else {
+            if (filled - off < frameBytes) refill()
+            filled - off >= frameBytes
+          }
+        }
+        def next(): Double = {
+          // mono mix: mean of channels, normalized to [-1,1]
+          var csum = 0.0
+          var c = 0
+          while (c < channels) {
+            val so = off + c * bytesPerSample
+            val v =
+              if (bits == 8) {
+                if (signed) chunk(so).toDouble / 128.0
+                else ((chunk(so) & 0xff) - 128).toDouble / 128.0
+              } else {
+                val lo = chunk(so + (if (big) 1 else 0)) & 0xff
+                val hi = chunk(so + (if (big) 0 else 1)).toInt
+                val raw = (hi << 8) | lo
+                val s16 = if (signed) raw.toShort.toInt
+                          else (raw & 0xffff) - 32768
+                s16.toDouble / 32768.0
+              }
+            csum += v
+            c += 1
+          }
+          off += frameBytes
+          frames += 1
+          csum / channels
+        }
+      }
+      Some(f(fmt, cap, samples))
+    } catch {
+      case _: Exception => None
+    } finally if (ais != null) ais.close()
+  }
+
+  /** REAL audio decode kernel, JDK-only (`javax.sound.sampled`):
+    * parses WAV/AIFF/AU via `AudioSystem.getAudioInputStream`, streams
+    * 8/16-bit PCM frames in [[AudioChunkBytes]] chunks (channels mixed
+    * to mono, samples normalized to [-1,1]) and derives an 8-dim
+    * signal feature vector:
+    * `[rms, peak, zeroCrossRate, e0, e1, e2, e3, log10(1+frames)]`
+    * where e0..e3 is a coarse 4-bucket energy envelope (bucket = RMS
+    * of that quarter of the *read* span; the quarter boundaries come
+    * from the capped expectation, any short-read tail folds into the
+    * last bucket). Undecodable, compressed, or header-only bytes fall
+    * back to the deterministic stub (`decoded=false`) instead of
+    * throwing mid-task; reads are capped at [[MaxDecodeFrames]] so
+    * per-row CPU is bounded. */
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioFeature = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    withPcmSamples(b, MaxDecodeFrames) { (fmt, cap, samples) =>
       var frames = 0L
       var sumSq, peak = 0.0
       var crossings = 0L
       var prevSign = 0
       val envSumSq = new Array[Double](4)
       val envN = new Array[Long](4)
-      val quarter = math.max(capFrames / 4, 1L)
-      var eof = false
-      while (!eof && frames < capFrames) {
-        val want = math.min(chunk.length.toLong,
-          (capFrames - frames) * frameBytes).toInt
-        val got = ais.read(chunk, 0, want)
-        if (got <= 0) eof = true
-        else {
-          var off = 0
-          while (off + frameBytes <= got) {
-            // mono mix: mean of channels, normalized to [-1,1]
-            var csum = 0.0
-            var c = 0
-            while (c < channels) {
-              val so = off + c * bytesPerSample
-              val v =
-                if (bits == 8) {
-                  if (signed) chunk(so).toDouble / 128.0
-                  else ((chunk(so) & 0xff) - 128).toDouble / 128.0
-                } else {
-                  val lo = chunk(so + (if (big) 1 else 0)) & 0xff
-                  val hi = chunk(so + (if (big) 0 else 1)).toInt
-                  val raw = (hi << 8) | lo
-                  val s16 = if (signed) raw.toShort.toInt
-                            else (raw & 0xffff) - 32768
-                  s16.toDouble / 32768.0
-                }
-              csum += v
-              c += 1
-            }
-            val s = csum / channels
-            sumSq += s * s
-            val as = math.abs(s)
-            if (as > peak) peak = as
-            val sign = if (s > 0) 1 else if (s < 0) -1 else 0
-            if (sign != 0) {
-              if (prevSign != 0 && sign != prevSign) crossings += 1
-              prevSign = sign
-            }
-            val bucket = math.min(frames / quarter, 3L).toInt
-            envSumSq(bucket) += s * s
-            envN(bucket) += 1
-            frames += 1
-            off += frameBytes
-          }
+      val quarter = math.max(cap / 4, 1L)
+      while (samples.hasNext) {
+        val s = samples.next()
+        sumSq += s * s
+        val as = math.abs(s)
+        if (as > peak) peak = as
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
         }
+        val bucket = math.min(frames / quarter, 3L).toInt
+        envSumSq(bucket) += s * s
+        envN(bucket) += 1
+        frames += 1
       }
-      if (frames == 0) return decodeAudioStub(id, b)
-      val rms = math.sqrt(sumSq / frames)
-      val zcr = crossings.toDouble / frames
-      val env = Array.tabulate(4)(i =>
-        if (envN(i) == 0) 0f else math.sqrt(envSumSq(i) / envN(i)).toFloat)
-      val sr = fmt.getSampleRate
-      AudioFeature(id, mime, decoded = true, b.length, HashOps.fnv64(b),
-        math.round(sr), channels, frames,
-        if (sr > 0) frames / sr.toDouble else 0.0,
-        Array(rms.toFloat, peak.toFloat, zcr.toFloat,
-          env(0), env(1), env(2), env(3),
-          math.log10(1.0 + frames).toFloat))
-    } catch {
-      case _: Exception => decodeAudioStub(id, b)
-    } finally if (ais != null) ais.close()
+      if (frames == 0) None
+      else {
+        val rms = math.sqrt(sumSq / frames)
+        val zcr = crossings.toDouble / frames
+        val env = Array.tabulate(4)(i =>
+          if (envN(i) == 0) 0f else math.sqrt(envSumSq(i) / envN(i)).toFloat)
+        val sr = fmt.getSampleRate
+        Some(AudioFeature(id, sniffAudioMime(b), decoded = true, b.length,
+          HashOps.fnv64(b), math.round(sr), fmt.getChannels, frames,
+          if (sr > 0) frames / sr.toDouble else 0.0,
+          Array(rms.toFloat, peak.toFloat, zcr.toFloat,
+            env(0), env(1), env(2), env(3),
+            math.log10(1.0 + frames).toFloat)))
+      }
+    }.flatten.getOrElse(decodeAudioStub(id, b))
   }
 
   /** Batched REAL audio feature extraction over (media_id, media)
@@ -375,35 +406,27 @@ object Multimodal {
       media_id: Long, window_no: Int, start_frame: Long, n_frames: Long,
       rms: Float, peak: Float, zcr: Float)
 
-  /** REAL windowed audio features: decode (same guarded kernel path as
-    * [[decodeAudio]]), then emit one row per `windowFrames`-sized
-    * window with its RMS / peak / zero-crossing rate — the
-    * feature-extraction shape a speech/audio training pipeline feeds
-    * into segment filtering. Undecodable bytes yield zero rows (the
-    * explode-to-nothing convention `sampleFrames` documents for dirty
-    * corpora). Streaming: windows are computed in one chunked pass —
-    * the clip is never materialized. */
+  /** Bound on windows emitted per clip (r12 review: the window buffer
+    * must materialize before the stream closes, so its size — not just
+    * the chunk size — is the per-row memory ceiling; 64k windows ≈ a
+    * few MB, and `windowFrames * MaxAudioWindows` frames of audio is
+    * hours at any practical window). */
+  private val MaxAudioWindows = 1 << 16
+
+  /** REAL windowed audio features: the shared [[withPcmSamples]] core,
+    * one row per `windowFrames`-sized window with its RMS / peak /
+    * zero-crossing rate — the feature-extraction shape a speech/audio
+    * training pipeline feeds into segment filtering. Undecodable bytes
+    * yield zero rows (the explode-to-nothing convention `sampleFrames`
+    * documents for dirty corpora). One chunked pass; per-row memory is
+    * bounded by [[MaxAudioWindows]] window rows + one chunk. */
   def decodeAudioWindows(id: Long, bytes: Array[Byte],
       windowFrames: Int): Iterator[AudioWindow] = {
     require(windowFrames > 0, "decodeAudioWindows: windowFrames must be positive")
     val b = if (bytes == null) Array.emptyByteArray else bytes
-    if (sniffAudioMime(b) == "application/octet-stream") return Iterator.empty
-    var ais: javax.sound.sampled.AudioInputStream = null
-    try {
-      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val fmt = ais.getFormat
-      val enc = fmt.getEncoding
-      val bits = fmt.getSampleSizeInBits
-      val channels = fmt.getChannels
-      val frameBytes = fmt.getFrameSize
-      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-      if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
-          channels <= 0 || frameBytes != channels * (bits / 8)) return Iterator.empty
-      val big = fmt.isBigEndian
-      val bytesPerSample = bits / 8
-      val chunk = new Array[Byte](AudioChunkBytes - AudioChunkBytes % math.max(frameBytes, 1))
+    val frameCap = math.min(MaxDecodeFrames,
+      windowFrames.toLong * MaxAudioWindows)
+    withPcmSamples(b, frameCap) { (_, _, samples) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
       var frames = 0L
       var winNo = 0
@@ -422,53 +445,23 @@ object Multimodal {
         // prevSign carries across the boundary: a crossing between the
         // last sample of one window and the first of the next is real
       }
-      var eof = false
-      while (!eof && frames < MaxDecodeFrames) {
-        val got = ais.read(chunk, 0, chunk.length)
-        if (got <= 0) eof = true
-        else {
-          var off = 0
-          while (off + frameBytes <= got && frames < MaxDecodeFrames) {
-            var csum = 0.0
-            var c = 0
-            while (c < channels) {
-              val so = off + c * bytesPerSample
-              val v =
-                if (bits == 8) {
-                  if (signed) chunk(so).toDouble / 128.0
-                  else ((chunk(so) & 0xff) - 128).toDouble / 128.0
-                } else {
-                  val lo = chunk(so + (if (big) 1 else 0)) & 0xff
-                  val hi = chunk(so + (if (big) 0 else 1)).toInt
-                  val raw = (hi << 8) | lo
-                  val s16 = if (signed) raw.toShort.toInt
-                            else (raw & 0xffff) - 32768
-                  s16.toDouble / 32768.0
-                }
-              csum += v
-              c += 1
-            }
-            val sVal = csum / channels
-            sumSq += sVal * sVal
-            val as = math.abs(sVal)
-            if (as > peak) peak = as
-            val sign = if (sVal > 0) 1 else if (sVal < 0) -1 else 0
-            if (sign != 0) {
-              if (prevSign != 0 && sign != prevSign) crossings += 1
-              prevSign = sign
-            }
-            winN += 1
-            frames += 1
-            if (winN == windowFrames) flush()
-            off += frameBytes
-          }
+      while (samples.hasNext) {
+        val s = samples.next()
+        sumSq += s * s
+        val as = math.abs(s)
+        if (as > peak) peak = as
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
         }
+        winN += 1
+        frames += 1
+        if (winN == windowFrames) flush()
       }
       flush() // tail window (shorter than windowFrames)
       out.iterator
-    } catch {
-      case _: Exception => Iterator.empty
-    } finally if (ais != null) ais.close()
+    }.getOrElse(Iterator.empty)
   }
 
   /** Batched windowed audio features: partition-local `flatMap` — the
@@ -586,12 +579,15 @@ object Multimodal {
       in_width: Int, in_height: Int, out_width: Int, out_height: Int,
       out_bytes: Array[Byte])
 
-  /** Aspect-preserving target dims (floor, never upscale) — the exact
+  /** Aspect-preserving target dims (floor, never upscale, never below
+    * 1px — an extreme aspect ratio like 2000×1 under a 12×10 bound
+    * would otherwise floor a dimension to 0, r12 review) — the exact
     * arithmetic [[resizeMeta]] runs columnar and the oracle re-derives
     * in SQL; shared so the real pixel path can't drift from it. */
   def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
     val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
-    (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+    (math.max(math.floor(w * scale).toInt, 1),
+      math.max(math.floor(h * scale).toInt, 1))
   }
 
   /** REAL pixel resize, JDK-only: decode (under the same
@@ -619,8 +615,7 @@ object Multimodal {
         ResizedImage(id, resized = true, changed = false, w, h, w, h, b)
       else {
         val out = new java.awt.image.BufferedImage(
-          math.max(ow, 1), math.max(oh, 1),
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
         try {
           g.setRenderingHint(
@@ -654,8 +649,10 @@ object Multimodal {
     val scale = least(
       lit(maxW.toDouble) / col("fake_width"),
       lit(maxH.toDouble) / col("fake_height"), lit(1.0))
-    df.withColumn("out_width", floor(col("fake_width") * scale).cast("int"))
-      .withColumn("out_height", floor(col("fake_height") * scale).cast("int"))
+    df.withColumn("out_width",
+        greatest(floor(col("fake_width") * scale), lit(1)).cast("int"))
+      .withColumn("out_height",
+        greatest(floor(col("fake_height") * scale), lit(1)).cast("int"))
   }
 
   /** STUB frame sampling: a video becomes `n` evenly-spaced "frames"

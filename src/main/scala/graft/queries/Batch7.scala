@@ -215,8 +215,8 @@ object Batch7 {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, fake_width, fake_height,
-             |  CAST(floor(fake_width * s) AS INT) AS out_width,
-             |  CAST(floor(fake_height * s) AS INT) AS out_height
+             |  CAST(greatest(floor(fake_width * s), 1) AS INT) AS out_width,
+             |  CAST(greatest(floor(fake_height * s), 1) AS INT) AS out_height
              |FROM (
              |  SELECT doc_id, fake_width, fake_height,
              |    least(320.0 / fake_width, 240.0 / fake_height, 1.0) AS s

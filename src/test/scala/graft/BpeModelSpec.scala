@@ -91,6 +91,41 @@ class BpeModelSpec extends AnyFunSuite {
     }
   }
 
+  test("markup corpora round-trip: a word spelling out the old printable sentinel cannot forge it") {
+    // r12 review: with a printable sentinel like "</w>" a corpus word
+    // literally spelling it fused, after enough merges, into a symbol
+    // string-equal to the sentinel and corrupted detokenization. The
+    // whitespace sentinel is provably absent from every word.
+    val table: Array[(String, Long)] = Array(
+      ("</w>", 20L), ("x</w>y", 7L), ("<w>", 5L), ("plain", 3L))
+    val m = Bpe.learnMerges(table, numMerges = 40)
+    table.foreach { case (w, _) =>
+      val enc = Bpe.encodeWord(w, m.ranks)
+      assert(Bpe.detokenize(enc.toIndexedSeq) === w, s"word=$w")
+    }
+    // multi-word stream round-trips too
+    val stream = table.flatMap { case (w, _) => Bpe.encodeWord(w, m.ranks) }
+    assert(Bpe.detokenize(stream.toIndexedSeq) === table.map(_._1).mkString(" "))
+  }
+
+  test("vocab ids stay dense when two merges produce the same symbol string") {
+    (1L to 200L).foreach { seed =>
+      val table = sample(tableGen, seed)
+      val m = Bpe.learnMerges(table, numMerges = 32)
+      val ids = m.vocab.values.toSeq.sorted
+      assert(ids === (0 until m.vocab.size), s"seed=$seed non-dense ids")
+    }
+    // directed duplicate-symbol case: hand-built ranks can't be fed to
+    // vocab (it derives from merges), so construct a model whose merge
+    // list contains a genuine duplicate product
+    val dup = Bpe.BpeModel(
+      IndexedSeq(("a", "b"), ("b", "c"), ("a", "bc"), ("ab", "c")),
+      0, 0, 0, IndexedSeq("a", "b", "c"))
+    val ids = dup.vocab.values.toSeq.sorted
+    assert(ids === (0 until dup.vocab.size))
+    assert(dup.vocab.contains("abc"))
+  }
+
   test("learned merges never cross word boundaries") {
     (1L to 100L).foreach { seed =>
       val table = sample(tableGen, seed)
