@@ -106,7 +106,21 @@ object Sources {
       .load().selectExpr("CAST(value AS STRING) AS payload")),
     "rate" -> ((s, c) => s.readStream.format("rate")
       .option("rowsPerSecond", c.config.getOrElse("rows_per_second", "10"))
-      .load().selectExpr("CAST(value AS STRING) AS payload")))
+      .load().selectExpr("CAST(value AS STRING) AS payload")),
+    // README-declared webhook source (reference README.md:66-83; zero
+    // code there — beyond-parity here). Inbound HTTP POSTs land in a
+    // spool directory (the receiver writes complete files atomically,
+    // see [[WebhookSource]]), and the stream is the file source over
+    // that spool — so ingestion survives driver restarts (spooled
+    // payloads are durable and replayable from the checkpoint) instead
+    // of living in server memory. The factory wires the SPOOL; the
+    // receiver's lifecycle (bind/stop) is explicit via
+    // [[WebhookSource.start]], owned by whoever owns the port.
+    "webhook" -> ((s, c) => {
+      val spool = c.config.getOrElse("spool_path",
+        sys.error(s"source '${c.name}': missing 'spool_path'"))
+      s.readStream.text(spool).withColumnRenamed("value", "payload")
+    }))
 
   /** S6 http fetch kernels, shared by the single- and many-URL layouts. */
   object HttpSource {
@@ -130,6 +144,61 @@ object Sources {
         .mapPartitions(it => it.flatMap(fetchOne))(
           org.apache.spark.sql.Encoders.STRING)
         .toDF("payload")
+  }
+
+  /** Inbound-HTTP receiver backing the `webhook` stream source: every
+    * POST body becomes one spool file, written atomically (temp file +
+    * rename in the same directory) so the Structured Streaming file
+    * source can never observe a half-written payload. Payload bytes
+    * are spooled verbatim — one POST = one file = its lines become
+    * rows, so a caller POSTing NDJSON gets one row per line (the
+    * file-source contract, same as the `file` type).
+    *
+    * Scale/deployment notes: the receiver is a spool WRITER, not part
+    * of the query plan — run N receivers behind a load balancer all
+    * writing the same (shared-fs/object-store) spool and one Spark
+    * query tails them all; durability is the spool file, so a crashed
+    * driver replays from its checkpoint without data loss (the
+    * at-least-once contract every file source carries). 413-caps the
+    * body at `maxBodyBytes` — an unbounded webhook body is the HTTP
+    * shape of a decompression bomb. */
+  object WebhookSource {
+    final class Receiver private[WebhookSource] (
+        server: com.sun.net.httpserver.HttpServer, val spoolDir: String) {
+      def port: Int = server.getAddress.getPort
+      def stop(): Unit = server.stop(0)
+    }
+
+    def start(spoolDir: String, port: Int = 0,
+        maxBodyBytes: Int = 8 * 1024 * 1024): Receiver = {
+      val dir = java.nio.file.Paths.get(spoolDir)
+      java.nio.file.Files.createDirectories(dir)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", port), 0)
+      server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        try {
+          if (ex.getRequestMethod != "POST") {
+            ex.sendResponseHeaders(405, -1)
+          } else {
+            val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+            if (body.length > maxBodyBytes) {
+              ex.sendResponseHeaders(413, -1)
+            } else {
+              val tmp = java.nio.file.Files.createTempFile(dir, ".spool-", ".tmp")
+              java.nio.file.Files.write(tmp, body)
+              // rename within the directory: atomic on POSIX, and the
+              // file source ignores the dot-prefixed temp name anyway
+              java.nio.file.Files.move(tmp, dir.resolve(
+                s"wh-${System.nanoTime()}-${java.util.UUID.randomUUID()}.ndjson"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              ex.sendResponseHeaders(204, -1)
+            }
+          }
+        } finally ex.close()
+      })
+      server.start()
+      new Receiver(server, spoolDir)
+    }
   }
 
   def resolveBatch(c: EndpointConfig): BatchSource =

@@ -147,4 +147,40 @@ class HttpSpec extends SparkTestBase {
         """{"payload":"{\"k\":\"y\"}"}"""))
     } finally stop()
   }
+
+  // ---- webhook source: inbound POSTs -> atomic spool files -> the
+  // streaming file source (README.md:66-83 declares it; the reference
+  // ships no code for it)
+
+  private def post(url: String, body: String): Int = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+
+  test("webhook source: POSTed payloads become stream rows; GET rejected; body capped") {
+    val spool = java.nio.file.Files.createTempDirectory("graft_webhook_").toString
+    val rx = Sources.WebhookSource.start(spool, maxBodyBytes = 1024)
+    try {
+      val base = s"http://127.0.0.1:${rx.port}/"
+      assert(post(base, """{"ev":"a"}""") === 204)
+      assert(post(base, "{\"ev\":\"b\"}\n{\"ev\":\"c\"}") === 204) // NDJSON: 2 rows
+      assert(post(base, "x" * 2000) === 413) // bomb-capped, not spooled
+      // GET is not an ingestion verb
+      val getCode = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(base)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      assert(getCode === 405)
+      val cfg = EndpointConfig("wh", "webhook",
+        config = Map("spool_path" -> spool), key = "whk")
+      val q = Sources.resolveStream(cfg)(spark, cfg)
+        .writeStream.format("memory").queryName("wh_rows")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("wh_rows").collect().map(_.getString(0)).toSet
+      assert(rows === Set("""{"ev":"a"}""", """{"ev":"b"}""", """{"ev":"c"}"""))
+    } finally rx.stop()
+  }
 }
