@@ -316,10 +316,16 @@ object Batch7 {
     // re-decoding them with the real kernel — dims must match the
     // shared fitWithin arithmetic, passthroughs byte-identical.
     // Rows-only gate; MultimodalSpec holds the pixel-statistics checks.
+    // Deterministic 1-in-5 doc subsample: each kept row costs ~4
+    // ImageIO passes (synth encode, guarded decode, re-encode,
+    // decode-back), and the full population benched 8.8 s at sf0.1
+    // for a demo whose correctness is per-row — the subsample keeps
+    // both dim populations and every code path at a fifth the cost.
     "mm_resize_real" -> Q(
       (s, dir) => {
         import s.implicits._
         val media = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
           .select(col("doc_id").cast("long")).as[Long]
           .mapPartitions(_.map { id =>
             (id, graft.ops.Multimodal.syntheticPng(
