@@ -61,8 +61,15 @@ object Bpe {
   /** Id 0 of every vocabulary: the unknown-symbol token. A character
     * never seen at FIT time has no learned id; mapping it to a
     * reserved unk id (instead of dropping or crashing) is what every
-    * production tokenizer does with out-of-charset bytes. */
-  val UnkToken = "<unk>"
+    * production tokenizer does with out-of-charset bytes. The INTERIOR
+    * space makes it unforgeable (r12 review, same argument as
+    * [[EndOfWord]]): merged symbols are concatenations of word
+    * characters (never whitespace) with at most one trailing sentinel
+    * space, so no learned symbol can ever contain a mid-string space —
+    * while a plain "<unk>" could be fused verbatim from an
+    * ML-preprocessed corpus that contains the literal string and
+    * would collide with reserved id 0. */
+  val UnkToken = "<unk >"
 
   /** A learned model: merge list in rank order (rank = learning
     * order; lower merges first at encode time), the fit-time
@@ -98,13 +105,22 @@ object Bpe {
     if (text == null) Iterator.empty
     else text.split("\\s+").iterator.filter(_.nonEmpty)
 
-  /** Initial symbol sequence of a word: one symbol per char + the
-    * end-of-word sentinel. */
+  /** Initial symbol sequence of a word: one symbol per CODE POINT +
+    * the end-of-word sentinel. Code points, not UTF-16 chars (r12
+    * review): splitting an emoji's surrogate pair into two lone-
+    * surrogate symbols would survive in-memory but be silently
+    * replaced with '?' at every UTF-8 boundary (parquet save/load,
+    * DataFrame string columns), so a reloaded model would encode
+    * differently than the trained one on any emoji-bearing corpus. */
   private def initSymbols(word: String): Array[String] = {
-    val out = new Array[String](word.length + 1)
+    val cps = word.codePoints().toArray
+    val out = new Array[String](cps.length + 1)
     var i = 0
-    while (i < word.length) { out(i) = word.charAt(i).toString; i += 1 }
-    out(word.length) = EndOfWord
+    while (i < cps.length) {
+      out(i) = new String(Character.toChars(cps(i)))
+      i += 1
+    }
+    out(cps.length) = EndOfWord
     out
   }
 
@@ -163,6 +179,13 @@ object Bpe {
         val n = pairCount.getOrElse(p, 0L) + sign * c
         if (n == 0L) pairCount.remove(p) else pairCount(p) = n
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        else pairWords.get(p).foreach { set =>
+          // exact index maintenance (r12 review): leaving retracted
+          // words registered made later rounds rescan words whose
+          // occurrence of the pair an earlier merge already destroyed
+          set -= wi
+          if (set.isEmpty) pairWords.remove(p)
+        }
         i += 1
       }
     }
@@ -202,7 +225,9 @@ object Bpe {
     }
     BpeModel(merges.toIndexedSeq, distinctWords, wordCounts.length,
       totalTokens,
-      wordCounts.iterator.flatMap(_._1.iterator).map(_.toString)
+      // per code point, matching initSymbols (surrogate pairs intact)
+      wordCounts.iterator.flatMap(
+          _._1.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
         .toSet.toIndexedSeq.sorted)
   }
 

@@ -278,8 +278,14 @@ object Multimodal {
         if (headerFrames >= 0) math.min(headerFrames, maxFrames) else maxFrames
       val stream = ais
       val samples = new Iterator[Double] {
-        private val chunk =
-          new Array[Byte](AudioChunkBytes - AudioChunkBytes % math.max(frameBytes, 1))
+        // whole frames per chunk; a frame WIDER than the chunk budget
+        // (WAV allows 65535 channels -> frameBytes past 64 KiB) gets a
+        // one-frame chunk instead of the zero-length buffer the plain
+        // modulo arithmetic produced (read(len=0)==0 then read as EOF
+        // -> silent stub for decodable audio, r12 review)
+        private val chunk = new Array[Byte](
+          if (frameBytes >= AudioChunkBytes) frameBytes
+          else AudioChunkBytes - AudioChunkBytes % frameBytes)
         private var filled = 0
         private var off = 0
         private var frames = 0L
@@ -572,8 +578,11 @@ object Multimodal {
   }
 
   /** Real resized image row: re-encoded PNG bytes + output dims.
-    * `resized=false` means the bytes were not decodable (or already
-    * within bounds and returned unchanged — see `changed`). */
+    * `resized=false` means the bytes were NOT decodable (original
+    * bytes pass through untouched). Decodable images always carry
+    * `resized=true`; `changed` then distinguishes a real raster
+    * rewrite from an already-within-bounds byte-identical
+    * passthrough. */
   final case class ResizedImage(
       media_id: Long, resized: Boolean, changed: Boolean,
       in_width: Int, in_height: Int, out_width: Int, out_height: Int,

@@ -169,12 +169,15 @@ object Sources {
       def stop(): Unit = server.stop(0)
     }
 
+    /** `host` defaults to loopback (the HttpService convention); a
+      * load-balanced deployment binds "0.0.0.0" explicitly. */
     def start(spoolDir: String, port: Int = 0,
-        maxBodyBytes: Int = 8 * 1024 * 1024): Receiver = {
+        maxBodyBytes: Int = 8 * 1024 * 1024,
+        host: String = "127.0.0.1"): Receiver = {
       val dir = java.nio.file.Paths.get(spoolDir)
       java.nio.file.Files.createDirectories(dir)
       val server = com.sun.net.httpserver.HttpServer.create(
-        new java.net.InetSocketAddress("127.0.0.1", port), 0)
+        new java.net.InetSocketAddress(host, port), 0)
       server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
         try {
           if (ex.getRequestMethod != "POST") {

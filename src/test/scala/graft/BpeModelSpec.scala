@@ -108,6 +108,41 @@ class BpeModelSpec extends AnyFunSuite {
     assert(Bpe.detokenize(stream.toIndexedSeq) === table.map(_._1).mkString(" "))
   }
 
+  test("non-BMP characters segment as whole code points, never lone surrogates") {
+    // r12 review: per-UTF-16-char segmentation split emoji into
+    // unpaired surrogates that every UTF-8 boundary (parquet, Spark
+    // strings) silently replaces with '?'
+    val smile = new String(Character.toChars(0x1F642)) // 🙂
+    val table: Array[(String, Long)] = Array((s"${smile}ab", 10L), (s"ab$smile", 4L))
+    val m = Bpe.learnMerges(table, numMerges = 16)
+    assert(m.baseChars.contains(smile))
+    m.baseChars.foreach(c =>
+      assert(!c.exists(Character.isSurrogate) || c.codePointCount(0, c.length) == 1,
+        s"lone surrogate symbol: ${c.map(_.toInt.toHexString)}"))
+    table.foreach { case (w, _) =>
+      val enc = Bpe.encodeWord(w, m.ranks)
+      enc.foreach(sym => assert(
+        !Character.isLowSurrogate(sym.head) && !Character.isHighSurrogate(sym.last),
+        s"symbol boundary splits a surrogate pair in $w"))
+      assert(Bpe.detokenize(enc.toIndexedSeq) === w)
+    }
+  }
+
+  test("the unk token cannot be forged: no learned symbol contains an interior space") {
+    // an ML-preprocessed corpus full of literal "<unk>" strings must
+    // not fuse a symbol equal to the reserved UnkToken
+    val table: Array[(String, Long)] = Array(
+      ("<unk>", 50L), ("x<unk>", 9L), ("<unk", 3L))
+    val m = Bpe.learnMerges(table, numMerges = 60)
+    val vocabSyms = m.vocab.keySet - Bpe.UnkToken
+    assert(!vocabSyms.contains(Bpe.UnkToken))
+    vocabSyms.foreach { s =>
+      val interior = s.dropRight(1) // at most one trailing sentinel space
+      assert(!interior.contains(' '), s"interior space in learned symbol '$s'")
+    }
+    assert(m.vocab(Bpe.UnkToken) === 0)
+  }
+
   test("vocab ids stay dense when two merges produce the same symbol string") {
     (1L to 200L).foreach { seed =>
       val table = sample(tableGen, seed)

@@ -180,6 +180,26 @@ class BpeSpec extends SparkTestBase {
     assert(e.getMessage.contains("rank-dense"))
   }
 
+  test("emoji corpora survive the parquet persistence boundary intact") {
+    // r12 review: lone-surrogate symbols would be silently replaced
+    // with '?' by the UTF-8 write, making the reloaded model encode
+    // differently than the trained one
+    val smile = new String(Character.toChars(0x1F642))
+    val docs = Seq((1L, s"${smile}hi hi$smile hi"), (2L, s"$smile $smile hi"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 24)
+    assert(m.baseChars.contains(smile))
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_emoji_").toString
+    Bpe.save(m, spark, path)
+    val back = Bpe.load(spark, path)
+    assert(back.merges === m.merges && back.baseChars === m.baseChars)
+    // and the distributed encode round-trips the emoji text exactly
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", back)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(Bpe.detokenize(enc(1L)) === s"${smile}hi hi$smile hi")
+    assert(Bpe.detokenize(enc(2L)) === s"$smile $smile hi")
+  }
+
   test("streaming encode twin: token counts on a documents stream == batch rows") {
     // encode is stateless (pure function of the row under the
     // broadcast model), so the SAME tokenCounts call runs on a

@@ -285,9 +285,9 @@ class PlanSpec extends SparkTestBase {
     // exactly one hashpartitioning exchange (the shard window); the
     // only other exchange is the gate determinism orderBy's range
     // partitioning, which production callers drop with the orderBy
-    assert("hashpartitioning".r.findAllIn(plan).size >= 1, plan.take(2000))
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(3000))
+    assert("Exchange ".r.findAllIn(plan).size <= 2,
+      s"unexpected extra shuffles:\n${plan.take(3000)}")
   }
 }
