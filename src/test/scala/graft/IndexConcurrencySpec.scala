@@ -156,7 +156,18 @@ class IndexConcurrencySpec extends SparkTestBase {
     })
     reader.start()
     try (1 to 3).foreach(_ => Ann.compactIvf(spark, path))
-    finally { stop.set(true); reader.join() }
+    finally {
+      // vitality, not invariant: under a loaded host every in-flight
+      // read can overlap one of the three back-to-back swaps and fail
+      // cleanly, leaving zero completed reads at stop time — so after
+      // the last swap, give the reader a window with nothing racing it
+      // (post-swap reads always succeed: probed empirically, fresh
+      // listings see the new layout) before stopping
+      val vitality = System.currentTimeMillis() + 30000L
+      while (goodReads.get() == 0 && System.currentTimeMillis() < vitality)
+        Thread.sleep(50L)
+      stop.set(true); reader.join()
+    }
     assert(goodReads.get() > 0, "reader never completed a read")
     assert(badCounts.isEmpty,
       s"reader observed partial layouts with counts ${badCounts}")
