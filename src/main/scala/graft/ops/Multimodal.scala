@@ -480,6 +480,100 @@ object Multimodal {
       .flatMap { case (id, bytes) => decodeAudioWindows(id, bytes, windowFrames) }
   }
 
+  /** Real resampled audio row: re-encoded 16-bit mono WAV bytes at the
+    * target rate. `resampled=false` means the bytes were not decodable
+    * (original bytes pass through untouched); decodable clips always
+    * carry `resampled=true`, with `changed=false` when the clip was
+    * already mono at the target rate and passed through
+    * byte-identical — the audio mirror of [[ResizedImage]]'s
+    * contract. */
+  final case class ResampledAudio(
+      media_id: Long, resampled: Boolean, changed: Boolean,
+      in_rate: Int, in_channels: Int, in_frames: Long,
+      out_rate: Int, out_frames: Long, out_bytes: Array[Byte])
+
+  /** REAL audio resample, JDK-only: the normalization pass a speech
+    * pipeline runs before featurization (everything to 16 kHz mono),
+    * the audio analogue of [[resizeImage]]. Streams the source through
+    * the shared PCM core (mono mix included), linearly interpolates to
+    * `targetRate`, and re-encodes as 16-bit LE PCM WAV via the
+    * byte-exact [[pcm16Wav]] writer. Linear interpolation (not sinc)
+    * is the documented trade: one multiply-add per output sample,
+    * audibly adequate for feature extraction, and dependency-free.
+    * Undecodable bytes pass through with `resampled=false`; a clip
+    * already mono at the target rate passes through byte-identical.
+    * Output frames are bounded by [[MaxDecodeFrames]] scaled to the
+    * target rate, so per-row memory is capped like every kernel
+    * here. */
+  def resampleAudio(id: Long, bytes: Array[Byte], targetRate: Int): ResampledAudio = {
+    require(targetRate > 0, "resampleAudio: targetRate must be positive")
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    withPcmSamples(b, MaxDecodeFrames) { (fmt, _, samples) =>
+      val inRate = math.round(fmt.getSampleRate)
+      if (inRate <= 0) None
+      else if (inRate == targetRate && fmt.getChannels == 1 &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          sniffAudioMime(b) == "audio/wav") {
+        // already normalized: count frames (cheap scan), pass bytes through
+        var n = 0L
+        while (samples.hasNext) { samples.next(); n += 1 }
+        Some(ResampledAudio(id, resampled = true, changed = false,
+          inRate, 1, n, targetRate, n, b))
+      } else {
+        // streaming linear interpolation: output position t maps to
+        // source position t*inRate/targetRate; we hold only the two
+        // source samples bracketing the current output position
+        val out = new scala.collection.mutable.ArrayBuffer[Short]()
+        var inIdx = -1L
+        var prev = 0.0
+        var cur = 0.0
+        var outIdx = 0L
+        val ratio = inRate.toDouble / targetRate
+        var srcFrames = 0L
+        var done = false
+        // output is capped too: upsampling 8k->48k would otherwise
+        // multiply the frame cap by the rate ratio
+        while (!done && outIdx < MaxDecodeFrames) {
+          val srcPos = outIdx * ratio
+          val need = math.floor(srcPos).toLong + 1 // need source up to floor+1
+          while (inIdx < need && samples.hasNext) {
+            prev = cur
+            cur = samples.next()
+            inIdx += 1
+            srcFrames += 1
+          }
+          if (inIdx < need) done = true // source exhausted
+          else {
+            val frac = srcPos - math.floor(srcPos)
+            val lo = if (srcPos < inIdx) prev else cur
+            val s = lo * (1.0 - frac) + cur * frac
+            out += math.max(-32768, math.min(32767,
+              math.round(s * 32767.0))).toShort
+            outIdx += 1
+          }
+        }
+        // drain the tail count so in_frames reports the true read span
+        while (samples.hasNext) { samples.next(); srcFrames += 1 }
+        if (srcFrames == 0) None
+        else Some(ResampledAudio(id, resampled = true, changed = true,
+          inRate, fmt.getChannels, srcFrames, targetRate, out.length.toLong,
+          pcm16Wav(out.toArray, targetRate, 1)))
+      }
+    }.flatten.getOrElse(
+      ResampledAudio(id, resampled = false, changed = false, 0, 0, 0L,
+        targetRate, 0L, b))
+  }
+
+  /** Batched real resample over (media_id, media) rows: partition-
+    * local `mapPartitions`, no shuffle. */
+  def resampleAudios(df: DataFrame, targetRate: Int): Dataset[ResampledAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resampleAudio(id, bytes, targetRate) })
+  }
+
   /** Deterministic synthetic 16-bit little-endian PCM WAV: sample i of
     * channel c is a hash mix of (seed, i, c) — a byte-exact fixture
     * (hand-rolled RIFF header, no float path) the `mm_audio` gate and

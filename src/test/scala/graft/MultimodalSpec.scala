@@ -358,6 +358,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("resampleAudio: downsample halves frames, preserves RMS, round-trips through decode") {
+    // 1s of 300 Hz at 8 kHz -> 4 kHz: frames ~halve, tone stats survive
+    val src = Multimodal.sineWav(300.0, 8000, 8000, 0.5)
+    val r = Multimodal.resampleAudio(1L, src, 4000)
+    assert(r.resampled && r.changed)
+    assert(r.in_rate === 8000 && r.in_frames === 8000L && r.out_rate === 4000)
+    assert(math.abs(r.out_frames - 4000L) <= 2, s"out_frames=${r.out_frames}")
+    val back = Multimodal.decodeAudio(1L, r.out_bytes)
+    assert(back.decoded && back.sample_rate === 4000 && back.channels === 1)
+    assert(math.abs(back.feature(0) - 0.5 / math.sqrt(2)) < 5e-3,
+      s"rms drifted: ${back.feature(0)}")
+    // zcr per frame doubles at half the rate (same tone)
+    assert(math.abs(back.feature(2) - 2.0 * 300 / 4000) < 5e-3,
+      s"zcr=${back.feature(2)}")
+  }
+
+  test("resampleAudio: stereo input mono-mixes; upsample interpolates; passthrough byte-identical") {
+    // stereo 8 kHz -> mono 16 kHz upsample
+    val n = 1000
+    val inter = new Array[Short](n * 2)
+    (0 until n).foreach { i =>
+      val s = (0.4 * 32767 * math.sin(2 * math.Pi * 200 * i / 8000)).toShort
+      inter(2 * i) = s; inter(2 * i + 1) = s
+    }
+    val up = Multimodal.resampleAudio(2L, Multimodal.pcm16Wav(inter, 8000, 2), 16000)
+    assert(up.resampled && up.changed && up.in_channels === 2)
+    assert(math.abs(up.out_frames - 2L * n) <= 3, s"out_frames=${up.out_frames}")
+    val back = Multimodal.decodeAudio(2L, up.out_bytes)
+    assert(back.decoded && back.channels === 1)
+    assert(math.abs(back.feature(0) - 0.4 / math.sqrt(2)) < 5e-3)
+    // already mono-16bit-LE at the target rate: byte-identical passthrough
+    val normal = Multimodal.sineWav(440.0, 16000, 1024, 0.3)
+    val pass = Multimodal.resampleAudio(3L, normal, 16000)
+    assert(pass.resampled && !pass.changed && (pass.out_bytes sameElements normal))
+    assert(pass.in_frames === 1024L && pass.out_frames === 1024L)
+    // junk falls back untouched
+    val junk = Multimodal.resampleAudio(4L, "junk".getBytes("UTF-8"), 16000)
+    assert(!junk.resampled && (junk.out_bytes sameElements "junk".getBytes("UTF-8")))
+  }
+
+  test("resampleAudios: distributed, no shuffle") {
+    val rows = Seq(
+      (1L, Multimodal.sineWav(440.0, 8000, 800)),
+      (2L, "noise".getBytes("UTF-8"))).toDF("media_id", "media")
+    val ds = Multimodal.resampleAudios(rows, 16000)
+    val got = ds.collect().sortBy(_.media_id)
+    assert(got(0).resampled && got(0).out_rate === 16000)
+    assert(!got(1).resampled)
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("decodeAudioWindows: window boundaries, tail window, per-window stats") {
     // 2500 frames @ window 1000: windows of 1000/1000/500
     val n = 2500
