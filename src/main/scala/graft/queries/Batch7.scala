@@ -310,6 +310,35 @@ object Batch7 {
       None,
       "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
 
+    // ---- REAL audio resample (round 12): synthesize per-doc WAVs at
+    // mixed rates/channels (some already mono@8k -> byte-identical
+    // passthrough, the rest resampled), prove outputs by re-decoding
+    // with the real kernel at the target rate. Same 1-in-5 subsample
+    // discipline as mm_resize_real. Rows-only gate; MultimodalSpec
+    // holds the closed-form signal checks.
+    "mm_resample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val rate = if (id % 2 == 0) 8000 else 16000
+            (id, graft.ops.Multimodal.syntheticWav(
+              id, rate, 64 + (id % 128).toInt, 1 + (id % 3 % 2).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.resampleAudios(media, 8000)
+          .map { r =>
+            val back = graft.ops.Multimodal.decodeAudio(r.media_id, r.out_bytes)
+            (r.media_id, r.resampled, r.changed, r.in_rate, r.in_channels,
+              r.in_frames, r.out_frames, back.sample_rate, back.n_frames)
+          }.toDF("media_id", "resampled", "changed", "in_rate", "in_channels",
+            "in_frames", "out_frames", "back_rate", "back_frames")
+          .orderBy("media_id")
+      },
+      None,
+      "real streaming audio resample round-tripped through the real decoder (rows-only gate)"),
+
     // ---- REAL pixel resize (round 12): synthesize per-doc PNGs (half
     // above, half within the 12x10 bound by construction), run the
     // real Graphics2D bilinear resize, then prove the output bytes by

@@ -456,6 +456,25 @@ class MultimodalSpec extends SparkTestBase {
     })
   }
 
+  test("mm_resample catalog entry: passthroughs and resamples both verified by re-decode") {
+    val got = graft.queries.Catalog.queries("mm_resample")(spark, sf("sf0.001"))
+      .collect()
+    assert(got.length > 0)
+    var changed = 0
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("resampled"))
+      assert(r.getAs[Int]("back_rate") === 8000)
+      assert(r.getAs[Long]("back_frames") === r.getAs[Long]("out_frames"))
+      if (r.getAs[Boolean]("changed")) changed += 1
+      else {
+        // passthrough rows really were mono@8k already
+        assert(r.getAs[Int]("in_rate") === 8000 && r.getAs[Int]("in_channels") === 1)
+        assert(r.getAs[Long]("out_frames") === r.getAs[Long]("in_frames"))
+      }
+    }
+    assert(changed > 0 && changed < got.length, s"changed=$changed of ${got.length}")
+  }
+
   test("mm_resize_real catalog entry: resized dims obey fitWithin; round-trip decodes") {
     val got = graft.queries.Catalog.queries("mm_resize_real")(spark, sf("sf0.001"))
       .collect()
