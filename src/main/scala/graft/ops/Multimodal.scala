@@ -522,8 +522,11 @@ object Multimodal {
       } else {
         // streaming linear interpolation: output position t maps to
         // source position t*inRate/targetRate; we hold only the two
-        // source samples bracketing the current output position
-        val out = new scala.collection.mutable.ArrayBuffer[Short]()
+        // source samples bracketing the current output position.
+        // Primitive builder (r12 review) — a boxing ArrayBuffer[Short]
+        // held ~20x the bytes per sample on long clips
+        val out = new scala.collection.mutable.ArrayBuilder.ofShort()
+        var outLen = 0L
         var inIdx = -1L
         var prev = 0.0
         var cur = 0.0
@@ -535,7 +538,12 @@ object Multimodal {
         // multiply the frame cap by the rate ratio
         while (!done && outIdx < MaxDecodeFrames) {
           val srcPos = outIdx * ratio
-          val need = math.floor(srcPos).toLong + 1 // need source up to floor+1
+          val floorPos = math.floor(srcPos).toLong
+          val frac = srcPos - floorPos
+          // an integral position needs only source[floor] (r12 review:
+          // demanding floor+1 unconditionally dropped the final source
+          // frame — a 1-frame clip "resampled" into an empty WAV)
+          val need = if (frac == 0.0) floorPos else floorPos + 1
           while (inIdx < need && samples.hasNext) {
             prev = cur
             cur = samples.next()
@@ -544,11 +552,12 @@ object Multimodal {
           }
           if (inIdx < need) done = true // source exhausted
           else {
-            val frac = srcPos - math.floor(srcPos)
-            val lo = if (srcPos < inIdx) prev else cur
-            val s = lo * (1.0 - frac) + cur * frac
+            val s =
+              if (frac == 0.0) { if (inIdx == floorPos) cur else prev }
+              else prev * (1.0 - frac) + cur * frac
             out += math.max(-32768, math.min(32767,
               math.round(s * 32767.0))).toShort
+            outLen += 1
             outIdx += 1
           }
         }
@@ -556,8 +565,8 @@ object Multimodal {
         while (samples.hasNext) { samples.next(); srcFrames += 1 }
         if (srcFrames == 0) None
         else Some(ResampledAudio(id, resampled = true, changed = true,
-          inRate, fmt.getChannels, srcFrames, targetRate, out.length.toLong,
-          pcm16Wav(out.toArray, targetRate, 1)))
+          inRate, fmt.getChannels, srcFrames, targetRate, outLen,
+          pcm16Wav(out.result(), targetRate, 1)))
       }
     }.flatten.getOrElse(
       ResampledAudio(id, resampled = false, changed = false, 0, 0, 0L,

@@ -134,8 +134,11 @@ class BpeModelSpec extends AnyFunSuite {
     val table: Array[(String, Long)] = Array(
       ("<unk>", 50L), ("x<unk>", 9L), ("<unk", 3L))
     val m = Bpe.learnMerges(table, numMerges = 60)
+    // the pin: no LEARNED symbol equals the reserved token (asserting
+    // on the pre-filtered key set would be tautological)
+    assert(!m.merges.map { case (l, r) => l + r }.contains(Bpe.UnkToken))
+    assert(!m.baseChars.contains(Bpe.UnkToken))
     val vocabSyms = m.vocab.keySet - Bpe.UnkToken
-    assert(!vocabSyms.contains(Bpe.UnkToken))
     vocabSyms.foreach { s =>
       val interior = s.dropRight(1) // at most one trailing sentinel space
       assert(!interior.contains(' '), s"interior space in learned symbol '$s'")

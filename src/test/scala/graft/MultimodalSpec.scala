@@ -398,6 +398,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(!junk.resampled && (junk.out_bytes sameElements "junk".getBytes("UTF-8")))
   }
 
+  test("resampleAudio: the final source frame is emitted (1-frame clips, exact ratio-1)") {
+    // r12 review: demanding source[floor+1] even at integral positions
+    // dropped the tail frame — a 1-frame clip became an "empty" WAV
+    val one = Multimodal.pcm16Wav(Array[Short](12345), 8000, 1)
+    val r1 = Multimodal.resampleAudio(10L, one, 16000)
+    assert(r1.resampled && r1.in_frames === 1L && r1.out_frames === 1L)
+    val back1 = Multimodal.decodeAudio(10L, r1.out_bytes)
+    assert(back1.decoded && back1.n_frames === 1L)
+    // ratio 1.0 through the resample path (stereo forces changed=true):
+    // every integral position maps 1:1, nothing dropped
+    val n = 500
+    val inter = new Array[Short](n * 2)
+    (0 until n).foreach { i =>
+      val s = (0.3 * 32767 * math.sin(2 * math.Pi * 100 * i / 8000)).toShort
+      inter(2 * i) = s; inter(2 * i + 1) = s
+    }
+    val r2 = Multimodal.resampleAudio(11L, Multimodal.pcm16Wav(inter, 8000, 2), 8000)
+    assert(r2.changed && r2.in_frames === n.toLong && r2.out_frames === n.toLong)
+  }
+
   test("resampleAudios: distributed, no shuffle") {
     val rows = Seq(
       (1L, Multimodal.sineWav(440.0, 8000, 800)),

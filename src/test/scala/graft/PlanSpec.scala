@@ -287,7 +287,10 @@ class PlanSpec extends SparkTestBase {
     // partitioning, which production callers drop with the orderBy
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
       plan.take(3000))
-    assert("Exchange ".r.findAllIn(plan).size <= 2,
-      s"unexpected extra shuffles:\n${plan.take(3000)}")
+    // SHUFFLE exchanges only: BroadcastExchange/ReusedExchange nodes
+    // are not shuffles and must not count toward the budget
+    val shuffles = plan.linesIterator.count(l => l.contains("Exchange")
+      && !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    assert(shuffles <= 2, s"unexpected extra shuffles:\n${plan.take(3000)}")
   }
 }
