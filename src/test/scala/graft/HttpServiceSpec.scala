@@ -249,4 +249,31 @@ class HttpServiceSpec extends SparkTestBase {
     val n = mapper.readTree(get("/nodes").body())
     assert(n.get("local").get("leader").asBoolean())
   }
+
+  test("webhook-source pipeline over the control plane: POST /connector, ingest, sink") {
+    // the full reference lifecycle (C1) driving the r12 webhook
+    // source: external POSTs -> spool -> stream -> transform -> sink
+    val spool = tmp()
+    val rx = graft.sources.Sources.WebhookSource.start(spool)
+    try {
+      val body =
+        s"""{"source": {"name":"s","type":"webhook","key":"whp1",
+           |  "config": {"spool_path": "$spool", "transforms": "uppercase"}},
+           | "sink": {"name":"k","type":"memory","key":"whp1",
+           |  "config": {"query_name": "webhook_pipe_out"}}}""".stripMargin
+      assert(post("/connector/whp1", body).statusCode() === 200)
+      val client = java.net.http.HttpClient.newHttpClient()
+      def ingest(s: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${rx.port}/"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(s)).build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      assert(ingest("""{"ev":"a"}""") === 204)
+      assert(ingest("""{"ev":"b"}""") === 204)
+      spark.streams.active.foreach(_.processAllAvailable())
+      val rows = spark.table("webhook_pipe_out").as[String].collect().toSet
+      assert(rows === Set("""{"ev":"A"}""", """{"ev":"B"}"""))
+      assert(delete("/connector/whp1").statusCode() === 200)
+    } finally rx.stop()
+  }
 }
