@@ -767,9 +767,101 @@ object Multimodal {
         greatest(floor(col("fake_height") * scale), lit(1)).cast("int"))
   }
 
+  /** One decoded video frame (real, from the MJPEG path). */
+  final case class VideoFrame(
+      media_id: Long, frame_no: Int, byte_offset: Int, n_bytes: Int,
+      decoded: Boolean, width: Int, height: Int, feature: Array[Float])
+
+  /** Bound on frames scanned per clip — the video analogue of
+    * [[MaxAudioWindows]] (64k frames ≈ 36 min at 30 fps). */
+  private val MaxVideoFrames = 1 << 16
+
+  /** JPEG frame boundaries inside an MJPEG byte stream. MJPEG — the
+    * one video format decodable with the JDK alone — is literally
+    * concatenated JPEGs, so frames are delimited by SOI (FFD8) / EOI
+    * (FFD9) markers; entropy-coded data byte-stuffs FF00, so bare
+    * marker scans are the standard MJPEG split. Nested SOI (embedded
+    * EXIF thumbnails) is handled by depth counting. O(n) single
+    * pass, no allocation beyond the offsets. */
+  def mjpegFrameOffsets(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var i = 0
+    var start = -1
+    var depth = 0
+    var found = 0
+    while (i + 1 < b.length && found < MaxVideoFrames) {
+      val m = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      if (m == 0xffd8) {
+        if (depth == 0) start = i
+        depth += 1
+        i += 2
+      } else if (m == 0xffd9 && depth > 0) {
+        depth -= 1
+        i += 2
+        if (depth == 0) { out += ((start, i)); found += 1; start = -1 }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** REAL video frame sampling for MJPEG streams: scan the frame
+    * boundaries, decode every `every`-th frame through the guarded
+    * image kernel ([[decodeImage]] — same bomb cap, same dirty-bytes
+    * stub fallback per frame), emit one row per sampled frame. Bytes
+    * with no JPEG frames (a codec the JDK lacks, or junk) yield zero
+    * rows, the explode-to-nothing convention. Frame scan is bounded
+    * by [[MaxVideoFrames]]; per-frame decode cost is bounded by the
+    * image kernel's own guards. */
+  def sampleMjpegFrames(id: Long, bytes: Array[Byte],
+      every: Int = 1): Iterator[VideoFrame] = {
+    require(every > 0, "sampleMjpegFrames: every must be positive")
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    mjpegFrameOffsets(b).iterator.zipWithIndex
+      .filter { case (_, no) => no % every == 0 }
+      .map { case ((s, e), no) =>
+        val f = decodeImage(id, java.util.Arrays.copyOfRange(b, s, e))
+        VideoFrame(id, no, s, e - s, f.decoded, f.width, f.height, f.feature)
+      }
+  }
+
+  /** Batched real MJPEG frame extraction: partition-local row
+    * explosion, no shuffle. */
+  def extractMjpegFrames(df: DataFrame, every: Int = 1): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => sampleMjpegFrames(id, bytes, every) }
+  }
+
+  /** Deterministic synthetic MJPEG: `n` concatenated JPEG frames whose
+    * pixels derive from (seed, frame, x, y) hashes — the fixture the
+    * real frame sampler is tested against. */
+  def syntheticMjpeg(seed: Long, n: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = HashOps.mix64(seed ^ (f.toLong << 48) ^ (x.toLong << 24) ^ y.toLong)
+          img.setRGB(x, y, (m & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+    }
+    bos.toByteArray
+  }
+
   /** STUB frame sampling: a video becomes `n` evenly-spaced "frames"
     * (byte slices stand in for decoded frames). Output explodes rows —
-    * the shape a real frame sampler has. */
+    * the shape a real frame sampler has. Kept for NON-MJPEG codecs
+    * (H.264 etc. — genuinely not in the JDK); MJPEG bytes take the
+    * REAL path above. */
   def sampleFrames(df: DataFrame, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

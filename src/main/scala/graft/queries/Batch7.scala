@@ -310,6 +310,29 @@ object Batch7 {
       None,
       "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
 
+    // ---- REAL video frame sampling (round 12): per-doc synthetic
+    // MJPEG clips (concatenated JPEGs — the one video format the JDK
+    // decodes) through the real marker-scan + per-frame ImageIO
+    // kernel. 1-in-5 subsample, every-2nd frame. Rows-only gate;
+    // MultimodalSpec pins offsets/dims/fallbacks.
+    "mm_frames_real" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticMjpeg(
+              id, 2 + (id % 4).toInt, 8 + (id % 8).toInt, 8))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.extractMjpegFrames(media, every = 2).toDF()
+          .select(col("media_id"), col("frame_no"), col("decoded"),
+            col("width"), col("height"), col("n_bytes"))
+          .orderBy("media_id", "frame_no")
+      },
+      None,
+      "real MJPEG frame sampling (marker scan + per-frame ImageIO decode; rows-only gate)"),
+
     // ---- REAL audio resample (round 12): synthesize per-doc WAVs at
     // mixed rates/channels (some already mono@8k -> byte-identical
     // passthrough, the rest resampled), prove outputs by re-decoding

@@ -205,6 +205,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  // ---- REAL video frame sampling (round 12, MJPEG via ImageIO) ----
+
+  test("mjpegFrameOffsets: finds every concatenated JPEG frame exactly") {
+    val clip = Multimodal.syntheticMjpeg(7L, 6, 16, 12)
+    val offs = Multimodal.mjpegFrameOffsets(clip)
+    assert(offs.length === 6)
+    // frames tile the stream: contiguous, in order, full coverage
+    assert(offs.head._1 === 0 && offs.last._2 === clip.length)
+    offs.sliding(2).foreach { case Seq((_, e1), (s2, _)) => assert(e1 === s2) }
+    assert(Multimodal.mjpegFrameOffsets("no jpegs here".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleMjpegFrames: every k-th frame really decodes at the clip dims") {
+    val clip = Multimodal.syntheticMjpeg(8L, 6, 16, 12)
+    val frames = Multimodal.sampleMjpegFrames(8L, clip, every = 2).toArray
+    assert(frames.map(_.frame_no).toSeq === Seq(0, 2, 4))
+    frames.foreach { f =>
+      assert(f.decoded && f.width === 16 && f.height === 12)
+      assert(f.feature.length === 8)
+    }
+    // junk and null explode to nothing
+    assert(Multimodal.sampleMjpegFrames(9L, "junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.sampleMjpegFrames(9L, null).isEmpty)
+  }
+
+  test("extractMjpegFrames: distributed row explosion, no shuffle") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticMjpeg(1L, 4, 8, 8)),
+      (2L, "noise".getBytes("UTF-8"))).toDF("media_id", "media")
+    val ds = Multimodal.extractMjpegFrames(rows)
+    val got = ds.collect().sortBy(f => (f.media_id, f.frame_no))
+    assert(got.length === 4 && got.forall(f => f.media_id == 1L && f.decoded))
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   // ---- REAL audio kernel (round 12, javax.sound.sampled) ----
 
   test("sniffAudioMime: WAV/AIFF/AU magic bytes, octet-stream otherwise") {
@@ -474,6 +509,19 @@ class MultimodalSpec extends SparkTestBase {
         r.getAs[Int]("channels") == 1 + (id % 2).toInt &&
         r.getAs[Long]("n_frames") == 64 + (id % 192)
     })
+  }
+
+  test("mm_frames_real catalog entry: every sampled frame decoded at the synthesized dims") {
+    val got = graft.queries.Catalog.queries("mm_frames_real")(spark, sf("sf0.001"))
+      .collect()
+    assert(got.length > 0)
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Boolean]("decoded"))
+      assert(r.getAs[Int]("width") === 8 + (id % 8).toInt)
+      assert(r.getAs[Int]("height") === 8)
+      assert(r.getAs[Int]("frame_no") % 2 === 0) // every-2nd sampling
+    }
   }
 
   test("mm_resample catalog entry: passthroughs and resamples both verified by re-decode") {
