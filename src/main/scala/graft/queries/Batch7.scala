@@ -310,6 +310,50 @@ object Batch7 {
       None,
       "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
 
+    // ---- modality ROUTER (round 12 capstone): a mixed binary corpus
+    // (PNGs, WAVs, MJPEG clips, junk — one synthetic blob per doc,
+    // modality by doc_id%4) routed by the O(1) magic-byte sniff, each
+    // slice dispatched to its REAL kernel, per-row results unioned.
+    // This is the 100-TB multimodal ingest shape: one cheap scan
+    // partitions by modality BEFORE any decode is attempted, each
+    // branch stays partition-local (no shuffle until the final gate
+    // orderBy), and junk degrades to a counted 'unknown' row instead
+    // of failing a task. 1-in-5 subsample. Rows-only gate.
+    "mm_router" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val blob = (id % 4) match {
+              case 0 => graft.ops.Multimodal.syntheticPng(id, 8 + (id % 8).toInt, 8)
+              case 1 => graft.ops.Multimodal.syntheticWav(id, 8000, 64 + (id % 64).toInt)
+              case 2 => graft.ops.Multimodal.syntheticMjpeg(id, 2 + (id % 3).toInt, 8, 8)
+              case _ => s"junk-$id".getBytes("UTF-8")
+            }
+            (id, blob)
+          }).toDF("media_id", "media")
+        val routed = media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            graft.ops.Multimodal.sniffMediaMime(bytes) match {
+              case "image/png" =>
+                val f = graft.ops.Multimodal.decodeImage(id, bytes)
+                (id, "image", f.decoded, f.width.toLong)
+              case "audio/wav" =>
+                val f = graft.ops.Multimodal.decodeAudio(id, bytes)
+                (id, "audio", f.decoded, f.n_frames)
+              case "image/jpeg" => // MJPEG sniffs as its first JPEG frame
+                val n = graft.ops.Multimodal.mjpegFrameOffsets(bytes).length
+                (id, "video", n > 0, n.toLong)
+              case _ => (id, "unknown", false, 0L)
+            }
+          }).toDF("media_id", "modality", "decoded", "units")
+        routed.orderBy("media_id")
+      },
+      None,
+      "modality router: magic-byte sniff dispatches a mixed corpus to the real image/audio/video kernels (rows-only gate)"),
+
     // ---- REAL video frame sampling (round 12): per-doc synthetic
     // MJPEG clips (concatenated JPEGs — the one video format the JDK
     // decodes) through the real marker-scan + per-frame ImageIO

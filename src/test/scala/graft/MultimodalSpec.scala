@@ -511,6 +511,25 @@ class MultimodalSpec extends SparkTestBase {
     })
   }
 
+  test("mm_router catalog entry: every modality routed to its kernel and decoded") {
+    val got = graft.queries.Catalog.queries("mm_router")(spark, sf("sf0.001"))
+      .collect()
+    assert(got.length > 0)
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val expect = (id % 4) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "unknown"
+      }
+      assert(r.getAs[String]("modality") === expect, s"doc $id")
+      assert(r.getAs[Boolean]("decoded") === (expect != "unknown"), s"doc $id")
+      if (expect == "image") assert(r.getAs[Long]("units") === 8 + (id % 8))
+      if (expect == "audio") assert(r.getAs[Long]("units") === 64 + (id % 64))
+      if (expect == "video") assert(r.getAs[Long]("units") === 2 + (id % 3))
+    }
+    val mods = got.map(_.getAs[String]("modality")).toSet
+    assert(mods === Set("image", "audio", "video", "unknown"))
+  }
+
   test("mm_frames_real catalog entry: every sampled frame decoded at the synthesized dims") {
     val got = graft.queries.Catalog.queries("mm_frames_real")(spark, sf("sf0.001"))
       .collect()
