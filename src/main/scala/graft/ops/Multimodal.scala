@@ -649,19 +649,27 @@ object Multimodal {
     * Used by the `mm_decode` gate entry and MultimodalSpec to exercise
     * the REAL decode path end-to-end without binary fixtures on disk
     * (PNG is lossless, so decode recovers the exact pixels). */
-  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  /** Shared fixture raster fill (r12 review: the per-pixel hash loop
+    * existed once per synthetic generator; one copy, each caller
+    * keeping its exact historical per-pixel mix via `rgb`). */
+  private def hashImage(w: Int, h: Int)(rgb: (Int, Int) => Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val m = HashOps.mix64(seed ^ (x.toLong << 32) ^ y.toLong)
-        img.setRGB(x, y, (m & 0xffffff).toInt)
+        img.setRGB(x, y, rgb(x, y))
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = hashImage(w, h)((x, y) =>
+      (HashOps.mix64(seed ^ (x.toLong << 32) ^ y.toLong) & 0xffffff).toInt)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -778,27 +786,60 @@ object Multimodal {
 
   /** JPEG frame boundaries inside an MJPEG byte stream. MJPEG — the
     * one video format decodable with the JDK alone — is literally
-    * concatenated JPEGs, so frames are delimited by SOI (FFD8) / EOI
-    * (FFD9) markers; entropy-coded data byte-stuffs FF00, so bare
-    * marker scans are the standard MJPEG split. Nested SOI (embedded
-    * EXIF thumbnails) is handled by depth counting. O(n) single
-    * pass, no allocation beyond the offsets. */
+    * concatenated JPEGs. This is a real SEGMENT WALKER, not a bare
+    * marker scan (r12 review): length-prefixed segments (DQT, DHT,
+    * APPn with EXIF thumbnails, COM) are skipped by their declared
+    * length so FFD8/FFD9 bytes inside payloads can't miscount, and
+    * entropy-coded data is scanned for the FF-stuffing/RST exceptions
+    * the standard defines. A frame that fails to parse (truncated —
+    * the interrupted-camera-stream case) RESYNCS: the scanner resumes
+    * byte-wise after the bad SOI and recovers every later intact
+    * frame instead of poisoning the rest of the clip. O(n) single
+    * pass, bounded at [[MaxVideoFrames]]. */
   def mjpegFrameOffsets(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
     val out = IndexedSeq.newBuilder[(Int, Int)]
+    val len = if (b == null) 0 else b.length
     var i = 0
-    var start = -1
-    var depth = 0
     var found = 0
-    while (i + 1 < b.length && found < MaxVideoFrames) {
-      val m = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-      if (m == 0xffd8) {
-        if (depth == 0) start = i
-        depth += 1
-        i += 2
-      } else if (m == 0xffd9 && depth > 0) {
-        depth -= 1
-        i += 2
-        if (depth == 0) { out += ((start, i)); found += 1; start = -1 }
+    def u(at: Int): Int = b(at) & 0xff
+    while (i + 1 < len && found < MaxVideoFrames) {
+      if (u(i) == 0xff && u(i + 1) == 0xd8) {
+        val start = i
+        var p = i + 2
+        var end = -1
+        var ok = true
+        var inEntropy = false
+        while (end < 0 && ok && p < len) {
+          if (!inEntropy) {
+            if (p + 1 >= len || u(p) != 0xff) ok = false
+            else {
+              val m = u(p + 1)
+              if (m == 0xd9) end = p + 2                    // EOI
+              else if (m == 0xd8) ok = false                // raw nested SOI = corrupt
+              else if (m == 0xff) p += 1                    // fill byte
+              else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2 // standalone
+              else if (p + 3 >= len) ok = false
+              else {
+                val segLen = (u(p + 2) << 8) | u(p + 3)
+                if (segLen < 2) ok = false
+                else {
+                  val sos = m == 0xda
+                  p += 2 + segLen
+                  if (sos) inEntropy = true
+                }
+              }
+            }
+          } else {
+            if (u(p) == 0xff && p + 1 < len) {
+              val m = u(p + 1)
+              if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) p += 2 // stuffing / RST
+              else inEntropy = false // a real marker — outer branch parses it
+            } else p += 1
+          }
+        }
+        if (end > 0) {
+          out += ((start, end)); found += 1; i = end
+        } else i = start + 2 // resync past the unparseable SOI
       } else i += 1
     }
     out.result()
@@ -840,18 +881,9 @@ object Multimodal {
   def syntheticMjpeg(seed: Long, n: Int, w: Int, h: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     (0 until n).foreach { f =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val m = HashOps.mix64(seed ^ (f.toLong << 48) ^ (x.toLong << 24) ^ y.toLong)
-          img.setRGB(x, y, (m & 0xffffff).toInt)
-          x += 1
-        }
-        y += 1
-      }
+      val img = hashImage(w, h)((x, y) =>
+        (HashOps.mix64(
+          seed ^ (f.toLong << 48) ^ (x.toLong << 24) ^ y.toLong) & 0xffffff).toInt)
       javax.imageio.ImageIO.write(img, "jpg", bos)
     }
     bos.toByteArray

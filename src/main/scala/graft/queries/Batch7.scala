@@ -343,9 +343,17 @@ object Batch7 {
               case "audio/wav" =>
                 val f = graft.ops.Multimodal.decodeAudio(id, bytes)
                 (id, "audio", f.decoded, f.n_frames)
-              case "image/jpeg" => // MJPEG sniffs as its first JPEG frame
+              case "image/jpeg" =>
+                // MJPEG sniffs as its first JPEG frame; a single-frame
+                // "clip" IS a still photo (the most common real-corpus
+                // image format), which must reach the image kernel,
+                // not stop at a 1-frame video row (r12 review)
                 val n = graft.ops.Multimodal.mjpegFrameOffsets(bytes).length
-                (id, "video", n > 0, n.toLong)
+                if (n > 1) (id, "video", true, n.toLong)
+                else {
+                  val f = graft.ops.Multimodal.decodeImage(id, bytes)
+                  (id, "image", f.decoded, f.width.toLong)
+                }
               case _ => (id, "unknown", false, 0L)
             }
           }).toDF("media_id", "modality", "decoded", "units")

@@ -273,7 +273,11 @@ class HttpServiceSpec extends SparkTestBase {
       spark.streams.active.foreach(_.processAllAvailable())
       val rows = spark.table("webhook_pipe_out").as[String].collect().toSet
       assert(rows === Set("""{"ev":"A"}""", """{"ev":"B"}"""))
-      assert(delete("/connector/whp1").statusCode() === 200)
-    } finally rx.stop()
+    } finally {
+      // teardown in finally: a failed assertion must not leak the
+      // running spool-tailing query into every later test
+      delete("/connector/whp1")
+      rx.stop()
+    }
   }
 }

@@ -217,6 +217,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mjpegFrameOffsets("no jpegs here".getBytes("UTF-8")).isEmpty)
   }
 
+  test("mjpegFrameOffsets: marker bytes inside segment payloads don't miscount") {
+    // splice a COM segment whose PAYLOAD contains raw FFD8/FFD9 bytes
+    // right after the SOI — a bare marker scan would see a nested
+    // frame; the segment walker must skip it by declared length
+    val jpeg = jpegOf(8, 8, 0x336699)
+    val com = Array(0xff, 0xfe, 0x00, 0x06, 0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    val spliced = jpeg.take(2) ++ com ++ jpeg.drop(2)
+    val offs = Multimodal.mjpegFrameOffsets(spliced)
+    assert(offs === IndexedSeq((0, spliced.length)))
+    // and the ImageIO kernel agrees the spliced bytes are one image
+    assert(Multimodal.decodeImage(1L, spliced).decoded)
+  }
+
+  test("mjpegFrameOffsets: a truncated frame resyncs instead of poisoning the clip") {
+    // interrupted-camera-stream shape: frame 1 loses the tail of its
+    // ENTROPY data (incl. EOI) — noisy 16x16 frames guarantee the cut
+    // lands in entropy, not in a segment header (a header-interior
+    // cut merges into the next frame's parse, which only a full
+    // decode could detect; entropy-interior truncation is the
+    // realistic camera-interrupt case and MUST resync)
+    val f1 = Multimodal.syntheticMjpeg(101L, 1, 16, 16)
+    val f2 = Multimodal.syntheticMjpeg(202L, 1, 16, 16)
+    val f3 = Multimodal.syntheticMjpeg(303L, 1, 16, 16)
+    val clip = f1.dropRight(10) ++ f2 ++ f3
+    val offs = Multimodal.mjpegFrameOffsets(clip)
+    assert(offs.length === 2, s"got $offs")
+    val intactStart = f1.length - 10
+    assert(offs(0)._1 === intactStart && offs(1)._2 === clip.length)
+    // both recovered frames really decode
+    offs.foreach { case (s, e) =>
+      assert(Multimodal.decodeImage(2L,
+        java.util.Arrays.copyOfRange(clip, s, e)).decoded)
+    }
+  }
+
   test("sampleMjpegFrames: every k-th frame really decodes at the clip dims") {
     val clip = Multimodal.syntheticMjpeg(8L, 6, 16, 12)
     val frames = Multimodal.sampleMjpegFrames(8L, clip, every = 2).toArray
