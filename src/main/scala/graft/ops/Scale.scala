@@ -131,6 +131,76 @@ object Scale {
       .drop("__q", "__g")
   }
 
+  /** Skew-guarded TWO-TABLE equi-join for pair mining (grid
+    * distribution — the 1-Bucket-Theta shape specialised to equi-keys):
+    * EXACTLY the row set of
+    * {{{ left JOIN right USING (keyCols) }}}
+    * but with no reducer ever seeing more than ~`cap`² candidate pairs
+    * from one key.
+    *
+    * The asymmetric sibling of [[blockedSelfJoinPairs]], for the
+    * probe-vs-corpus joins (streaming LSH bands, incremental dedup)
+    * where the two sides are DIFFERENT frames and `a.id < b.id`
+    * canonicalisation does not apply. A hot key with l left rows and
+    * r right rows — b near-identical boilerplate docs landing in one
+    * (band, band_hash) bucket — puts l·r candidates on ONE reducer in
+    * the plain join. Here the key's left rows are hash-split into
+    * gl = ceil(l/cap) groups and its right rows into gr = ceil(r/cap)
+    * groups (both clamped to `maxGroups`), each left row is replicated
+    * to the gr tasks {(gid_l, q) : q < gr} and each right row to the
+    * gl tasks {(p, gid_r) : p < gl}; the pair (i, j) meets in EXACTLY
+    * one task, (gid_i, gid_j), so the output is provably identical to
+    * the naive join — which is what lets the DuckDB oracles stay the
+    * plain equi-join. Replication grows linearly in skew
+    * (left × gr + right × gl rows) while per-task candidate volume
+    * falls quadratically to ≤ ~cap². Unskewed keys get gl = gr = 1:
+    * zero replication, the degenerate plan IS the plain join.
+    *
+    * Group sizes are computed from the join input; pass `rightSizes`
+    * (the exact `right.groupBy(keyCols).count()` as `(keyCols…, __rn)`)
+    * when the right side is a build-once corpus artifact so a
+    * streaming caller does not re-aggregate the corpus per micro-batch.
+    * Group assignment hashes the id columns (not position) → output is
+    * deterministic under any input partitioning. Keys present on only
+    * one side are dropped (inner-join semantics, zero pairs either
+    * way). Returns keyCols ++ left-only ++ right-only columns; non-key
+    * column names must not collide. */
+  def gridJoinPairs(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftId: String, rightId: String, cap: Int = 1024, maxGroups: Int = 64,
+      rightSizes: Option[DataFrame] = None): DataFrame = {
+    val (l2, r2) = gridReplicate(left, right, keyCols, leftId, rightId,
+      cap, maxGroups, rightSizes)
+    l2.join(r2, keyCols ++ Seq("__tl", "__tr")).drop("__tl", "__tr")
+  }
+
+  /** The replicated frames [[gridJoinPairs]] equi-joins on
+    * `(keyCols…, __tl, __tr)`. Exposed so the per-task candidate bound
+    * is assertable against the REAL join input. */
+  private[graft] def gridReplicate(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftId: String, rightId: String, cap: Int,
+      maxGroups: Int, rightSizes: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    require(cap > 0 && maxGroups > 0)
+    val keys = keyCols.map(col)
+    def groups(n: Column): Column =
+      least(ceil(n.cast("double") / cap), lit(maxGroups)).cast("int")
+    val lSizes = left.groupBy(keys: _*).agg(count(lit(1)).as("__ln"))
+    val rSizes = rightSizes.getOrElse(
+      right.groupBy(keys: _*).agg(count(lit(1)).as("__rn")))
+    val sizes = lSizes.join(rSizes, keyCols)
+      .select(keys :+ groups(col("__ln")).as("__gl")
+        :+ groups(col("__rn")).as("__gr"): _*)
+    val l2 = left.join(sizes, keyCols)
+      .withColumn("__tl", pmod(xxhash64(col(leftId)), col("__gl")).cast("int"))
+      .withColumn("__tr", explode(sequence(lit(0), col("__gr") - 1)))
+      .drop("__gl", "__gr")
+    val r2 = right.join(sizes, keyCols)
+      .withColumn("__tr", pmod(xxhash64(col(rightId)), col("__gr")).cast("int"))
+      .withColumn("__tl", explode(sequence(lit(0), col("__gl") - 1)))
+      .drop("__gl", "__gr")
+    (l2, r2)
+  }
+
   /** Persist a DataFrame bucketed by `key` as a managed table (the
     * co-location primitive: two tables bucketed the same way join
     * without any Exchange). */

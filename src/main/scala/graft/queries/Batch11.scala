@@ -30,13 +30,13 @@ object Batch11 {
   private val MinhashBands = 32 // 4 rows/band → J>=0.8 missed w.p. ~5e-8
 
   /** (doc_id, sh, n_sh, sig) for a raw documents frame. */
-  private def withSig(df: DataFrame): DataFrame = df
+  private[graft] def withSig(df: DataFrame): DataFrame = df
     .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
     .withColumn("n_sh", size(col("sh")))
     .withColumn("sig", graft.functions.minhash_sig(col("sh"), MinhashK))
 
   /** Banded view: one (doc_id, band, band_hash) row per band. */
-  private def banded(df: DataFrame): DataFrame = {
+  private[graft] def banded(df: DataFrame): DataFrame = {
     val r = MinhashK / MinhashBands
     val bandCols = (0 until MinhashBands).map(b =>
       xxhash64(concat_ws("_", slice(col("sig"), b * r + 1, r))))
@@ -52,13 +52,25 @@ object Batch11 {
     * online shape is "is this new doc a near-dup of the corpus", the
     * same contract as [[Batch9.incrementalKeeps]] but emitting the
     * matched PAIRS instead of the keep set. */
-  private[queries] def minhashPairsVsCorpus(batch: DataFrame,
-      corpusSig: DataFrame, corpusBanded: DataFrame): DataFrame = {
+  private[graft] def minhashPairsVsCorpus(batch: DataFrame,
+      corpusSig: DataFrame, corpusBanded: DataFrame,
+      corpusBandSizes: Option[DataFrame] = None): DataFrame = {
     val shardSig = withSig(batch)
-    val candidates = banded(shardSig)
-      .select(col("doc_id").as("sid"), col("band"), col("band_hash"))
-      .join(corpusBanded.select(col("doc_id").as("bid"), col("band"),
-        col("band_hash")), Seq("band", "band_hash"))
+    // Asymmetric band join rides the GRID skew guard: a hot
+    // (band, band_hash) bucket — boilerplate docs on both the arriving
+    // shard and the corpus index — would put s·c candidates on one
+    // reducer in the plain join. gridJoinPairs splits the bucket into
+    // a gl×gr task grid with a bit-identical pair set (ScaleSpec), so
+    // the exact-Jaccard oracle is untouched. The corpus side's bucket
+    // sizes are part of the build-once index artifact (passed in,
+    // cached) — no per-micro-batch re-aggregation of the corpus.
+    val candidates = graft.ops.Scale.gridJoinPairs(
+        banded(shardSig).select(col("doc_id").as("sid"), col("band"),
+          col("band_hash")),
+        corpusBanded.select(col("doc_id").as("bid"), col("band"),
+          col("band_hash")),
+        keyCols = Seq("band", "band_hash"), leftId = "sid", rightId = "bid",
+        cap = 2048, rightSizes = corpusBandSizes)
       .select("sid", "bid").distinct()
     candidates
       .join(shardSig.select(col("doc_id").as("sid"), col("n_sh").as("ns"),
@@ -91,10 +103,16 @@ object Batch11 {
           table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
         val corpusBanded = Reuse.cacheFresh("batch11.corpusBanded",
           banded(corpusSig))
+        // per-bucket sizes are part of the build-once index artifact:
+        // cached once, read by every micro-batch's grid skew guard
+        val corpusBandSizes = Reuse.cacheFresh("batch11.corpusBandSizes",
+          corpusBanded.groupBy(col("band"), col("band_hash"))
+            .agg(count(lit(1)).as("__rn")))
         Catalog.replayToParquet(s, dir, "documents.parquet",
             xform = _.filter(col("doc_id") % 10 === 0),
             perBatch = batch =>
-              minhashPairsVsCorpus(batch, corpusSig, corpusBanded))
+              minhashPairsVsCorpus(batch, corpusSig, corpusBanded,
+                Some(corpusBandSizes)))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH s AS (

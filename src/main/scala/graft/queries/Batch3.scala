@@ -58,23 +58,23 @@ object Batch3 {
   // expression text stays linear, not exponential, in stage count.
 
   /** Logical shift right for a non-negative HUGEINT expression. */
-  private def shrSql(h: String, n: Int): String = s"($h // ${BigInt(2).pow(n)})"
+  private[queries] def shrSql(h: String, n: Int): String = s"($h // ${BigInt(2).pow(n)})"
 
   /** [0,2^64) HUGEINT → signed BIGINT with two's-complement wraparound. */
-  private def toSignedSql(h: String): String =
+  private[queries] def toSignedSql(h: String): String =
     s"CAST($h - CASE WHEN $h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
 
   /** Signed BIGINT → [0,2^64) HUGEINT. */
-  private def toUnsignedSql(x: String): String =
+  private[queries] def toUnsignedSql(x: String): String =
     s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN 18446744073709551616 ELSE 0 END)"
 
   /** 64-bit XOR of two [0,2^64) HUGEINT expressions. */
-  private def xor64Sql(a: String, b: String): String =
+  private[queries] def xor64Sql(a: String, b: String): String =
     toUnsignedSql(s"xor(${toSignedSql(a)}, ${toSignedSql(b)})")
 
   /** (h * c) mod 2^64 without overflowing HUGEINT: split h into 32-bit
     * halves so every intermediate stays under 2^96. */
-  private def mulMod64Sql(h: String, c: BigInt): String = {
+  private[queries] def mulMod64Sql(h: String, c: BigInt): String = {
     val cLo = c % BigInt(2).pow(32)
     s"((($h % 4294967296) * $c + ((($h // 4294967296) * $cLo) % 4294967296) * 4294967296) % 18446744073709551616)"
   }
@@ -640,15 +640,23 @@ object Batch3 {
         // band join: a pair colliding in b bands would otherwise be
         // verified b times, each dragging two fat arrays through the
         // shuffle (profiled: single-task ArrayIntersect grind at sf0.1).
+        // The self-join rides the triangle skew guard: a
+        // boilerplate-heavy corpus puts b near-identical docs in ONE
+        // (band, band_hash) bucket in EVERY band — b² candidates on one
+        // reducer in the plain join. blockedSelfJoinPairs fans a hot
+        // bucket over g(g+1)/2 group-pair tasks with a bit-identical
+        // pair set (DedupSpec: constant-text corpus), so the oracle
+        // stays the plain exact-Jaccard join. Unskewed buckets get
+        // g = 1 — zero replication, the degenerate plan IS the old one.
         val bandCols = (0 until bands).map(b =>
           xxhash64(concat_ws("_", slice(col("sig"), b * (k / bands) + 1, k / bands))))
         val banded = docs.select(col("doc_id"),
           posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-        val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
-            Seq("band", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
+        val candidates = graft.ops.Scale.blockedSelfJoinPairs(
+            banded.withColumn("__blk", struct(col("band"), col("band_hash")))
+              .drop("band", "band_hash"),
+            "__blk", "doc_id", cap = 2048)
+          .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
           .distinct()
         // Stage 2 — verify each unique candidate pair exactly once.
         val byId = docs.select(col("doc_id"), col("n_sh"), col("sh"))
@@ -692,11 +700,15 @@ object Batch3 {
           shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)))
         val banded = docs.select(col("doc_id"),
           posexplode(array(fpBands: _*)).as(Seq("band", "band_val")))
-        val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_val"))
-          .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_val")),
-            Seq("band", "band_val"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+        // 16-bit band values → only 65k buckets per band: at corpus
+        // scale EVERY bucket is hot, so the self-join rides the same
+        // triangle skew guard as minhash-LSH (bit-identical pair set).
+        val candidates = graft.ops.Scale.blockedSelfJoinPairs(
+            banded.withColumn("__blk", struct(col("band"), col("band_val")))
+              .drop("band", "band_val"),
+            "__blk", "doc_id", cap = 2048)
+          .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+          .distinct()
         candidates
           .join(docs.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
           .join(docs.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
@@ -779,11 +791,15 @@ object Batch3 {
           rp_bits(col("embedding"), 6, 1000L + t))
         val banded = emb.select(col("vec_id"),
           posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
-        val candidates = banded.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
-          .join(banded.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
-            Seq("tbl", "bucket"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select("vec_a", "vec_b").distinct()
+        // 6-bit RP buckets → 64 buckets per table: hot by construction
+        // at corpus scale, so the bucket self-join rides the triangle
+        // skew guard (bit-identical pair set; see blockedSelfJoinPairs).
+        val candidates = graft.ops.Scale.blockedSelfJoinPairs(
+            banded.withColumn("__blk", struct(col("tbl"), col("bucket")))
+              .drop("tbl", "bucket"),
+            "__blk", "vec_id", cap = 2048)
+          .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"))
+          .distinct()
         candidates
           .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
           .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")

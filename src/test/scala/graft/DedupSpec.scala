@@ -21,6 +21,41 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // fixtures contain planted near-dups
   }
 
+  test("minhash-LSH survives the constant-text corpus (hot band bucket) with the exact pair set") {
+    // Adversarial: every doc identical → identical signatures → ALL
+    // docs share ONE (band, band_hash) bucket in EVERY band. The
+    // pre-r13 plain band self-join put n² candidate products on one
+    // reducer; the triangle guard fans the bucket out while the
+    // emitted pair set stays exactly the naive one — all n(n-1)/2
+    // pairs at jaccard 1.0, which is what keeps the DuckDB oracle the
+    // plain exact join.
+    val n = 120
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_hotband_")
+    graft.queries.Reuse.deleteOnExit(tmpPath)
+    val tmp = tmpPath.toString
+    val docs = (1 to n).map(i =>
+        (i.toLong, "the same boilerplate license header on every page",
+          "en", "web", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Catalog.queries("dedup_minhash_lsh")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === n * (n - 1) / 2)
+    assert(got.forall(_._3 == 1.0))
+    assert(got.map(p => (p._1, p._2)).toSet ===
+      (for (a <- 1 to n; b <- a + 1 to n) yield (a.toLong, b.toLong)).toSet)
+    // streaming twin's per-batch body on the same hot corpus: shard
+    // (first 20 ids) vs the rest through the grid guard — exactly
+    // the 20 × 100 cross pairs
+    val shard = docs.filter($"doc_id" <= 20)
+    val corpusSig = graft.queries.Batch11.withSig(docs.filter($"doc_id" > 20))
+    val pairs = graft.queries.Batch11.minhashPairsVsCorpus(
+        shard, corpusSig, graft.queries.Batch11.banded(corpusSig))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 20 * (n - 20))
+    assert(pairs.forall(_._3 == 1.0))
+  }
+
   test("simhash finds planted near-dups with bounded false-positive rate") {
     import graft.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -346,6 +346,72 @@ class ScaleSpec extends SparkTestBase {
     assert(got === naive)
   }
 
+  /** Adversarial asymmetric fixture: a hot key shared by both sides
+    * (the streaming-LSH shape — boilerplate docs arriving against a
+    * boilerplate-heavy corpus index) plus normal small keys. */
+  private def skewedSides(hotL: Int, hotR: Int) = {
+    val left = ((1 to hotL).map(i => (i.toLong, "HOT", s"l $i")) ++
+      (1 to 30).map(i => ((5000 + i).toLong, s"k${i % 10}", s"lo $i")))
+      .toDF("lid", "key", "lpay")
+    val right = ((1 to hotR).map(i => ((100000 + i).toLong, "HOT", s"r $i")) ++
+      (1 to 25).map(i => ((200000 + i).toLong, s"k${i % 10}", s"ro $i")))
+      .toDF("rid", "key", "rpay")
+    (left, right)
+  }
+
+  test("gridJoinPairs: row set identical to the plain equi-join (skewed both sides)") {
+    val (left, right) = skewedSides(250, 180)
+    val naive = left.join(right, "key")
+      .select($"lid", $"rid", $"lpay", $"rpay")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val guarded = Scale.gridJoinPairs(left, right, Seq("key"), "lid", "rid", cap = 32)
+    assert(guarded.select($"lid", $"rid", $"lpay", $"rpay")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      === naive)
+    // exactly once each: count equals set size (no pair meets twice)
+    assert(guarded.count() === naive.size.toLong)
+  }
+
+  test("gridJoinPairs: per-task candidates bounded on the REAL join input; cold keys unreplicated") {
+    val cap = 32
+    val (left, right) = skewedSides(400, 300) // naive: 120,000 products on one key
+    val (l2, r2) = Scale.gridReplicate(left, right, Seq("key"), "lid", "rid",
+      cap, 64, None)
+    val ln = l2.groupBy($"key", $"__tl", $"__tr").agg(count(lit(1)).as("n"))
+    val rn = r2.groupBy($"key", $"__tl", $"__tr").agg(count(lit(1)).as("m"))
+    val worst = ln.join(rn, Seq("key", "__tl", "__tr"))
+      .agg(max($"n" * $"m")).collect()(0).getLong(0)
+    // per task ~ (400/13)·(300/10) ≈ cap²; allow 4x slack for hash
+    // imbalance — the naive join would put 120,000 on one reducer
+    assert(worst <= 4L * cap * cap, s"worst per-task candidates $worst")
+    // unskewed keys: gl = gr = 1 → single task key, zero replication
+    assert(l2.filter($"key" =!= "HOT").count() === 30)
+    assert(r2.filter($"key" =!= "HOT").count() === 25)
+    assert(l2.filter($"key" =!= "HOT" && ($"__tl" =!= 0 || $"__tr" =!= 0)).count() === 0)
+  }
+
+  test("gridJoinPairs: precomputed right sizes give the identical row set") {
+    val (left, right) = skewedSides(120, 90)
+    val sizes = right.groupBy("key").agg(count(lit(1)).as("__rn"))
+    val a = Scale.gridJoinPairs(left, right, Seq("key"), "lid", "rid", cap = 16)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Scale.gridJoinPairs(left, right, Seq("key"), "lid", "rid", cap = 16,
+        rightSizes = Some(sizes))
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("gridJoinPairs: deterministic under repartitioning") {
+    val (left, right) = skewedSides(100, 80)
+    val a = Scale.gridJoinPairs(left, right, Seq("key"), "lid", "rid", cap = 16)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Scale.gridJoinPairs(left.repartition(7), right.repartition(5),
+        Seq("key"), "lid", "rid", cap = 16)
+      .select($"lid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+
   test("blockedSelfJoinPairs: deterministic under repartitioning") {
     val docs = skewedDocs(120)
     val a = Scale.blockedSelfJoinPairs(docs, "block", "doc_id", cap = 16)
