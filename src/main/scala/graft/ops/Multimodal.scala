@@ -348,7 +348,17 @@ object Multimodal {
     * where e0..e3 is a coarse 4-bucket energy envelope (bucket = RMS
     * of that quarter of the *read* span; the quarter boundaries come
     * from the capped expectation, any short-read tail folds into the
-    * last bucket). Undecodable, compressed, or header-only bytes fall
+    * last bucket). Known, accepted skew (r12 advice): the boundaries
+    * are sized from the HEADER-claimed frame count, so a truncated
+    * file with an overstated header folds all real audio into the
+    * early buckets and leaves trailing buckets zero — its envelope is
+    * not comparable to an honest-header copy of the same audio. The
+    * alternative (re-bucketing on close from frames actually read)
+    * costs a second pass or O(frames) buffering per row; the envelope
+    * is a coarse routing signal, `n_frames`/`duration_sec` already
+    * report the truth, and a dishonest header is itself a corpus
+    *-quality signal, so single-pass wins. Undecodable, compressed, or
+    * header-only bytes fall
     * back to the deterministic stub (`decoded=false`) instead of
     * throwing mid-task; reads are capped at [[MaxDecodeFrames]] so
     * per-row CPU is bounded. */
@@ -642,6 +652,62 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("media").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** Integer-exact sibling of [[ImageFeature]]: per-channel sums over
+    * the same [[FeatureGrid]]² sample grid, kept as exact Longs so an
+    * external engine can re-derive them with pure integer arithmetic —
+    * this is what lets the REAL ImageIO decode kernel sit under the
+    * hard hash-matched oracle gate (`mm_decode_oracle`) instead of a
+    * rows-only check: the synthetic PNG's pixels are a mix64 of
+    * (seed, x, y), so DuckDB recomputes every sampled channel value
+    * without ever parsing a PNG. */
+  final case class ImageExact(
+      media_id: Long, decoded: Boolean, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real decode (same guarded ImageIO path as [[decodeImage]]) with
+    * integer-exact grid channel sums; undecodable bytes → zeros with
+    * `decoded=false` (never throws). */
+  def decodeImageExact(id: Long, bytes: Array[Byte]): ImageExact = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val img =
+      if (sniffMime(b) == "application/octet-stream") null
+      else
+        try readImageGuarded(b)
+        catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      ImageExact(id, decoded = false, 0L, 0L, 0L, 0L, 0L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = FeatureGrid
+      var sr, sg, sb = 0L
+      var yi = 0
+      while (yi < g) {
+        val y = yi * (h - 1) / math.max(g - 1, 1)
+        var xi = 0
+        while (xi < g) {
+          val x = xi * (w - 1) / math.max(g - 1, 1)
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >>> 16) & 0xff
+          sg += (rgb >>> 8) & 0xff
+          sb += rgb & 0xff
+          xi += 1
+        }
+        yi += 1
+      }
+      ImageExact(id, decoded = true, w.toLong, h.toLong, sr, sg, sb)
+    }
+  }
+
+  /** Batched [[decodeImageExact]]: partition-local, no shuffle. */
+  def extractImageExact(df: DataFrame): Dataset[ImageExact] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeImageExact(id, bytes) })
   }
 
   /** Deterministic synthetic PNG: a w×h image whose pixel (x,y) color

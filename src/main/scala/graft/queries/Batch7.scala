@@ -282,6 +282,76 @@ object Batch7 {
       None,
       "real JDK ImageIO decode kernel over synthesized PNGs (mime sniff + dims + grid pixel stats; rows-only gate)"),
 
+    // ---- the REAL ImageIO decode kernel under the HARD oracle gate
+    // (r12 verdict task 4): the synthetic PNG's pixel (x,y) is
+    // mix64(doc_id ^ x<<32 ^ y) & 0xffffff, so DuckDB re-derives every
+    // sampled channel value with pure integer arithmetic — no PNG
+    // parsing — while the Spark side goes through the PNG encoder AND
+    // the guarded ImageIO decoder. A single flipped bit anywhere in
+    // encode → decode → 16×16 grid sampling breaks the hash match.
+    // Channel sums stay exact Longs; mean_luma/aspect are ONE IEEE
+    // division of exactly-representable integers in both engines, so
+    // the driver's zero-tolerance float compare holds bit-for-bit.
+    "mm_decode_oracle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticPng(
+              id, 8 + (id % 16).toInt, 8 + (id % 12).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.extractImageExact(media).toDF()
+          .select(col("media_id"), col("decoded"),
+            col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"),
+            ((lit(299L) * col("sum_r") + lit(587L) * col("sum_g")
+              + lit(114L) * col("sum_b")).cast("double")
+              / lit(65280000L).cast("double")).as("mean_luma"),
+            (col("width").cast("double") / col("height")).as("aspect"))
+          .orderBy("media_id")
+      },
+      Some {
+        // splitmix64 finalizer stages in HUGEINT mod-2^64 arithmetic
+        // (the simhash-oracle kernel, re-pointed at (seed, x, y))
+        val m2 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+        val m3 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        s"""WITH docs AS (
+           |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+           |  FROM documents),
+           |grid AS (
+           |  SELECT t1.range AS xi, t2.range AS yi
+           |  FROM range(0, 16) t1 CROSS JOIN range(0, 16) t2),
+           |px AS (
+           |  SELECT d.doc_id, d.w, d.h,
+           |    (g.xi * (d.w - 1)) // 15 AS x, (g.yi * (d.h - 1)) // 15 AS y
+           |  FROM docs d CROSS JOIN grid g),
+           |m1 AS (
+           |  SELECT doc_id, w, h,
+           |    (CAST(xor(xor(doc_id, x * 4294967296), y) AS HUGEINT)
+           |      + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM px),
+           |m2 AS (SELECT doc_id, w, h, $m2 AS z FROM m1),
+           |m3 AS (SELECT doc_id, w, h, $m3 AS z FROM m2),
+           |pix AS (SELECT doc_id, w, h, ($fin) % 16777216 AS p FROM m3),
+           |sums AS (
+           |  SELECT doc_id, w, h,
+           |    CAST(sum(p // 65536) AS BIGINT) AS sum_r,
+           |    CAST(sum((p // 256) % 256) AS BIGINT) AS sum_g,
+           |    CAST(sum(p % 256) AS BIGINT) AS sum_b
+           |  FROM pix GROUP BY doc_id, w, h)
+           |SELECT doc_id AS media_id, TRUE AS decoded,
+           |  w AS width, h AS height, sum_r, sum_g, sum_b,
+           |  CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS DOUBLE)
+           |    / CAST(65280000 AS DOUBLE) AS mean_luma,
+           |  CAST(w AS DOUBLE) / h AS aspect
+           |FROM sums ORDER BY media_id""".stripMargin
+      },
+      "real ImageIO decode under the hash-matched gate: DuckDB re-derives the sampled grid's exact channel sums from the mix64 pixel formula (no PNG parsing)"),
+
     // ---- REAL audio decode (round 12): per doc, synthesize a
     // deterministic 16-bit PCM WAV (sample = hash(doc_id, i); byte-
     // exact hand-rolled RIFF writer), then run the real
@@ -349,8 +419,16 @@ object Batch7 {
                 // image format), which must reach the image kernel,
                 // not stop at a 1-frame video row (r12 review)
                 val n = graft.ops.Multimodal.mjpegFrameOffsets(bytes).length
-                if (n > 1) (id, "video", true, n.toLong)
-                else {
+                if (n > 1) {
+                  // decoded = "a sampled frame actually decodes", not
+                  // just "frame boundaries parsed": a clip with valid
+                  // markers but undecodable entropy data must not
+                  // report decoded=true (r12 advice). One frame, not
+                  // all — the router is the cheap dispatch pass.
+                  val probe = graft.ops.Multimodal
+                    .sampleMjpegFrames(id, bytes, every = n).next()
+                  (id, "video", probe.decoded, n.toLong)
+                } else {
                   val f = graft.ops.Multimodal.decodeImage(id, bytes)
                   (id, "image", f.decoded, f.width.toLong)
                 }

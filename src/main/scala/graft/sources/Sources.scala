@@ -185,6 +185,22 @@ object Sources {
           } else {
             val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
             if (body.length > maxBodyBytes) {
+              // drain (bounded discard) before responding: closing the
+              // exchange with unread request bytes resets the TCP
+              // connection, so a client mid-upload may never see the
+              // 413. Reading to EOF (capped at 4x the limit — an
+              // unbounded drain would re-open the bomb) lets the
+              // status line reach well-behaved clients; a still-larger
+              // body falls back to the reset, which is the correct
+              // fate for an abusive sender.
+              val in = ex.getRequestBody
+              val chunk = new Array[Byte](64 * 1024)
+              var drained = 0L
+              var n = 0
+              while (n >= 0 && drained < 4L * maxBodyBytes) {
+                n = in.read(chunk)
+                if (n > 0) drained += n
+              }
               ex.sendResponseHeaders(413, -1)
             } else {
               val tmp = java.nio.file.Files.createTempFile(dir, ".spool-", ".tmp")

@@ -615,6 +615,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(changed > 0 && changed < got.length)
   }
 
+  test("decodeImageExact: grid channel sums equal the mix64 pixel formula; junk degrades") {
+    import graft.ops.Multimodal
+    import graft.functions.HashOps
+    val (seed, w, h) = (77L, 13, 9)
+    val got = Multimodal.decodeImageExact(seed, Multimodal.syntheticPng(seed, w, h))
+    assert(got.decoded && got.width == w && got.height == h)
+    // independent re-derivation of the 16x16 sample grid straight from
+    // the pixel formula — the same arithmetic the DuckDB oracle runs
+    var sr, sg, sb = 0L
+    for (yi <- 0 until 16; xi <- 0 until 16) {
+      val x = xi * (w - 1) / 15
+      val y = yi * (h - 1) / 15
+      val pix = (HashOps.mix64(seed ^ (x.toLong << 32) ^ y.toLong) & 0xffffff).toInt
+      sr += (pix >>> 16) & 0xff; sg += (pix >>> 8) & 0xff; sb += pix & 0xff
+    }
+    assert((got.sum_r, got.sum_g, got.sum_b) === ((sr, sg, sb)))
+    val junk = Multimodal.decodeImageExact(1L, "not an image".getBytes("UTF-8"))
+    assert(!junk.decoded && junk.sum_r == 0L)
+  }
+
   test("mm_decode catalog entry: every row really decoded with the synthesized dims") {
     val got = graft.queries.Catalog.queries("mm_decode")(spark, sf("sf0.001"))
       .collect()
