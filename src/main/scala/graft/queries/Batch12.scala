@@ -34,7 +34,7 @@ object Batch12 {
   private val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.ops.Bpe.BpeModel]()
 
-  private def model(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def model(s: org.apache.spark.sql.SparkSession, dir: String,
       merges: Int): graft.ops.Bpe.BpeModel =
     modelMemo.computeIfAbsent((dir, merges), _ =>
       graft.ops.Bpe.train(table(s, dir, "documents"), "text", merges))

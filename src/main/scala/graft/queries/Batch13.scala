@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_sim
+import graft.queries.Catalog.{Q, table}
+
+/** Query batch 13: operational ANN tuning on the graded surface —
+  * the measure-then-choose `nprobe` calibration a deployment actually
+  * runs before pinning its production recall/cost point
+  * ([[graft.ops.Ann.tuneNprobe]], promoted from spec-only coverage,
+  * r12 verdict task 3).
+  *
+  * The entry is a rows-only gate (a binary search driven by measured
+  * recall is not expressible in DuckDB SQL), but it carries its own
+  * teeth: alongside the tuner's reported recall it RE-MEASURES recall
+  * at the chosen nprobe against an INDEPENDENT exact top-k plan (the
+  * brute-force window ranking, not the tuner's exhaustive-IVF
+  * reference), over the same deterministic query panel. AnnRecallSpec
+  * pins `recall_check == recall` (the two exact constructions agree
+  * pair-for-pair) and nprobe monotonicity in the target.
+  */
+object Batch13 {
+
+  /** Deterministic bounded query panel: fixed subsample, total-order
+    * cut — the same rows every run, every partitioning. */
+  private def panel(s: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int): DataFrame =
+    table(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
+      .orderBy("vec_id").limit(n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Exact top-k per panel query via the independent brute-force plan:
+    * broadcast panel × corpus scan, window rank under the SAME total
+    * order (score DESC, vec_id ASC) the bounded top-k aggregate uses.
+    * Self-matches included — [[graft.ops.Ann.tuneNprobe]] measures
+    * with excludeSelf=false, and recall is only comparable if the
+    * reference uses identical semantics. */
+  private def exactTopK(emb: DataFrame, q: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        cosine_sim(col("embedding"), col("qvec")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("qid", "vec_id")
+  }
+
+  /** Fixed artifact path shared between the bpe_encode_oracle entry
+    * (writer) and its static oracle SQL (reader). Deterministic
+    * content per corpus. (Defined before `entries` — the SQL string
+    * interpolates it at object init.) */
+  private val BpeOraclePath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_model"
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    // ---- nprobe calibration: for each recall target, binary-search
+    // the smallest nprobe meeting it on the panel (tuneNprobe), then
+    // independently re-measure recall at that nprobe against the
+    // brute-force exact reference. The driver-side loop is over 3
+    // TARGETS (constants), not data; every measurement is a bounded
+    // Spark join. Shares the memoized build-once IVF index with the
+    // other ann_* entries (bench: `amortized`).
+    "ann_tune_nprobe" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val idx = Batch3.ivfIndex(s, dir)
+        val emb = table(s, dir, "embeddings")
+        val topK = 10
+        val q = panel(s, dir, 64)
+        val nq = q.count().toDouble
+        val exact = exactTopK(emb, q, topK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val rows = Seq(0.5, 0.9, 0.99).map { target =>
+            val (np, rec) = graft.ops.Ann.tuneNprobe(idx, "embedding",
+              "vec_id", q, "qid", "qvec", topK = topK,
+              targetRecall = target, maxSample = 64)
+            val approx = graft.ops.Ann.knnJoinIvf(idx, "embedding",
+                "vec_id", q, "qid", "qvec", topK = topK, nprobe = np)
+              .select(col("qid"), col("vec_id"))
+            val hits = exact.join(approx, Seq("qid", "vec_id")).count()
+            (target, np, rec, hits.toDouble / (nq * topK))
+          }
+          rows.toDF("target_recall", "nprobe", "recall", "recall_check")
+            .orderBy("target_recall")
+        } finally { exact.unpersist(); () }
+      },
+      None,
+      "nprobe calibration on the graded surface: binary-searched recall/nprobe frontier with an independent brute-force recall re-measurement per row"),
+
+    // ---- the BPE ENCODE path under the HARD oracle gate (r12 verdict
+    // task 5): train (memoized with bpe_train/bpe_token_count) → save
+    // the merge-table artifact → RE-LOAD it → encode the corpus with
+    // the loaded model. DuckDB re-runs the greedy lowest-rank merge
+    // loop itself — a recursive CTE over symbol lists seeded from the
+    // persisted merge parquet (read by absolute path; written by this
+    // entry earlier in the same Verify pass) — so fit determinism,
+    // artifact round-trip, AND the encoder's exact merge-order
+    // semantics all sit under the hash compare. The fixed artifact
+    // path is module-scoped because oracle SQL is static text; the
+    // artifact is deterministic for a given (corpus, merges) so a
+    // concurrent overwrite is byte-identical.
+    "bpe_encode_oracle" -> Q(
+      (s, dir) => {
+        val m = Batch12.model(s, dir, 160)
+        graft.ops.Bpe.save(m, s, BpeOraclePath)
+        val loaded = graft.ops.Bpe.load(s, BpeOraclePath)
+        graft.ops.Bpe.tokenCounts(
+            table(s, dir, "documents"), "doc_id", "text", loaded)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |merges AS (
+              |  SELECT rank, left_sym AS l, right_sym AS r
+              |  FROM read_parquet('$BpeOraclePath/merges/*.parquet')),
+              |doc_words AS (
+              |  SELECT doc_id,
+              |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+              |      w -> w <> '')) AS word
+              |  FROM documents),
+              |words AS (SELECT DISTINCT word FROM doc_words),
+              |init AS (
+              |  SELECT word, list_concat(list_transform(
+              |    generate_series(1, length(word)), i -> word[i]), [' ']) AS syms
+              |  FROM words),
+              |enc(word, syms, it) AS (
+              |  SELECT word, syms, 0 FROM init
+              |  UNION ALL
+              |  SELECT word,
+              |    list_concat(list_concat(syms[1:pos-1],
+              |      [syms[pos] || syms[pos+1]]), syms[pos+2:]),
+              |    it + 1
+              |  FROM (
+              |    SELECT e.word, e.syms, e.it,
+              |      (SELECT t.i
+              |       FROM (SELECT unnest(generate_series(1, len(e.syms) - 1)) AS i) t
+              |       JOIN merges m ON m.l = e.syms[t.i] AND m.r = e.syms[t.i + 1]
+              |       ORDER BY m.rank, t.i LIMIT 1) AS pos
+              |    FROM enc e) x
+              |  WHERE pos IS NOT NULL),
+              |word_tok AS (
+              |  SELECT word, len(syms) AS n FROM (
+              |    SELECT word, syms,
+              |      row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+              |    FROM enc) WHERE rn = 1),
+              |per_doc AS (
+              |  SELECT dw.doc_id, sum(wt.n) AS n
+              |  FROM doc_words dw JOIN word_tok wt USING (word)
+              |  GROUP BY dw.doc_id)
+              |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens
+              |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      "BPE encode end-to-end under the hash gate: train -> persist merges -> reload -> distributed encode, vs DuckDB's own recursive greedy lowest-rank merge loop over the persisted artifact"))
+}

@@ -368,7 +368,7 @@ object Catalog {
   )
 
   def full: Seq[(String, Q)] = {
-    val entries = all ++ Batch2.entries ++ Batch3.entries ++ Batch4.entries ++ Batch5.entries ++ Batch6.entries ++ Batch7.entries ++ Batch8.entries ++ Batch9.entries ++ Batch10.entries ++ Batch11.entries ++ Batch12.entries
+    val entries = all ++ Batch2.entries ++ Batch3.entries ++ Batch4.entries ++ Batch5.entries ++ Batch6.entries ++ Batch7.entries ++ Batch8.entries ++ Batch9.entries ++ Batch10.entries ++ Batch11.entries ++ Batch12.entries ++ Batch13.entries
     val dupes = entries.groupBy(_._1).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
     entries

@@ -142,4 +142,26 @@ class AnnRecallSpec extends SparkTestBase {
       assert(rec2 > rec)
     }
   }
+
+  test("ann_tune_nprobe gate entry: monotone frontier, independent recall re-measurement agrees") {
+    val rows = graft.queries.Catalog.queries("ann_tune_nprobe")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (target, np) = (r.getDouble(0), r.getInt(1))
+      val (rec, check) = (r.getDouble(2), r.getDouble(3))
+      info(f"target $target%.2f -> nprobe=$np recall $rec%.4f check $check%.4f")
+      assert(np >= 1 && np <= K)
+      assert(rec >= target || np == K)
+      // the two exact constructions (exhaustive-IVF reference inside
+      // the tuner vs the brute-force window plan in the entry) rank
+      // under the same total order over the same pairs, so the two
+      // recall measurements must agree EXACTLY — any drift means one
+      // "exact" path isn't
+      assert(check === rec)
+    }
+    // nprobe non-decreasing in the target (recall monotone in nprobe)
+    val nps = rows.sortBy(_.getDouble(0)).map(_.getInt(1)).toSeq
+    assert(nps === nps.sorted)
+  }
 }
