@@ -98,10 +98,13 @@ object Batch10 {
   }, "semanticDedupHier")
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
-  def touchMemos(s: SparkSession, dir: String): Unit = {
-    semanticMemo(s, dir).count()
-    semanticHierMemo(s, dir).count(); ()
-  }
+  def touchMemos(s: SparkSession, dir: String): Unit =
+    fitThunks(s, dir).foreach(_._2())
+
+  /** See [[Batch3.fitThunks]]. */
+  def fitThunks(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "fit_semantic" -> (() => { semanticMemo(s, dir).count(); () }),
+    "fit_semantic_hier" -> (() => { semanticHierMemo(s, dir).count(); () }))
 
   /** CASE expression both engines share: per-language keep-threshold
     * out of 16384 hash buckets (power of two, so the signed

@@ -39,6 +39,11 @@ object Batch12 {
     modelMemo.computeIfAbsent((dir, merges), _ =>
       graft.ops.Bpe.train(table(s, dir, "documents"), "text", merges))
 
+  /** See [[Batch3.fitThunks]]. */
+  def fitThunks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, () => Unit)] =
+    Seq("fit_bpe" -> (() => { model(s, dir, 160); () }))
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- learned merge table: the model artifact itself, in rank

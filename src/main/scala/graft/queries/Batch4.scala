@@ -46,9 +46,12 @@ object Batch4 {
     keepBloomMemo(s, dir)
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
-  def touchMemos(s: SparkSession, dir: String): Unit = {
-    keepBloomMemo(s, dir); ()
-  }
+  def touchMemos(s: SparkSession, dir: String): Unit =
+    fitThunks(s, dir).foreach(_._2())
+
+  /** See [[Batch3.fitThunks]]. */
+  def fitThunks(s: SparkSession, dir: String): Seq[(String, () => Unit)] =
+    Seq("fit_keep_bloom" -> (() => { keepBloomMemo(s, dir); () }))
 
   /** Brute-force k-NN-join oracle over the vec_id < 5 query set,
     * shared by the exhaustive batched joins (flat, two-level, and the

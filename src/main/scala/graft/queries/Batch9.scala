@@ -76,10 +76,13 @@ object Batch9 {
   }, "compactIdx")
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
-  def touchMemos(s: SparkSession, dir: String): Unit = {
-    appendIdxMemo(s, dir).assigned.count()
-    compactIdxMemo(s, dir).assigned.count(); ()
-  }
+  def touchMemos(s: SparkSession, dir: String): Unit =
+    fitThunks(s, dir).foreach(_._2())
+
+  /** See [[Batch3.fitThunks]]. */
+  def fitThunks(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
+    "fit_append_idx" -> (() => { appendIdxMemo(s, dir).assigned.count(); () }),
+    "fit_compact_idx" -> (() => { compactIdxMemo(s, dir).assigned.count(); () }))
 
   /** dedup_incremental's DuckDB re-derivation, shared verbatim with
     * the streaming twin's gate entry (single-batch feed ≡ batch
