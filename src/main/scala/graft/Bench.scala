@@ -21,9 +21,10 @@ import org.apache.spark.sql.SparkSession
   *    tell a clean run from a degraded one: `cut` (deadline hit),
   *    `warmup_only` (queries whose value is the cold warmup time),
   *    `capped` / `missing` (watchdogged / never ran), and
-  *    `amortized` (queries reading the shared memoized ngram-pair
-  *    subtree, so their warm times exclude the mining cost that
-  *    `dedup_ngram_jaccard` pays in full);
+  *    `amortized` (entries that read a shared memoized artifact —
+  *    DERIVED from the MemoTrack readership ledger, with per-entry
+  *    `fit_deps` naming the `fit_*` lines whose cost their warm
+  *    times exclude; the fit phase times each build explicitly);
   *  - the stdout line is trimmed to GRAFT_BENCH_STDOUT_BUDGET (1800)
   *    bytes — slowest queries kept, `q_elided` counting the rest —
   *    because the driver's tail capture holds only 2000 chars and a
@@ -85,45 +86,56 @@ object Bench {
 
     val capped = collection.mutable.LinkedHashSet.empty[String]
 
-    /** Run one query on a watchdogged thread. Returns Some(seconds) on
-      * success; None if the cap expired (job group cancelled + thread
-      * interrupted — covers multi-job queries like the CC loop) or the
-      * query failed. The cap shrinks near the deadline so one last
-      * slow query can't push the run past the driver's budget. */
-    def runCapped(name: String, phase: String): Option[Double] = {
+    /** Time an arbitrary body on a watchdogged thread. Returns
+      * Some(seconds) on success; None if the cap expired (job group
+      * cancelled + thread interrupted — covers multi-job bodies like
+      * the CC loop) or the body failed. The cap shrinks near the
+      * deadline so one last slow body can't push the run past the
+      * driver's budget. Shared by catalog queries and the fit phase. */
+    def timeCapped(label: String, phase: String)(body: => Unit): Option[Double] = {
       val effCap = math.max(5L, math.min(capSec, deadlineSec - elapsed.toLong + 5))
-      val group = s"bench-$name-$phase"
+      val group = s"bench-$label-$phase"
       val result = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
       val q0 = System.nanoTime()
       val worker = new Thread(() => {
         try {
-          sc.setJobGroup(group, name, interruptOnCancel = true)
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
+          sc.setJobGroup(group, label, interruptOnCancel = true)
+          body
           result.set(Some((System.nanoTime() - q0) / 1e9))
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench][$phase] $name failed: ${e.getMessage}")
+            System.err.println(s"[bench][$phase] $label failed: ${e.getMessage}")
         }
-      }, s"bench-$name")
+      }, s"bench-$label")
       worker.setDaemon(true)
       worker.start()
       worker.join(effCap * 1000)
       if (worker.isAlive) {
         System.err.println(
-          f"[bench][$phase] $name exceeded ${effCap}s cap — cancelling (t=$elapsed%.0f s)")
+          f"[bench][$phase] $label exceeded ${effCap}s cap — cancelling (t=$elapsed%.0f s)")
         sc.cancelJobGroup(group)
         worker.interrupt()
         worker.join(30000)
-        capped += name
+        capped += label
         None
       } else {
         result.get().map { sec =>
-          System.err.println(f"[bench][$phase] $name $sec%.2f s (t=$elapsed%.0f s)")
+          System.err.println(f"[bench][$phase] $label $sec%.2f s (t=$elapsed%.0f s)")
           sec
         }
       }
     }
+
+    /** Run one catalog query under [[graft.queries.MemoTrack]]
+      * attribution (its memo reads feed the derived `amortized` and
+      * `fit_deps` fields). */
+    def runCapped(name: String, phase: String): Option[Double] =
+      timeCapped(name, phase) {
+        graft.queries.MemoTrack.within(name) {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
 
     // GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset — a local
     // iteration loop for chasing one family's timings without paying
@@ -149,15 +161,44 @@ object Bench {
     // measured long before the end-of-deadline cap can shrink
     val headline = names.filter(_.matches("q[0-9]+_.*"))
     val measureDeadline = deadlineSec - rescueReserveSec
-    // Phase 1: warm up EVERYTHING first (JIT compilation of Spark's own
+    var cut = false
+    val warm = collection.mutable.LinkedHashMap.empty[String, Double]
+    val timed = collection.mutable.LinkedHashMap.empty[String, Double]
+    // Phase 0: FIT. Every shared fitted artifact (pair graph, CC
+    // fixpoint, ANN indexes, SemDeDup, keep-bloom, BPE model) is built
+    // HERE, each timed as its own `fit_<memo label>` bench line —
+    // the fit cost is reported once, explicitly, instead of being
+    // absorbed by whichever consumer entry happens to run first
+    // (r12/r13 verdict task: the hooks existed, nothing timed them).
+    // Runs BEFORE warmup so no catalog entry's warmup ever pays a
+    // build; thunks are declared in dependency order inside each
+    // batch, so each line measures only its own increment. These are
+    // one-shot COLD measurements by construction (a rerun would read
+    // the memo and time ~0), so a steal burst here shows as a >2x-
+    // floor fit line — adjudicate against BASELINE like any entry.
+    // One cheap catalog query runs first, untimed, purely to settle
+    // JVM/classloader/codegen cold-start out of the first fit line.
+    val fits = collection.mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty) {
+      if (SparkEntry.queries.contains("t1_map_project"))
+        runCapped("t1_map_project", "jvm-prewarm")
+      val allFitThunks: Seq[(String, () => Unit)] =
+        graft.queries.Batch3.fitThunks(spark, sfDir) ++
+        graft.queries.Batch4.fitThunks(spark, sfDir) ++
+        graft.queries.Batch9.fitThunks(spark, sfDir) ++
+        graft.queries.Batch10.fitThunks(spark, sfDir) ++
+        graft.queries.Batch12.fitThunks(spark, sfDir)
+      for ((fname, thunk) <- allFitThunks) {
+        if (elapsed >= measureDeadline) cut = true
+        else timeCapped(fname, "fit")(thunk()).foreach(fits(fname) = _)
+      }
+    }
+    // Phase 1: warm up EVERYTHING next (JIT compilation of Spark's own
     // hot paths dominates the first ~30s of a fresh JVM; interleaving
     // warmup and timing attributes that storm to whichever queries run
     // early). Warmup times are the fallback for queries the deadline
     // later cuts off. Warmup itself obeys the deadline: past it,
     // remaining queries go straight to the timed phase un-warmed.
-    var cut = false
-    val warm = collection.mutable.LinkedHashMap.empty[String, Double]
-    val timed = collection.mutable.LinkedHashMap.empty[String, Double]
     for (name <- shuffled) {
       if (elapsed >= measureDeadline) cut = true
       else runCapped(name, "warmup").foreach(warm(name) = _)
@@ -193,6 +234,7 @@ object Bench {
             graft.queries.Batch4.touchMemos(spark, sfDir)
             graft.queries.Batch9.touchMemos(spark, sfDir)
             graft.queries.Batch10.touchMemos(spark, sfDir)
+            graft.queries.Batch12.touchMemos(spark, sfDir)
             System.err.println(
               f"[bench] $phase memo pre-touch ${(System.nanoTime() - m0) / 1e9}%.2f s (t=$elapsed%.0f s)")
           } catch {
@@ -291,25 +333,30 @@ object Bench {
     val warmupOnly = names.filter(n => !timed.contains(n) && warm.contains(n))
     val missing = names.filterNot(n => timed.contains(n) || warm.contains(n))
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = best.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Fit lines join the per-query map as first-class entries: they
+    // get BASELINE floors via the same min-fold, ride the slowest-
+    // first stdout trim, and the total is then like-for-like against
+    // a floor-sum that includes them.
+    val bestAll = best ++ fits.toSeq
+    val qs = bestAll.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = best.map(_._2).sum
-    // Queries whose warm time reads a per-(session,dir) memoized
-    // subtree: the shingle-pair intersection counts (mined in full by
-    // dedup_ngram_jaccard — see Batch3.pairCounts) or the IVF index
-    // (built once — see Batch3.ivfIndex).
-    val amortized = Seq("dedup_corpus", "dedup_clusters",
-      "pipeline_training_corpus", "dedup_containment", "ann_ivf_topk",
-      "dedup_degree", "ann_ivf_sq8", "ann_ivf_pq", "dedup_semantic",
-      "dedup_semantic_hier", "ann_ivf_hier_topk", "split_by_cluster",
-      "ann_ivf_knn_join", "ann_hier_knn_join", "ann_append_search",
-      "ann_compact_search", "ann_knn_join_stream",
-      // the BPE model memo (Batch12.model): whichever of the two bpe
-      // entries runs first pays the word-count fit, the other reads it
-      "bpe_train", "bpe_token_count")
+    val total = bestAll.map(_._2).sum
+    // DERIVED from the MemoTrack readership ledger — never a
+    // hand-maintained list (the r13 verdict caught the hardcoded Seq
+    // stale twice): an entry is `amortized` iff it actually read a
+    // shared fitted artifact this run, and its `fit_deps` name the
+    // exact fit_* lines whose cost its warm time excludes.
+    val amortized = names.filter(n =>
+      graft.queries.MemoTrack.readsOf(n).nonEmpty)
+    val fitDeps = amortized.map(n =>
+      n -> graft.queries.MemoTrack.readsOf(n).map("fit_" + _))
+    val fitDepsJson = fitDeps.map { case (n, ds) =>
+      "\"" + n + "\":" + strArr(ds) }.mkString("{", ",", "}")
     def render(queriesJson: String, extra: String) =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$extra,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
-    val json = render(qs, "")
+    // fit_deps only rides the full (file) line: ~20 amortized entries
+    // x ~40 bytes would eat half the stdout budget.
+    val json = render(qs, s""","fit_deps":$fitDepsJson""")
     // Persist the FULL line to a file so the totals stay machine-
     // readable however stdout is captured.
     try {
@@ -330,17 +377,19 @@ object Bench {
     val line =
       if (json.length <= stdoutBudget) json
       else {
-        val bySlow = best.sortBy(-_._2)
+        val bySlow = bestAll.sortBy(-_._2)
         val entries = collection.mutable.ArrayBuffer.empty[String]
         // wrapper size without the queries entries, plus room for the
-        // q_n/q_elided fields (~30 chars)
-        var used = render("{}", "").length + 40
+        // q_n/q_elided/full fields (~60 chars)
+        var used = render("{}", "").length + 70
         for ((k, v) <- bySlow) {
           val e = "\"" + k + f"\":$v%.3f"
           if (used + e.length + 1 <= stdoutBudget) { entries += e; used += e.length + 1 }
         }
+        // `full` points auditors at the committed complete line —
+        // every per-query time AND fit_deps live there
         render(entries.mkString("{", ",", "}"),
-          s""","q_n":${best.size},"q_elided":${best.size - entries.size}""")
+          s""","q_n":${bestAll.size},"q_elided":${bestAll.size - entries.size},"full":"bench_out.json"""")
       }
     println(line)
     spark.stop()

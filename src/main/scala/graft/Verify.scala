@@ -22,8 +22,20 @@ object Verify {
     // (the driver never sets it, so the graded run stays the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would silently shrink (or empty) the dump and read
+    // as a mysteriously-passing verification — warn loudly and log the
+    // selection size so a partial run is always self-announcing
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY names not in the catalog " +
+          s"(ignored): ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
+    only.foreach { o => System.err.println(
+      s"[verify] SPARK_GRAFT_ONLY selected ${selected.size} of " +
+        s"${SparkEntry.queries.size} catalog entries") }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -45,7 +57,12 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      // dir-dependent artifact paths (the BPE merge parquet) ride the
+      // SQL as placeholders; substitute the per-dir path now that the
+      // dump dir is known
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.queries.Batch13.substituteOraclePaths(v, sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

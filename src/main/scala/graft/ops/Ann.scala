@@ -825,6 +825,30 @@ object Ann {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       topK: Int = 20, targetRecall: Double = 0.9,
       maxSample: Int = 200): (Int, Double) = {
+    val Seq((_, np, rec)) = tuneNprobeFrontier(index, embCol, idCol,
+      queries, qIdCol, qVecCol, topK, Seq(targetRecall), maxSample)
+    (np, rec)
+  }
+
+  /** [[tuneNprobe]] for a WHOLE frontier of recall targets in one
+    * pass: the exhaustive nprobe=k reference — by far the most
+    * expensive plan in the tune — is built and persisted ONCE, and
+    * every recall measurement is memoized by nprobe, so the per-target
+    * binary searches share measurements (recall at a probed nprobe is
+    * a property of (corpus, panel, nprobe), not of the target asking).
+    * Tuning T targets costs one exact build + at most T·log k joins
+    * MINUS the cache hits, vs T exact builds for T separate
+    * [[tuneNprobe]] calls (the r13 verdict's most expensive bench
+    * entry rebuilt the identical reference three times). recall(k) is
+    * 1.0 by construction — the approximate plan AT nprobe=k IS the
+    * reference — so the search never measures the top endpoint.
+    * Returns one (target, nprobe, recall) row per input target, input
+    * order preserved. */
+  def tuneNprobeFrontier(index: IvfIndex, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      topK: Int, targets: Seq[Double],
+      maxSample: Int = 200): Seq[(Double, Int, Double)] = {
+    require(targets.nonEmpty, "tuneNprobeFrontier: no targets")
     val k = index.centers.length
     // internal names so a corpus-as-queries call (qIdCol == idCol) never
     // produces an ambiguous two-column result. The sample is PINNED on
@@ -846,25 +870,28 @@ object Ann {
       .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def recallAt(nprobe: Int): Double = {
+      val cache = scala.collection.mutable.Map.empty[Int, Double]
+      def recallAt(nprobe: Int): Double = cache.getOrElseUpdate(nprobe, {
         val approx = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
             "__tune_qvec", topK, nprobe)
           .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
         val hits = exact.join(approx, Seq("__tq", "__tid")).count()
         hits.toDouble / (nq * topK)
-      }
-      var lo = 1; var hi = k // invariant: recall(hi) >= target (recall(k)=1)
-      val recLo = recallAt(lo)
-      if (recLo >= targetRecall) (lo, recLo)
-      else {
-        var recHi = 1.0
-        while (hi - lo > 1) {
-          val mid = lo + (hi - lo) / 2
-          val r = recallAt(mid)
-          if (r >= targetRecall) { hi = mid; recHi = r }
-          else lo = mid
+      })
+      targets.map { target =>
+        var lo = 1; var hi = k // invariant: recall(hi) >= target (recall(k)=1)
+        val recLo = recallAt(lo)
+        if (recLo >= target) (target, lo, recLo)
+        else {
+          var recHi = 1.0
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            val r = recallAt(mid)
+            if (r >= target) { hi = mid; recHi = r }
+            else lo = mid
+          }
+          (target, hi, recHi)
         }
-        (hi, recHi)
       }
     } finally exact.unpersist()
   }

@@ -35,14 +35,21 @@ object Batch12 {
     new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.ops.Bpe.BpeModel]()
 
   private[queries] def model(s: org.apache.spark.sql.SparkSession, dir: String,
-      merges: Int): graft.ops.Bpe.BpeModel =
+      merges: Int): graft.ops.Bpe.BpeModel = {
+    MemoTrack.record("bpeModel") // readership ledger, same as SessionMemo
     modelMemo.computeIfAbsent((dir, merges), _ =>
       graft.ops.Bpe.train(table(s, dir, "documents"), "text", merges))
+  }
 
-  /** See [[Batch3.fitThunks]]. */
+  /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
+  def touchMemos(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    fitThunks(s, dir).foreach(_._2())
+
+  /** See [[Batch3.fitThunks]]. Name follows the mechanical
+    * `fit_<memo label>` convention [[MemoTrack]] documents. */
   def fitThunks(s: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(String, () => Unit)] =
-    Seq("fit_bpe" -> (() => { model(s, dir, 160); () }))
+    Seq("fit_bpeModel" -> (() => { model(s, dir, 160); () }))
 
   val entries: Seq[(String, Q)] = Seq(
 

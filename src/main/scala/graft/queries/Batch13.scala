@@ -49,12 +49,32 @@ object Batch13 {
       .select("qid", "vec_id")
   }
 
-  /** Fixed artifact path shared between the bpe_encode_oracle entry
-    * (writer) and its static oracle SQL (reader). Deterministic
-    * content per corpus. (Defined before `entries` — the SQL string
-    * interpolates it at object init.) */
-  private val BpeOraclePath =
-    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_model"
+  /** Artifact path shared between the bpe_encode_oracle entry (writer)
+    * and its oracle SQL (reader), KEYED BY CORPUS DIR (r13 advice): a
+    * fixed path made a Verify run on another sf — or a concurrent
+    * test/bench JVM on a different corpus — overwrite the merges the
+    * static SQL was about to read (wrong-corpus compare), and
+    * mode(overwrite) deletes part files mid-read. Per-dir keying plus
+    * the skip-if-matching write below removes both hazards for the
+    * cases that occur (same JVM, driver's sequential Verify→DuckDB
+    * pipeline); two concurrent FIRST runs on the same dir remain a
+    * theoretical race, accepted. */
+  private[graft] def bpeOraclePath(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val hex = md.take(6).map(b => f"${b & 0xff}%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_$hex"
+  }
+
+  /** Placeholder the oracle SQL carries in place of the artifact path;
+    * [[graft.Verify]] substitutes the per-dir path when it
+    * materializes oracle_sql.json (the SQL text is static at object
+    * init, but the dir is only known at dump time). */
+  private[graft] val BpeOraclePathToken = "__GRAFT_BPE_ORACLE_PATH__"
+
+  /** Dir-aware oracle-SQL rewrite hook for Verify. */
+  def substituteOraclePaths(sql: String, dir: String): String =
+    sql.replace(BpeOraclePathToken, bpeOraclePath(dir))
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -76,10 +96,16 @@ object Batch13 {
         val exact = exactTopK(emb, q, topK)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val rows = Seq(0.5, 0.9, 0.99).map { target =>
-            val (np, rec) = graft.ops.Ann.tuneNprobe(idx, "embedding",
-              "vec_id", q, "qid", "qvec", topK = topK,
-              targetRecall = target, maxSample = 64)
+          // one frontier call: the exhaustive nprobe=k reference is
+          // built ONCE and recall measurements are shared across the
+          // three targets' binary searches (r13 verdict: the 3x
+          // per-target rebuild made this the most expensive bench
+          // entry). The independent brute-force re-measurement per
+          // row below is the entry's teeth and stays per target.
+          val frontier = graft.ops.Ann.tuneNprobeFrontier(idx,
+            "embedding", "vec_id", q, "qid", "qvec", topK = topK,
+            targets = Seq(0.5, 0.9, 0.99), maxSample = 64)
+          val rows = frontier.map { case (target, np, rec) =>
             val approx = graft.ops.Ann.knnJoinIvf(idx, "embedding",
                 "vec_id", q, "qid", "qvec", topK = topK, nprobe = np)
               .select(col("qid"), col("vec_id"))
@@ -101,15 +127,24 @@ object Batch13 {
     // persisted merge parquet (read by absolute path; written by this
     // entry earlier in the same Verify pass) — so fit determinism,
     // artifact round-trip, AND the encoder's exact merge-order
-    // semantics all sit under the hash compare. The fixed artifact
-    // path is module-scoped because oracle SQL is static text; the
-    // artifact is deterministic for a given (corpus, merges) so a
-    // concurrent overwrite is byte-identical.
+    // semantics all sit under the hash compare. The artifact path is
+    // keyed by corpus dir (see [[bpeOraclePath]]) and carried in the
+    // SQL as a placeholder Verify substitutes at dump time, so each
+    // run reads its own artifact.
     "bpe_encode_oracle" -> Q(
       (s, dir) => {
         val m = Batch12.model(s, dir, 160)
-        graft.ops.Bpe.save(m, s, BpeOraclePath)
-        val loaded = graft.ops.Bpe.load(s, BpeOraclePath)
+        val path = bpeOraclePath(dir)
+        // skip the rewrite when the persisted artifact already equals
+        // this corpus's merges: repeat runs then never delete part
+        // files out from under a concurrent reader (the save stays a
+        // real save on first contact, so the round-trip under the gate
+        // is still exercised — `load` below always reads the artifact)
+        val upToDate = try {
+          graft.ops.Bpe.load(s, path).merges == m.merges
+        } catch { case _: Exception => false }
+        if (!upToDate) graft.ops.Bpe.save(m, s, path)
+        val loaded = graft.ops.Bpe.load(s, path)
         graft.ops.Bpe.tokenCounts(
             table(s, dir, "documents"), "doc_id", "text", loaded)
           .orderBy("doc_id")
@@ -117,7 +152,7 @@ object Batch13 {
       Some(s"""WITH RECURSIVE
               |merges AS (
               |  SELECT rank, left_sym AS l, right_sym AS r
-              |  FROM read_parquet('$BpeOraclePath/merges/*.parquet')),
+              |  FROM read_parquet('$BpeOraclePathToken/merges/*.parquet')),
               |doc_words AS (
               |  SELECT doc_id,
               |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),

@@ -420,14 +420,22 @@ object Batch7 {
                 // not stop at a 1-frame video row (r12 review)
                 val n = graft.ops.Multimodal.mjpegFrameOffsets(bytes).length
                 if (n > 1) {
-                  // decoded = "a sampled frame actually decodes", not
-                  // just "frame boundaries parsed": a clip with valid
-                  // markers but undecodable entropy data must not
-                  // report decoded=true (r12 advice). One frame, not
-                  // all — the router is the cheap dispatch pass.
-                  val probe = graft.ops.Multimodal
-                    .sampleMjpegFrames(id, bytes, every = n).next()
-                  (id, "video", probe.decoded, n.toLong)
+                  // decoded = "the PROBED frames actually decode" —
+                  // first AND last (every = n-1 visits frames 0 and
+                  // n-1), a deliberate two-point PROBE, not a full
+                  // scan: a clip with valid markers but undecodable
+                  // entropy at either end reports decoded=false, while
+                  // interior-only corruption can still pass (r13
+                  // advice: frame-0-only overstated the flag; the
+                  // router stays the cheap dispatch pass, so it probes
+                  // the two cheapest high-signal positions rather than
+                  // decoding all n — mm_frames_real is the full-decode
+                  // entry).
+                  val probed = graft.ops.Multimodal
+                    .sampleMjpegFrames(id, bytes, every = math.max(1, n - 1))
+                    .toSeq
+                  (id, "video", probed.nonEmpty && probed.forall(_.decoded),
+                    n.toLong)
                 } else {
                   val f = graft.ops.Multimodal.decodeImage(id, bytes)
                   (id, "image", f.decoded, f.width.toLong)

@@ -74,6 +74,9 @@ final class SessionMemo[V](build: (SparkSession, String) => V,
   }
 
   def apply(s: SparkSession, dir: String): V = {
+    // readership ledger (hit or build — a warm read is still a
+    // dependency): Bench derives `amortized`/`fit_deps` from this
+    MemoTrack.record(label)
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val fp = fingerprint(dir)
     m.compute((s, dir), (k, cur) =>

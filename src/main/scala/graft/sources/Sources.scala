@@ -176,6 +176,13 @@ object Sources {
         host: String = "127.0.0.1"): Receiver = {
       val dir = java.nio.file.Paths.get(spoolDir)
       java.nio.file.Files.createDirectories(dir)
+      // belt to the drain loop's braces: the jdk.httpserver-documented
+      // request-time bound kills an exchange whose client stalls inside
+      // a single blocking read (the in-loop deadline only fires between
+      // reads). Global to the JVM's HttpServer instances; 30 s is far
+      // above any legitimate spool POST.
+      if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
+        System.setProperty("sun.net.httpserver.maxReqTime", "30")
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress(host, port), 0)
       server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -192,12 +199,19 @@ object Sources {
               // unbounded drain would re-open the bomb) lets the
               // status line reach well-behaved clients; a still-larger
               // body falls back to the reset, which is the correct
-              // fate for an abusive sender.
+              // fate for an abusive sender. The drain is bounded in
+              // TIME too (10 s wall-clock deadline): a byte cap alone
+              // leaves a slowloris hold — a client trickling one byte
+              // per read keeps the handler thread pinned indefinitely
+              // while staying under 4x — so a slow-trickling sender
+              // gets the reset once the deadline passes.
               val in = ex.getRequestBody
               val chunk = new Array[Byte](64 * 1024)
+              val drainDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
               var drained = 0L
               var n = 0
-              while (n >= 0 && drained < 4L * maxBodyBytes) {
+              while (n >= 0 && drained < 4L * maxBodyBytes &&
+                  System.nanoTime() < drainDeadline) {
                 n = in.read(chunk)
                 if (n > 0) drained += n
               }
