@@ -255,8 +255,17 @@ object Multimodal {
     * when the bytes are not JDK-decodable raw PCM (compressed payload,
     * float PCM, µ-law, corrupt header): callers stub-fallback on None.
     * The stream closes when `f` returns; the iterator must not escape. */
-  private def withPcmSamples[A](b: Array[Byte], maxFrames: Long)(
-      f: (javax.sound.sampled.AudioFormat, Long, Iterator[Double]) => A): Option[A] = {
+  /** Guarded PCM streaming core shared by every audio kernel: format
+    * sniff + JDK decode + chunked bounded reads, yielding RAW integer
+    * channel samples per frame (s8 in [-128,127] or s16 in
+    * [-32768,32767], unsigned encodings re-centered). The yielded
+    * array is REUSED across `next()` calls — consume before
+    * advancing. [[withPcmSamples]] builds the normalized-double mono
+    * view on top; [[decodeAudioExact]] reads THIS view so its
+    * aggregates are exact integers an external engine re-derives with
+    * pure integer arithmetic (the `mm_audio_oracle` hash gate). */
+  private def withPcmFrames[A](b: Array[Byte], maxFrames: Long)(
+      f: (javax.sound.sampled.AudioFormat, Long, Iterator[Array[Int]]) => A): Option[A] = {
     if (sniffAudioMime(b) == "application/octet-stream") return None
     var ais: javax.sound.sampled.AudioInputStream = null
     try {
@@ -277,7 +286,7 @@ object Multimodal {
       val cap =
         if (headerFrames >= 0) math.min(headerFrames, maxFrames) else maxFrames
       val stream = ais
-      val samples = new Iterator[Double] {
+      val samples = new Iterator[Array[Int]] {
         // whole frames per chunk; a frame WIDER than the chunk budget
         // (WAV allows 65535 channels -> frameBytes past 64 KiB) gets a
         // one-frame chunk instead of the zero-length buffer the plain
@@ -307,30 +316,28 @@ object Multimodal {
             filled - off >= frameBytes
           }
         }
-        def next(): Double = {
-          // mono mix: mean of channels, normalized to [-1,1]
-          var csum = 0.0
+        // one buffer reused for every frame: zero per-frame allocation
+        private val frameVals = new Array[Int](channels)
+        def next(): Array[Int] = {
           var c = 0
           while (c < channels) {
             val so = off + c * bytesPerSample
-            val v =
+            frameVals(c) =
               if (bits == 8) {
-                if (signed) chunk(so).toDouble / 128.0
-                else ((chunk(so) & 0xff) - 128).toDouble / 128.0
+                if (signed) chunk(so).toInt
+                else (chunk(so) & 0xff) - 128
               } else {
                 val lo = chunk(so + (if (big) 1 else 0)) & 0xff
                 val hi = chunk(so + (if (big) 0 else 1)).toInt
                 val raw = (hi << 8) | lo
-                val s16 = if (signed) raw.toShort.toInt
-                          else (raw & 0xffff) - 32768
-                s16.toDouble / 32768.0
+                if (signed) raw.toShort.toInt
+                else (raw & 0xffff) - 32768
               }
-            csum += v
             c += 1
           }
           off += frameBytes
           frames += 1
-          csum / channels
+          frameVals
         }
       }
       Some(f(fmt, cap, samples))
@@ -338,6 +345,24 @@ object Multimodal {
       case _: Exception => None
     } finally if (ais != null) ais.close()
   }
+
+  /** The normalized-double mono view every signal-statistics kernel
+    * consumes: per frame, each channel's raw integer divided by its
+    * full-scale (128 / 32768), then the channel mean — arithmetic
+    * ordering identical to the pre-refactor inline loop, so every
+    * downstream statistic is bit-for-bit unchanged. */
+  private def withPcmSamples[A](b: Array[Byte], maxFrames: Long)(
+      f: (javax.sound.sampled.AudioFormat, Long, Iterator[Double]) => A): Option[A] =
+    withPcmFrames(b, maxFrames) { (fmt, cap, frames) =>
+      val scale = if (fmt.getSampleSizeInBits == 8) 128.0 else 32768.0
+      val samples = frames.map { chs =>
+        var csum = 0.0
+        var c = 0
+        while (c < chs.length) { csum += chs(c) / scale; c += 1 }
+        csum / chs.length
+      }
+      f(fmt, cap, samples)
+    }
 
   /** REAL audio decode kernel, JDK-only (`javax.sound.sampled`):
     * parses WAV/AIFF/AU via `AudioSystem.getAudioInputStream`, streams
@@ -414,6 +439,68 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("media").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
+  /** Integer-exact sibling of [[AudioFeature]] — the audio analogue of
+    * [[ImageExact]]: aggregates over the RAW integer PCM samples kept
+    * as exact Longs, so an external engine re-derives them with pure
+    * integer arithmetic and the REAL javax.sound.sampled decode path
+    * sits under the hard hash-matched oracle gate (`mm_audio_oracle`;
+    * the synthetic WAV's sample i is mix64(doc_id ^ i) >>> 48 as
+    * signed 16-bit, so DuckDB recomputes every sample without parsing
+    * a RIFF container). Aggregates run over the interleaved
+    * channel-sample stream in decode order (for the mono fixtures
+    * that's simply the sample sequence); `zero_crossings` counts
+    * nonzero-sign changes with zeros skipped — the same convention
+    * [[decodeAudio]]'s zcr uses, here as an exact count. */
+  final case class AudioExact(
+      media_id: Long, decoded: Boolean, sample_rate: Long, channels: Long,
+      n_frames: Long, sum_samples: Long, sum_squares: Long, peak_abs: Long,
+      zero_crossings: Long)
+
+  /** Real decode (same guarded streaming PCM path as [[decodeAudio]])
+    * with integer-exact aggregates; undecodable bytes → zeros with
+    * `decoded=false` (never throws). Sum-of-squares fits a Long with
+    * room: 32768² · MaxDecodeFrames ≈ 2⁵⁴. */
+  def decodeAudioExact(id: Long, bytes: Array[Byte]): AudioExact = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    withPcmFrames(b, MaxDecodeFrames) { (fmt, _, frames) =>
+      var n = 0L
+      var sum, sumSq, peak, crossings = 0L
+      var prevSign = 0
+      while (frames.hasNext) {
+        val chs = frames.next()
+        var c = 0
+        while (c < chs.length) {
+          val v = chs(c).toLong
+          sum += v
+          sumSq += v * v
+          val av = math.abs(v)
+          if (av > peak) peak = av
+          val sign = if (v > 0L) 1 else if (v < 0L) -1 else 0
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) crossings += 1
+            prevSign = sign
+          }
+          c += 1
+        }
+        n += 1
+      }
+      if (n == 0) None
+      else Some(AudioExact(id, decoded = true,
+        math.round(fmt.getSampleRate).toLong, fmt.getChannels.toLong,
+        n, sum, sumSq, peak, crossings))
+    }.flatten.getOrElse(
+      AudioExact(id, decoded = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  /** Batched [[decodeAudioExact]]: partition-local, no shuffle. */
+  def extractAudioExact(df: DataFrame): Dataset[AudioExact] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudioExact(id, bytes) })
   }
 
   /** One fixed-duration analysis window of a decoded clip: the audio
@@ -565,8 +652,16 @@ object Multimodal {
             val s =
               if (frac == 0.0) { if (inIdx == floorPos) cur else prev }
               else prev * (1.0 - frac) + cur * frac
-            out += math.max(-32768, math.min(32767,
-              math.round(s * 32767.0))).toShort
+            // PINNED rounding contract (r13 verdict task 4): floor(x
+            // + 0.5), NOT Math.round — Java's round special-cases the
+            // largest-double-below-0.5 boundary (returns 0 where
+            // floor(x+0.5) gives 1), which no other engine reproduces;
+            // floor(x+0.5) is plain IEEE add + floor, portable
+            // anywhere, which is what lets the whole resample kernel
+            // sit under the mm_resample_oracle hash gate. Differs from
+            // Math.round only on that one boundary class of doubles.
+            out += math.max(-32768L, math.min(32767L,
+              math.floor(s * 32767.0 + 0.5).toLong)).toShort
             outLen += 1
             outIdx += 1
           }

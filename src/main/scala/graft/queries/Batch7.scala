@@ -380,6 +380,88 @@ object Batch7 {
       None,
       "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
 
+    // ---- the REAL audio decode kernel under the HARD oracle gate
+    // (r13 verdict task 2, the exact generalization of
+    // mm_decode_oracle): the synthetic mono WAV's sample i is
+    // mix64(doc_id ^ i) >>> 48 as signed 16-bit, so DuckDB re-derives
+    // every sample with the same HUGEINT splitmix64 kernel — no RIFF
+    // parsing — while the Spark side goes through the byte-exact WAV
+    // writer AND the guarded javax.sound.sampled streaming decoder.
+    // All aggregates are exact Longs (sum, sum of squares, peak,
+    // zero-crossings with the zeros-skipped sign convention
+    // decodeAudio's zcr uses); mean_sample is ONE IEEE division of
+    // exactly-representable integers in both engines.
+    "mm_audio_oracle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticWav(
+              id, 8000, 64 + (id % 64).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.extractAudioExact(media).toDF()
+          .select(col("media_id"), col("decoded"), col("sample_rate"),
+            col("channels"), col("n_frames"), col("sum_samples"),
+            col("sum_squares"), col("peak_abs"), col("zero_crossings"),
+            (col("sum_samples").cast("double") /
+              col("n_frames").cast("double")).as("mean_sample"))
+          .orderBy("media_id")
+      },
+      Some {
+        // splitmix64 finalizer stages in HUGEINT mod-2^64 arithmetic
+        // (the mm_decode_oracle kernel, re-pointed at (doc_id ^ i))
+        val m2 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+        val m3 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        s"""WITH docs AS (
+           |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+           |idx AS (
+           |  SELECT d.doc_id, d.n, t.range AS i
+           |  FROM docs d CROSS JOIN range(0, 128) t WHERE t.range < d.n),
+           |m1 AS (
+           |  SELECT doc_id, n, i,
+           |    (CAST(xor(doc_id, i) AS HUGEINT)
+           |      + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM idx),
+           |m2 AS (SELECT doc_id, n, i, $m2 AS z FROM m1),
+           |m3 AS (SELECT doc_id, n, i, $m3 AS z FROM m2),
+           |smp AS (
+           |  SELECT doc_id, n, i,
+           |    CAST(CASE WHEN t >= 32768 THEN t - 65536 ELSE t END AS BIGINT) AS s
+           |  FROM (SELECT doc_id, n, i,
+           |          ($fin) // 281474976710656 AS t FROM m3)),
+           |sgn AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 END AS sg
+           |  FROM smp WHERE s <> 0),
+           |cr AS (
+           |  SELECT doc_id, CAST(count(*) FILTER (
+           |      WHERE prev IS NOT NULL AND sg <> prev) AS BIGINT) AS zc
+           |  FROM (SELECT doc_id, sg,
+           |          lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           |        FROM sgn)
+           |  GROUP BY doc_id),
+           |agg AS (
+           |  SELECT doc_id, n,
+           |    CAST(sum(s) AS BIGINT) AS sum_samples,
+           |    CAST(sum(s * s) AS BIGINT) AS sum_squares,
+           |    CAST(max(abs(s)) AS BIGINT) AS peak_abs
+           |  FROM smp GROUP BY doc_id, n)
+           |SELECT a.doc_id AS media_id, TRUE AS decoded,
+           |  CAST(8000 AS BIGINT) AS sample_rate,
+           |  CAST(1 AS BIGINT) AS channels,
+           |  CAST(a.n AS BIGINT) AS n_frames,
+           |  a.sum_samples, a.sum_squares, a.peak_abs,
+           |  coalesce(c.zc, 0) AS zero_crossings,
+           |  CAST(a.sum_samples AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_sample
+           |FROM agg a LEFT JOIN cr c USING (doc_id)
+           |ORDER BY media_id""".stripMargin
+      },
+      "real javax.sound.sampled decode under the hash-matched gate: DuckDB re-derives every PCM sample's exact integer aggregates from the mix64 formula (no RIFF parsing)"),
+
     // ---- modality ROUTER (round 12 capstone): a mixed binary corpus
     // (PNGs, WAVs, MJPEG clips, junk — one synthetic blob per doc,
     // modality by doc_id%4) routed by the O(1) magic-byte sniff, each
@@ -499,6 +581,128 @@ object Batch7 {
       },
       None,
       "real streaming audio resample round-tripped through the real decoder (rows-only gate)"),
+
+    // ---- the REAL resample kernel under the HARD oracle gate (r13
+    // verdict task 4): mono hash-sample WAVs at 4k/8k/16k resampled to
+    // 8 kHz — the 8k slice exercises the normalized-passthrough
+    // branch, the others the streaming linear interpolation — then the
+    // OUTPUT WAV re-decoded by decodeAudioExact into exact integer
+    // aggregates. DuckDB re-runs the interpolation itself: same
+    // splitmix64 source samples, same IEEE expression tree
+    // (srcPos = j·(inRate/8000.0), frac = srcPos − floor(srcPos),
+    // s = s0·(1−frac) + s1·frac on the /32768.0-normalized values),
+    // and the PINNED portable rounding floor(s·32767.0 + 0.5) with the
+    // [-32768,32767] clamp — every IEEE add/mul/floor is correctly
+    // rounded per the standard, so identical expression shape means
+    // bit-identical doubles in both engines, and the aggregates
+    // compare as exact Longs under the zero-tolerance gate.
+    "mm_resample_oracle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val rate = ((id % 3).toInt: @annotation.switch) match {
+              case 0 => 8000
+              case 1 => 4000
+              case _ => 16000
+            }
+            (id, graft.ops.Multimodal.syntheticWav(
+              id, rate, 64 + (id % 64).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.resampleAudios(media, 8000)
+          .map { r =>
+            val e = graft.ops.Multimodal.decodeAudioExact(
+              r.media_id, r.out_bytes)
+            (r.media_id, r.resampled, r.changed, r.in_rate.toLong,
+              r.in_frames, e.sample_rate, e.n_frames, e.sum_samples,
+              e.sum_squares, e.peak_abs, e.zero_crossings)
+          }.toDF("media_id", "resampled", "changed", "in_rate",
+            "in_frames", "out_rate", "out_frames", "sum_samples",
+            "sum_squares", "peak_abs", "zero_crossings")
+          .orderBy("media_id")
+      },
+      Some {
+        val m2 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+        val m3 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        s"""WITH docs AS (
+           |  SELECT doc_id, 64 + doc_id % 64 AS n,
+           |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 4000
+           |      ELSE 16000 END AS rate
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |idx AS (
+           |  SELECT d.doc_id, d.n, d.rate, t.range AS i
+           |  FROM docs d CROSS JOIN range(0, 128) t WHERE t.range < d.n),
+           |m1 AS (
+           |  SELECT doc_id, n, rate, i,
+           |    (CAST(xor(doc_id, i) AS HUGEINT)
+           |      + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM idx),
+           |m2 AS (SELECT doc_id, n, rate, i, $m2 AS z FROM m1),
+           |m3 AS (SELECT doc_id, n, rate, i, $m3 AS z FROM m2),
+           |smp AS (
+           |  SELECT doc_id, n, rate, i,
+           |    CAST(CASE WHEN t >= 32768 THEN t - 65536 ELSE t END AS BIGINT) AS s
+           |  FROM (SELECT doc_id, n, rate, i,
+           |          ($fin) // 281474976710656 AS t FROM m3)),
+           |src AS (
+           |  SELECT doc_id, n, rate, list(s ORDER BY i) AS ss
+           |  FROM smp GROUP BY doc_id, n, rate),
+           |outs AS (
+           |  SELECT doc_id, i AS j, s AS o FROM smp WHERE rate = 8000
+           |  UNION ALL
+           |  SELECT doc_id, j,
+           |    greatest(-32768, least(32767, CAST(floor(
+           |      (CASE WHEN frac = 0 THEN CAST(ss[fp + 1] AS DOUBLE) / 32768.0
+           |       ELSE (CAST(ss[fp + 1] AS DOUBLE) / 32768.0) * (1.0 - frac)
+           |          + (CAST(ss[fp + 2] AS DOUBLE) / 32768.0) * frac END)
+           |      * 32767.0 + 0.5) AS BIGINT))) AS o
+           |  FROM (
+           |    SELECT doc_id, n, ss, j,
+           |      CAST(floor(srcPos) AS BIGINT) AS fp,
+           |      srcPos - floor(srcPos) AS frac
+           |    FROM (
+           |      SELECT sr.doc_id, sr.n, sr.ss, t.range AS j,
+           |        CAST(t.range AS DOUBLE)
+           |          * (CAST(sr.rate AS DOUBLE) / CAST(8000 AS DOUBLE)) AS srcPos
+           |      FROM src sr CROSS JOIN range(0, 256) t
+           |      WHERE sr.rate <> 8000))
+           |  WHERE (CASE WHEN frac = 0 THEN fp ELSE fp + 1 END) <= n - 1),
+           |sgn AS (
+           |  SELECT doc_id, j,
+           |    CASE WHEN o > 0 THEN 1 WHEN o < 0 THEN -1 END AS sg
+           |  FROM outs WHERE o <> 0),
+           |cr AS (
+           |  SELECT doc_id, CAST(count(*) FILTER (
+           |      WHERE prev IS NOT NULL AND sg <> prev) AS BIGINT) AS zc
+           |  FROM (SELECT doc_id, sg,
+           |          lag(sg) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+           |        FROM sgn)
+           |  GROUP BY doc_id),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_out,
+           |    CAST(sum(o) AS BIGINT) AS sum_samples,
+           |    CAST(sum(o * o) AS BIGINT) AS sum_squares,
+           |    CAST(max(abs(o)) AS BIGINT) AS peak_abs
+           |  FROM outs GROUP BY doc_id)
+           |SELECT d.doc_id AS media_id, TRUE AS resampled,
+           |  d.rate <> 8000 AS changed,
+           |  CAST(d.rate AS BIGINT) AS in_rate,
+           |  CAST(d.n AS BIGINT) AS in_frames,
+           |  CAST(8000 AS BIGINT) AS out_rate,
+           |  a.n_out AS out_frames,
+           |  a.sum_samples, a.sum_squares, a.peak_abs,
+           |  coalesce(c.zc, 0) AS zero_crossings
+           |FROM docs d JOIN agg a USING (doc_id)
+           |LEFT JOIN cr c USING (doc_id)
+           |ORDER BY media_id""".stripMargin
+      },
+      "real streaming resample under the hash-matched gate: DuckDB re-runs the pinned IEEE interpolation + floor(x+0.5) rounding over mix64 source samples and compares exact integer aggregates of the output stream"),
 
     // ---- REAL pixel resize (round 12): synthesize per-doc PNGs (half
     // above, half within the 12x10 bound by construction), run the

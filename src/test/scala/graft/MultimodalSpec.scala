@@ -316,6 +316,38 @@ class MultimodalSpec extends SparkTestBase {
     (3 to 6).foreach(i => assert(math.abs(f.feature(i) - f.feature(0)) < 1e-3))
   }
 
+  test("decodeAudioExact: aggregates equal the direct integer formula; dirty bytes degrade") {
+    // the mm_audio_oracle contract, cross-checked in-JVM: decode a
+    // synthetic WAV through the REAL javax.sound.sampled path and
+    // compare every exact aggregate against the generator formula
+    // computed directly (no audio stack involved)
+    val id = 42L
+    val n = 64 + (id % 64).toInt
+    val samples = Array.tabulate(n)(i =>
+      (graft.functions.HashOps.mix64(id ^ i.toLong) >>> 48).toShort)
+    var sum, sumSq, peak, cross = 0L
+    var prevSign = 0
+    samples.foreach { s =>
+      sum += s; sumSq += s.toLong * s
+      peak = math.max(peak, math.abs(s.toLong))
+      val sg = java.lang.Integer.signum(s.toInt)
+      if (sg != 0) {
+        if (prevSign != 0 && sg != prevSign) cross += 1
+        prevSign = sg
+      }
+    }
+    val e = Multimodal.decodeAudioExact(id, Multimodal.syntheticWav(id, 8000, n))
+    assert(e.decoded && e.sample_rate === 8000L && e.channels === 1L)
+    assert(e.n_frames === n.toLong)
+    assert(e.sum_samples === sum)
+    assert(e.sum_squares === sumSq)
+    assert(e.peak_abs === peak)
+    assert(e.zero_crossings === cross)
+    // undecodable bytes: zeros with decoded=false, never a throw
+    val bad = Multimodal.decodeAudioExact(7L, "not a wav".getBytes("US-ASCII"))
+    assert(!bad.decoded && bad.n_frames === 0L && bad.sum_squares === 0L)
+  }
+
   test("decodeAudio: stereo WAV mono-mixes and counts frames (not samples)") {
     // L = sine, R = -sine: the mono mix cancels to silence — the
     // strongest possible check that channels are averaged per frame
