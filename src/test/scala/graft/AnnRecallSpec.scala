@@ -143,6 +143,31 @@ class AnnRecallSpec extends SparkTestBase {
     }
   }
 
+  test("tuneNprobeFrontier: one shared reference, per-target results equal separate tuneNprobe calls") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val idx = Ann.buildIvf(emb, "embedding", k = K)
+    val targets = Seq(0.5, FLOOR, 0.99)
+    val frontier = Ann.tuneNprobeFrontier(idx, "embedding", "vec_id",
+      emb, "vec_id", "embedding", topK = TOPK, targets = targets,
+      maxSample = 100)
+    assert(frontier.map(_._1) === targets) // input order preserved
+    // the frontier shares the exhaustive reference + recall cache, but
+    // each target's (nprobe, recall) must equal what a standalone
+    // one-target tune measures — sharing is an optimization, never a
+    // semantic change
+    targets.zip(frontier).foreach { case (t, (tf, np, rec)) =>
+      assert(tf === t)
+      val (np1, rec1) = Ann.tuneNprobe(idx, "embedding", "vec_id",
+        emb, "vec_id", "embedding", topK = TOPK, targetRecall = t,
+        maxSample = 100)
+      assert(np === np1, s"target $t nprobe")
+      assert(rec === rec1, s"target $t recall")
+    }
+    // chosen nprobe non-decreasing in the target (recall monotone)
+    val nps = frontier.map(_._2)
+    assert(nps === nps.sorted)
+  }
+
   test("ann_tune_nprobe gate entry: monotone frontier, independent recall re-measurement agrees") {
     val rows = graft.queries.Catalog.queries("ann_tune_nprobe")(spark, sf("sf0.01"))
       .collect()
