@@ -189,6 +189,11 @@ object Bench {
         graft.queries.Batch10.fitThunks(spark, sfDir) ++
         graft.queries.Batch12.fitThunks(spark, sfDir)
       for ((fname, thunk) <- allFitThunks) {
+        // snake_case is load-bearing: every floor parser in the
+        // pipeline matches table rows with [a-z0-9_]+ — a camelCase
+        // fit line would silently fall out of every floor table
+        require(fname.matches("fit_[a-z0-9_]+"),
+          s"fit thunk name '$fname' must be fit_<snake_case>")
         if (elapsed >= measureDeadline) cut = true
         else timeCapped(fname, "fit")(thunk()).foreach(fits(fname) = _)
       }
@@ -349,7 +354,8 @@ object Bench {
     val amortized = names.filter(n =>
       graft.queries.MemoTrack.readsOf(n).nonEmpty)
     val fitDeps = amortized.map(n =>
-      n -> graft.queries.MemoTrack.readsOf(n).map("fit_" + _))
+      n -> graft.queries.MemoTrack.readsOf(n).map(
+        graft.queries.MemoTrack.fitName))
     val fitDepsJson = fitDeps.map { case (n, ds) =>
       "\"" + n + "\":" + strArr(ds) }.mkString("{", ",", "}")
     def render(queriesJson: String, extra: String) =

@@ -103,8 +103,8 @@ object Batch10 {
 
   /** See [[Batch3.fitThunks]]. */
   def fitThunks(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
-    "fit_semanticDedup" -> (() => { semanticMemo(s, dir).count(); () }),
-    "fit_semanticDedupHier" -> (() => { semanticHierMemo(s, dir).count(); () }))
+    "fit_semantic_dedup" -> (() => { semanticMemo(s, dir).count(); () }),
+    "fit_semantic_dedup_hier" -> (() => { semanticHierMemo(s, dir).count(); () }))
 
   /** CASE expression both engines share: per-language keep-threshold
     * out of 16384 hash buckets (power of two, so the signed

@@ -49,7 +49,7 @@ object Batch12 {
     * `fit_<memo label>` convention [[MemoTrack]] documents. */
   def fitThunks(s: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(String, () => Unit)] =
-    Seq("fit_bpeModel" -> (() => { model(s, dir, 160); () }))
+    Seq("fit_bpe_model" -> (() => { model(s, dir, 160); () }))
 
   val entries: Seq[(String, Q)] = Seq(
 

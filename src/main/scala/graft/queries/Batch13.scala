@@ -72,9 +72,22 @@ object Batch13 {
     * init, but the dir is only known at dump time). */
   private[graft] val BpeOraclePathToken = "__GRAFT_BPE_ORACLE_PATH__"
 
+  /** Same contract for the persisted IVF centroid table the
+    * ann_tune_nprobe oracle reads (see [[bpeOraclePath]] for the
+    * keying rationale). */
+  private[graft] def ivfCentersPath(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val hex = md.take(6).map(b => f"${b & 0xff}%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_centers_$hex"
+  }
+
+  private[graft] val IvfCentersPathToken = "__GRAFT_IVF_CENTERS_PATH__"
+
   /** Dir-aware oracle-SQL rewrite hook for Verify. */
   def substituteOraclePaths(sql: String, dir: String): String =
     sql.replace(BpeOraclePathToken, bpeOraclePath(dir))
+      .replace(IvfCentersPathToken, ivfCentersPath(dir))
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -85,10 +98,40 @@ object Batch13 {
     // TARGETS (constants), not data; every measurement is a bounded
     // Spark join. Shares the memoized build-once IVF index with the
     // other ann_* entries (bench: `amortized`).
+    //
+    // HARD oracle gate (r14, the bpe_encode_oracle trick applied to
+    // ANN): the fitted centroids — the ONE non-SQL-derivable artifact
+    // (a k-means fit) — persist to a dir-keyed parquet, and DuckDB
+    // re-runs EVERYTHING downstream of the fit itself: cluster
+    // assignment (argmax cosine, lowest-index ties), per-query probe
+    // ranking ((sim DESC, cluster ASC) — BoundedTopK's total order),
+    // candidate top-k at every nprobe level, recall against the
+    // exhaustive reference, and the per-target argmin. This works
+    // because VecOps.cosine is verified bitwise-identical to DuckDB's
+    // list_cosine_similarity over DOUBLE[] (clamp differences only
+    // arise at self-similarity 1+ulp, which cannot change any
+    // ranking), so the probed sets, top-k sets, hit counts, and the
+    // single IEEE division hits/640.0 agree exactly. The binary
+    // search equals the argmin because recall is monotone in nprobe
+    // (probed sets grow superset-wise under a shared total order).
     "ann_tune_nprobe" -> Q(
       (s, dir) => {
         import s.implicits._
         val idx = Batch3.ivfIndex(s, dir)
+        // persist the fitted centroids once per corpus for the oracle
+        // (skip-if-matching, same no-mid-read-delete contract as the
+        // BPE merges artifact)
+        val cpath = ivfCentersPath(dir)
+        val centerRows = idx.centers.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
+        val upToDate = try {
+          s.read.parquet(cpath).orderBy("cluster").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+            .toIndexedSeq == centerRows
+        } catch { case _: Exception => false }
+        if (!upToDate)
+          centerRows.toDF("cluster", "center")
+            .coalesce(1).write.mode("overwrite").parquet(cpath)
         val emb = table(s, dir, "embeddings")
         val topK = 10
         val q = panel(s, dir, 64)
@@ -116,8 +159,61 @@ object Batch13 {
             .orderBy("target_recall")
         } finally { exact.unpersist(); () }
       },
-      None,
-      "nprobe calibration on the graded surface: binary-searched recall/nprobe frontier with an independent brute-force recall re-measurement per row"),
+      Some(s"""WITH centers AS (
+              |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
+              |  FROM read_parquet('$IvfCentersPathToken/*.parquet')),
+              |panel AS (
+              |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              |  FROM embeddings WHERE vec_id % 7 = 0
+              |  ORDER BY vec_id LIMIT 64),
+              |np_panel AS (SELECT count(*) AS nq FROM panel),
+              |corpus AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+              |  FROM embeddings),
+              |assign AS (
+              |  SELECT vec_id, cluster FROM (
+              |    SELECT c.vec_id, ct.cluster,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY list_cosine_similarity(c.ev, ct.cv) DESC,
+              |          ct.cluster) AS rn
+              |    FROM corpus c CROSS JOIN centers ct) WHERE rn = 1),
+              |prank AS (
+              |  SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+              |      ORDER BY list_cosine_similarity(qv, cv) DESC, cluster) AS pr
+              |  FROM panel CROSS JOIN centers),
+              |score AS (
+              |  SELECT p.qid, c.vec_id, pr.pr,
+              |    list_cosine_similarity(c.ev, p.qv) AS sim
+              |  FROM panel p CROSS JOIN corpus c
+              |  JOIN assign a ON a.vec_id = c.vec_id
+              |  JOIN prank pr ON pr.qid = p.qid AND pr.cluster = a.cluster),
+              |lv AS (SELECT range AS n FROM range(1, 17)),
+              |topk AS (
+              |  SELECT n, qid, vec_id FROM (
+              |    SELECT l.n, s.qid, s.vec_id,
+              |      row_number() OVER (PARTITION BY l.n, s.qid
+              |        ORDER BY s.sim DESC, s.vec_id) AS rk
+              |    FROM lv l JOIN score s ON s.pr <= l.n)
+              |  WHERE rk <= 10),
+              |exact AS (SELECT qid, vec_id FROM topk WHERE n = 16),
+              |recalls AS (
+              |  SELECT t.n, CAST(count(*) AS DOUBLE) /
+              |    (CAST((SELECT nq FROM np_panel) AS DOUBLE) * CAST(10 AS DOUBLE))
+              |    AS recall
+              |  FROM topk t JOIN exact e
+              |    ON t.qid = e.qid AND t.vec_id = e.vec_id
+              |  GROUP BY t.n),
+              |targets(target) AS (VALUES (CAST(0.5 AS DOUBLE)),
+              |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+              |chosen AS (
+              |  SELECT target, min(n) AS np
+              |  FROM targets JOIN recalls ON recall >= target
+              |  GROUP BY target)
+              |SELECT c.target AS target_recall, CAST(c.np AS INTEGER) AS nprobe,
+              |  r.recall AS recall, r.recall AS recall_check
+              |FROM chosen c JOIN recalls r ON r.n = c.np
+              |ORDER BY target_recall""".stripMargin),
+      "nprobe calibration under the HASH-MATCHED gate: DuckDB re-runs assignment, probe ranking, per-level top-k, recall, and the per-target argmin from the persisted k-means centroids; the binary search equals the argmin by recall monotonicity"),
 
     // ---- the BPE ENCODE path under the HARD oracle gate (r12 verdict
     // task 5): train (memoized with bpe_train/bpe_token_count) → save

@@ -387,12 +387,12 @@ object Batch3 {
     // to its fit_deps with no second mapping table. Declared in
     // dependency order (sq8/hier/pq build on ivfIndex) so each timed
     // fit line measures only its own increment.
-    "fit_pairCounts" -> (() => { pairCounts(s, dir).count(); () }),
-    "fit_clusterLabels" -> (() => { clusterLabels(s, dir).count(); () }),
-    "fit_ivfIndex" -> (() => { ivfIndex(s, dir).assigned.count(); () }),
-    "fit_sq8Index" -> (() => { sq8Index(s, dir).assigned.count(); () }),
-    "fit_hierIndex" -> (() => { hierIndex(s, dir).index.assigned.count(); () }),
-    "fit_pqIndex" -> (() => { pqIndex(s, dir)._1.assigned.count(); () }))
+    "fit_pair_counts" -> (() => { pairCounts(s, dir).count(); () }),
+    "fit_cluster_labels" -> (() => { clusterLabels(s, dir).count(); () }),
+    "fit_ivf_index" -> (() => { ivfIndex(s, dir).assigned.count(); () }),
+    "fit_sq8_index" -> (() => { sq8Index(s, dir).assigned.count(); () }),
+    "fit_hier_index" -> (() => { hierIndex(s, dir).index.assigned.count(); () }),
+    "fit_pq_index" -> (() => { pqIndex(s, dir)._1.assigned.count(); () }))
 
   val entries: Seq[(String, Q)] = Seq(
 

@@ -51,7 +51,7 @@ object Batch4 {
 
   /** See [[Batch3.fitThunks]]. */
   def fitThunks(s: SparkSession, dir: String): Seq[(String, () => Unit)] =
-    Seq("fit_keepBloom" -> (() => { keepBloomMemo(s, dir); () }))
+    Seq("fit_keep_bloom" -> (() => { keepBloomMemo(s, dir); () }))
 
   /** Brute-force k-NN-join oracle over the vec_id < 5 query set,
     * shared by the exhaustive batched joins (flat, two-level, and the

@@ -81,8 +81,8 @@ object Batch9 {
 
   /** See [[Batch3.fitThunks]]. */
   def fitThunks(s: SparkSession, dir: String): Seq[(String, () => Unit)] = Seq(
-    "fit_appendIdx" -> (() => { appendIdxMemo(s, dir).assigned.count(); () }),
-    "fit_compactIdx" -> (() => { compactIdxMemo(s, dir).assigned.count(); () }))
+    "fit_append_idx" -> (() => { appendIdxMemo(s, dir).assigned.count(); () }),
+    "fit_compact_idx" -> (() => { compactIdxMemo(s, dir).assigned.count(); () }))
 
   /** dedup_incremental's DuckDB re-derivation, shared verbatim with
     * the streaming twin's gate entry (single-batch feed ≡ batch

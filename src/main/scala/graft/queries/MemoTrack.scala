@@ -49,5 +49,15 @@ object MemoTrack {
     else { import scala.jdk.CollectionConverters._; s.asScala.toSeq.sorted }
   }
 
+  /** The bench line name for a memo label: `fit_` + the label in
+    * snake_case. Snake_case is LOAD-BEARING, not style: every floor
+    * parser in the pipeline (bench_to_baseline.py, Bench's
+    * baseline-aware rescue, the judge's table reads) matches rows
+    * with `[a-z0-9_]+` — a camelCase bench line silently falls out of
+    * every floor table. Each batch's fitThunks names must equal
+    * fitName(label) of the memo the thunk builds. */
+  def fitName(label: String): String =
+    "fit_" + label.replaceAll("([A-Z])", "_$1").toLowerCase
+
   def clear(): Unit = reads.clear()
 }
