@@ -72,6 +72,12 @@ object Batch10 {
     val k = semanticK(n)
     val idx = graft.ops.Ann.buildIvfAuto(emb, "embedding", k = k,
       maxFitRows = semanticFitRows(k))
+    // persist the fitted centroids once per corpus: the one
+    // non-SQL-derivable artifact — DuckDB re-runs assignment, the
+    // within-cluster pair scan, and the drop rule from this table
+    // (the ann_tune_nprobe trick applied to SemDeDup, r14)
+    Batch13.persistCentersOnce(s,
+      Batch13.artifactPath("sem_centers", dir), idx.centers)
     graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
       .transform(Reuse.cacheFresh("batch10.semanticDedup", _))
@@ -90,12 +96,102 @@ object Batch10 {
     val emb = plantedEmbeddings(s, dir)
     val n = emb.count()
     val k = semanticK(n)
-    val idx = graft.ops.Ann.buildIvfAuto(emb, "embedding", k = k,
-      maxFitRows = semanticFitRows(k), hierThreshold = 8)
-    graft.ops.Ann.semanticDedup(idx, "embedding", "vec_id", tau = 0.9)
+    // the exact branch buildIvfAuto(hierThreshold = 8) takes for k >
+    // 8, called directly so the coarse table is in hand — the oracle
+    // re-runs the TWO-PASS assignment (coarse cell, then sub-center
+    // within the cell) and needs both fitted tables
+    val h = graft.ops.Ann.buildIvfHierarchical(emb, "embedding", k = k,
+      maxFitRows = semanticFitRows(k))
+    Batch13.persistCentersOnce(s,
+      Batch13.artifactPath("sem_hier_flat", dir), h.index.centers)
+    Batch13.persistCentersOnce(s,
+      Batch13.artifactPath("sem_hier_coarse", dir), h.coarse)
+    graft.ops.Ann.semanticDedup(h.index, "embedding", "vec_id", tau = 0.9)
       .select(col("vec_id"), col("cluster"))
       .transform(Reuse.cacheFresh("batch10.semanticDedupHier", _))
   }, "semanticDedupHier")
+
+  /** Clamped cosine both engines share: Spark's cosine kernels clamp
+    * to [-1,1] (float rounding pushes parallel-vector similarity to
+    * 1+2e-16); DuckDB's list_cosine_similarity does not, so the SQL
+    * mirrors the clamp wherever a similarity is COMPARED (assignment
+    * argmax, the ccos dominance order) — without it a 1-vs-1+ulp pair
+    * could order differently across engines. */
+  private def clampSql(e: String): String =
+    s"least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), $e))"
+
+  /** Shared SemDeDup oracle scaffolding (r14): DuckDB re-runs
+    * everything downstream of the k-means fit from the persisted
+    * centroid table(s) — the planted corpus construction, cluster
+    * assignment (`asgCtes` supplies the flat or two-pass variant,
+    * emitting asg(vec_id, ev, cluster, ccos)), the within-cluster
+    * dominance drop rule, and the keep set. Mirrors
+    * [[graft.ops.Ann.semanticDedup]]'s exact join condition: drop x
+    * iff a same-cluster y with cos(x,y) >= tau precedes it in the
+    * total (ccos, id) order. */
+  private def semanticOracleSql(centerCtes: String, asgCtes: String): String =
+    s"""WITH $centerCtes,
+       |base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |planted AS (
+       |  SELECT vec_id, ev FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, ev FROM base
+       |  WHERE vec_id % 50 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 2000000 AS vec_id,
+       |    list_concat([ev[2], ev[1]], ev[3:]) AS ev
+       |  FROM base WHERE vec_id % 50 = 2),
+       |$asgCtes,
+       |dropped AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM asg x JOIN asg y ON x.cluster = y.cluster
+       |    AND x.vec_id <> y.vec_id
+       |    AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+       |    AND list_cosine_similarity(x.ev, y.ev) >= CAST(0.9 AS DOUBLE))
+       |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster
+       |FROM asg a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Flat assignment: argmax clamped-cosine over the persisted
+    * centers, lowest cluster id on ties (argmax_cosine's strict-> in
+    * index order); ccos is the winning similarity (identical to
+    * centroid_cosine at the assigned center). */
+  private def semanticFlatAsgSql: String = {
+    val sim = clampSql("list_cosine_similarity(p.ev, c.cv)")
+    s"""asg AS (
+       |  SELECT vec_id, ev, cluster, sim AS ccos FROM (
+       |    SELECT p.vec_id, p.ev, c.cluster, $sim AS sim,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY $sim DESC, c.cluster) AS rn
+       |    FROM planted p CROSS JOIN centers c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Two-pass assignment (the argmax_cosine + argmax_cosine_cell
+    * pair): coarse cell first, then the argmax among the cell's own
+    * sub-centers — flat cluster ids encode cell·k2 + j, so the cell's
+    * sub-centers are the flat rows with cluster // k2 = cell. */
+  private def semanticHierAsgSql: String = {
+    val simC = clampSql("list_cosine_similarity(p.ev, c.cv)")
+    val simF = clampSql("list_cosine_similarity(ca.ev, f.cv)")
+    s"""k2v AS (
+       |  SELECT (SELECT count(*) FROM flat) // (SELECT count(*) FROM coarse)
+       |    AS k2),
+       |cellasg AS (
+       |  SELECT vec_id, ev, cell FROM (
+       |    SELECT p.vec_id, p.ev, c.cluster AS cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY $simC DESC, c.cluster) AS rn
+       |    FROM planted p CROSS JOIN coarse c) WHERE rn = 1),
+       |asg AS (
+       |  SELECT vec_id, ev, cluster, sim AS ccos FROM (
+       |    SELECT ca.vec_id, ca.ev, f.cluster, $simF AS sim,
+       |      row_number() OVER (PARTITION BY ca.vec_id
+       |        ORDER BY $simF DESC, f.cluster) AS rn
+       |    FROM cellasg ca JOIN flat f
+       |      ON f.cluster // (SELECT k2 FROM k2v) = ca.cell)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** Bench pre-touch hook — see [[Batch3.touchMemos]]. */
   def touchMemos(s: SparkSession, dir: String): Unit =
@@ -403,8 +499,12 @@ object Batch10 {
     // asserted in AnnSpec.
     "dedup_semantic" -> Q(
       (s, dir) => semanticMemo(s, dir).orderBy("vec_id"),
-      None,
-      "SemDeDup: within-cluster embedding dedup at cos>=0.9 (keeps the centroid-far member; rows-only gate)"),
+      Some(semanticOracleSql(
+        s"""centers AS (
+           |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
+           |  FROM read_parquet('${Batch13.SemCentersPathToken}/*.parquet'))""".stripMargin,
+        semanticFlatAsgSql)),
+      "SemDeDup under the HASH-MATCHED gate (r14): DuckDB re-runs assignment, the within-cluster pair scan, and the dominance drop rule from the persisted k-means centroids"),
 
     // ---- approximate quantiles: percentile_approx is Spark's
     // Greenwald-Khanna sketch — bounded memory per group, mergeable,
@@ -936,7 +1036,14 @@ object Batch10 {
     // drop-rule invariants live in AnnSpec.
     "dedup_semantic_hier" -> Q(
       (s, dir) => semanticHierMemo(s, dir).orderBy("vec_id"),
-      None,
-      "SemDeDup with the two-level hierarchical k-means fit forced (rows-only gate; invariants in AnnSpec)"),
+      Some(semanticOracleSql(
+        s"""coarse AS (
+           |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
+           |  FROM read_parquet('${Batch13.SemHierCoarsePathToken}/*.parquet')),
+           |flat AS (
+           |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
+           |  FROM read_parquet('${Batch13.SemHierFlatPathToken}/*.parquet'))""".stripMargin,
+        semanticHierAsgSql)),
+      "SemDeDup through the forced two-level fit, under the HASH-MATCHED gate (r14): DuckDB re-runs the two-pass assignment (coarse cell, then within-cell sub-center argmax) from the persisted coarse + flat centroid tables"),
   )
 }

@@ -72,22 +72,51 @@ object Batch13 {
     * init, but the dir is only known at dump time). */
   private[graft] val BpeOraclePathToken = "__GRAFT_BPE_ORACLE_PATH__"
 
-  /** Same contract for the persisted IVF centroid table the
-    * ann_tune_nprobe oracle reads (see [[bpeOraclePath]] for the
-    * keying rationale). */
-  private[graft] def ivfCentersPath(dir: String): String = {
+  /** Dir-keyed artifact path for a persisted fitted-model table an
+    * oracle reads (see [[bpeOraclePath]] for the keying rationale):
+    * one per (tag, corpus dir). */
+  private[graft] def artifactPath(tag: String, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8"))
     val hex = md.take(6).map(b => f"${b & 0xff}%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_centers_$hex"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$hex"
   }
 
+  private[graft] def ivfCentersPath(dir: String): String =
+    artifactPath("ivf_centers", dir)
+
   private[graft] val IvfCentersPathToken = "__GRAFT_IVF_CENTERS_PATH__"
+  private[graft] val SemCentersPathToken = "__GRAFT_SEM_CENTERS_PATH__"
+  private[graft] val SemHierFlatPathToken = "__GRAFT_SEM_HIER_FLAT_PATH__"
+  private[graft] val SemHierCoarsePathToken = "__GRAFT_SEM_HIER_COARSE_PATH__"
+
+  /** Persist a fitted centroid table (cluster BIGINT, center
+    * ARRAY<FLOAT>) once per corpus: skip the rewrite when the
+    * persisted rows already equal `centers`, so repeat runs never
+    * delete part files out from under a concurrent reader (the same
+    * no-mid-read-delete contract as the BPE merges artifact). */
+  private[graft] def persistCentersOnce(s: org.apache.spark.sql.SparkSession,
+      path: String, centers: Array[Array[Float]]): Unit = {
+    import s.implicits._
+    val rows = centers.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
+    val upToDate = try {
+      s.read.parquet(path).orderBy("cluster").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+        .toIndexedSeq == rows
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      rows.toDF("cluster", "center")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   /** Dir-aware oracle-SQL rewrite hook for Verify. */
   def substituteOraclePaths(sql: String, dir: String): String =
     sql.replace(BpeOraclePathToken, bpeOraclePath(dir))
       .replace(IvfCentersPathToken, ivfCentersPath(dir))
+      .replace(SemCentersPathToken, artifactPath("sem_centers", dir))
+      .replace(SemHierFlatPathToken, artifactPath("sem_hier_flat", dir))
+      .replace(SemHierCoarsePathToken, artifactPath("sem_hier_coarse", dir))
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -119,19 +148,7 @@ object Batch13 {
         import s.implicits._
         val idx = Batch3.ivfIndex(s, dir)
         // persist the fitted centroids once per corpus for the oracle
-        // (skip-if-matching, same no-mid-read-delete contract as the
-        // BPE merges artifact)
-        val cpath = ivfCentersPath(dir)
-        val centerRows = idx.centers.toIndexedSeq.zipWithIndex
-          .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
-        val upToDate = try {
-          s.read.parquet(cpath).orderBy("cluster").collect()
-            .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
-            .toIndexedSeq == centerRows
-        } catch { case _: Exception => false }
-        if (!upToDate)
-          centerRows.toDF("cluster", "center")
-            .coalesce(1).write.mode("overwrite").parquet(cpath)
+        persistCentersOnce(s, ivfCentersPath(dir), idx.centers)
         val emb = table(s, dir, "embeddings")
         val topK = 10
         val q = panel(s, dir, 64)
