@@ -73,12 +73,18 @@ object Batch12 {
     "bpe_token_count" -> Q(
       (s, dir) => {
         val m = model(s, dir, 160)
+        // persist the merge artifact (skip-if-matching) so the oracle
+        // is self-sufficient under any entry subset: the recursive-CTE
+        // re-derivation reads the persisted merges, and encoding with
+        // the in-memory model gives the same answer by the save/load
+        // identity bpe_encode_oracle proves
+        Batch13.persistBpeOnce(s, dir, m)
         graft.ops.Bpe.tokenCounts(
             table(s, dir, "documents"), "doc_id", "text", m)
           .orderBy("doc_id")
       },
-      None,
-      "distributed BPE encode under the broadcast rank map (partition-local, memoized; rows-only gate)"),
+      Some(Batch13.bpeEncodeOracleSql),
+      "distributed BPE encode under the broadcast rank map, HASH-MATCHED (r14): DuckDB re-runs the greedy lowest-rank merge loop over the persisted merge artifact"),
 
     // ---- deterministic training-order shuffle: the stage between
     // corpus selection and packing — every epoch reads documents in a

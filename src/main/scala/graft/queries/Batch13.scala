@@ -247,22 +247,41 @@ object Batch13 {
     "bpe_encode_oracle" -> Q(
       (s, dir) => {
         val m = Batch12.model(s, dir, 160)
-        val path = bpeOraclePath(dir)
-        // skip the rewrite when the persisted artifact already equals
-        // this corpus's merges: repeat runs then never delete part
-        // files out from under a concurrent reader (the save stays a
-        // real save on first contact, so the round-trip under the gate
-        // is still exercised — `load` below always reads the artifact)
-        val upToDate = try {
-          graft.ops.Bpe.load(s, path).merges == m.merges
-        } catch { case _: Exception => false }
-        if (!upToDate) graft.ops.Bpe.save(m, s, path)
+        val path = persistBpeOnce(s, dir, m)
         val loaded = graft.ops.Bpe.load(s, path)
         graft.ops.Bpe.tokenCounts(
             table(s, dir, "documents"), "doc_id", "text", loaded)
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE
+      Some(bpeEncodeOracleSql),
+      "BPE encode end-to-end under the hash gate: train -> persist merges -> reload -> distributed encode, vs DuckDB's own recursive greedy lowest-rank merge loop over the persisted artifact"))
+
+  /** Persist the BPE model artifact once per corpus (skip the rewrite
+    * when the persisted merges already equal the model's — repeat runs
+    * then never delete part files out from under a concurrent reader;
+    * the save stays a real save on first contact, so round-trips under
+    * the gate are still exercised). Returns the path. Shared by
+    * bpe_encode_oracle and bpe_token_count. */
+  private[graft] def persistBpeOnce(s: org.apache.spark.sql.SparkSession,
+      dir: String, m: graft.ops.Bpe.BpeModel): String = {
+    val path = bpeOraclePath(dir)
+    val upToDate = try {
+      graft.ops.Bpe.load(s, path).merges == m.merges
+    } catch { case _: Exception => false }
+    if (!upToDate) graft.ops.Bpe.save(m, s, path)
+    path
+  }
+
+  /** The BPE encode re-derivation DuckDB runs — a recursive CTE
+    * applying the greedy lowest-rank merge loop over the persisted
+    * merge parquet — shared by bpe_encode_oracle (which additionally
+    * round-trips the artifact on the Spark side) and bpe_token_count
+    * (which encodes with the in-memory model; same answer by the
+    * save/load identity the encode entry proves). */
+  // lazy: `entries` above references this at object init; a strict
+  // val declared after it would still be null when the Seq builds
+  private[graft] lazy val bpeEncodeOracleSql: String =
+    s"""WITH RECURSIVE
               |merges AS (
               |  SELECT rank, left_sym AS l, right_sym AS r
               |  FROM read_parquet('$BpeOraclePathToken/merges/*.parquet')),
@@ -302,6 +321,5 @@ object Batch13 {
               |  GROUP BY dw.doc_id)
               |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens
               |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-              |ORDER BY doc_id""".stripMargin),
-      "BPE encode end-to-end under the hash gate: train -> persist merges -> reload -> distributed encode, vs DuckDB's own recursive greedy lowest-rank merge loop over the persisted artifact"))
+              |ORDER BY doc_id""".stripMargin
 }

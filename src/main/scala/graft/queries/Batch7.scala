@@ -527,8 +527,24 @@ object Batch7 {
           }).toDF("media_id", "modality", "decoded", "units")
         routed.orderBy("media_id")
       },
-      None,
-      "modality router: magic-byte sniff dispatches a mixed corpus to the real image/audio/video kernels (rows-only gate)"),
+      // behavioral oracle (r14): the fixture spec fully determines the
+      // router's output — modality by doc_id%4, units by each
+      // generator's size formula, decoded=true for every well-formed
+      // blob — so DuckDB predicts the table WITHOUT decoding anything
+      // while the Spark side must sniff-route and actually decode
+      // (a misroute, a decode failure, or a wrong frame count breaks
+      // the hash). Dirty-bytes degradation stays spec'd in
+      // MultimodalSpec, where corruption can be injected per-row.
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    WHEN 2 THEN 'video' ELSE 'unknown' END AS modality,
+             |  doc_id % 4 <> 3 AS decoded,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 8
+             |    WHEN 1 THEN 64 + doc_id % 64
+             |    WHEN 2 THEN 2 + doc_id % 3 ELSE 0 END AS BIGINT) AS units
+             |FROM documents WHERE doc_id % 5 = 0
+             |ORDER BY media_id""".stripMargin),
+      "modality router under the hash gate: magic-byte sniff dispatches a mixed corpus to the real image/audio/video kernels; DuckDB predicts the full routing table from the fixture spec"),
 
     // ---- REAL video frame sampling (round 12): per-doc synthetic
     // MJPEG clips (concatenated JPEGs — the one video format the JDK
