@@ -98,6 +98,9 @@ object Batch13 {
   private[graft] def persistCentersOnce(s: org.apache.spark.sql.SparkSession,
       path: String, centers: Array[Array[Float]]): Unit = {
     import s.implicits._
+    val key = (path, java.util.Arrays.deepHashCode(
+      centers.asInstanceOf[Array[AnyRef]]))
+    if (persistedOk.contains(key)) return
     val rows = centers.toIndexedSeq.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
     val upToDate = try {
@@ -108,6 +111,7 @@ object Batch13 {
     if (!upToDate)
       rows.toDF("cluster", "center")
         .coalesce(1).write.mode("overwrite").parquet(path)
+    persistedOk.add(key)
   }
 
   /** Dir-aware oracle-SQL rewrite hook for Verify. */
@@ -256,6 +260,15 @@ object Batch13 {
       Some(bpeEncodeOracleSql),
       "BPE encode end-to-end under the hash gate: train -> persist merges -> reload -> distributed encode, vs DuckDB's own recursive greedy lowest-rank merge loop over the persisted artifact"))
 
+  /** JVM-level "this artifact is known persisted" memo: the
+    * skip-if-matching check itself costs a parquet read + compare
+    * (~0.3 s), which the bench caught being paid on EVERY entry call —
+    * once one call has verified or written a given content at a given
+    * path, later calls in this JVM return immediately. Keyed by
+    * (path, content identity) so a changed model still rewrites. */
+  private val persistedOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
   /** Persist the BPE model artifact once per corpus (skip the rewrite
     * when the persisted merges already equal the model's — repeat runs
     * then never delete part files out from under a concurrent reader;
@@ -265,10 +278,14 @@ object Batch13 {
   private[graft] def persistBpeOnce(s: org.apache.spark.sql.SparkSession,
       dir: String, m: graft.ops.Bpe.BpeModel): String = {
     val path = bpeOraclePath(dir)
-    val upToDate = try {
-      graft.ops.Bpe.load(s, path).merges == m.merges
-    } catch { case _: Exception => false }
-    if (!upToDate) graft.ops.Bpe.save(m, s, path)
+    val key = (path, m.merges.hashCode)
+    if (!persistedOk.contains(key)) {
+      val upToDate = try {
+        graft.ops.Bpe.load(s, path).merges == m.merges
+      } catch { case _: Exception => false }
+      if (!upToDate) graft.ops.Bpe.save(m, s, path)
+      persistedOk.add(key)
+    }
     path
   }
 
