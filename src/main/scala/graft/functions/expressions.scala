@@ -45,6 +45,21 @@ case class Fnv64(child: Expression)
   override def prettyName: String = "fnv64"
 }
 
+/** splitmix64 finalizer over a long — the full-avalanche integer mix
+  * every synthetic fixture and the KMV sketch share. Re-derivable in
+  * external engines with pure mod-2^64 integer arithmetic (the
+  * mm_decode_oracle HUGEINT kernel). */
+case class Mix64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.mix64($c)")
+  override protected def withNewChildInternal(c: Expression): Mix64 = copy(child = c)
+  override def prettyName: String = "mix64"
+}
+
 /** Polynomial rolling-hash fingerprint of a string (mod 2^61-1). */
 case class PolyHash(child: Expression)
     extends UnaryExpression {

@@ -22,6 +22,9 @@ package object functions {
   /** FNV-1a 64-bit hash of a string's UTF-8 bytes. */
   def fnv64(c: Column): Column = col(Fnv64(expr(c)))
 
+  /** splitmix64 finalizer over a long column (full avalanche). */
+  def mix64(c: Column): Column = col(Mix64(expr(c)))
+
   /** Polynomial rolling-hash fingerprint (mod 2^61-1). */
   def poly_hash(c: Column): Column = col(PolyHash(expr(c)))
 

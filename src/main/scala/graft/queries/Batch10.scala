@@ -489,6 +489,81 @@ object Batch10 {
       None,
       "HLL++ approximate distinct users per event type (mergeable sketch; rows-only gate)"),
 
+    // ---- KMV (bottom-k) distinct sketch, HASH-MATCHED (r14): the
+    // deterministic alternative to the HLL entry above — k minimum
+    // hash values (Bar-Yossef et al. 2002) under the full-avalanche
+    // splitmix64 mix both engines share (the mm_decode_oracle HUGEINT
+    // kernel; FNV over short sequential keys clusters in the high
+    // bits and biased the estimate 2x), so the sketch contents AND
+    // the estimate (one IEEE normalization + one division) re-derive
+    // exactly in DuckDB where HLL++ internals cannot. Plan shape at
+    // 100 TB: the (group, hash) distinct pre-aggregates map-side,
+    // then the BoundedTopK sketch aggregate carries O(k) state per
+    // group through the shuffle — mergeable like HLL, but
+    // reproducible. Sign-bit flip makes SIGNED order of
+    // (h ^ Long.MinValue) equal UNSIGNED order of h, so the bounded
+    // aggregate's (ord DESC, id ASC) total order walks true
+    // unsigned-ascending hashes; the double ord is only a sort key
+    // (ties fall to the exact long id). Estimate: exact count when
+    // the group has < k distinct hashes, else (k-1)/u_k with u_k the
+    // k-th minimum normalized to [0,1).
+    "approx_distinct_kmv" -> Q(
+      (s, dir) => {
+        val k = 64
+        val h = graft.functions.mix64(col("user_id"))
+        val flipped = h.bitwiseXOR(lit(Long.MinValue))
+        events(s, dir)
+          .select(col("event_type"), flipped.as("fh")).distinct()
+          .groupBy("event_type")
+          .agg(graft.functions.BoundedTopK.top_k_by(
+            negate(col("fh").cast("double")), col("fh"), k).as("mins"))
+          .select(
+            col("event_type"),
+            size(col("mins")).as("n_min"),
+            element_at(col("mins.id"), size(col("mins"))).as("kth_flipped"),
+            when(size(col("mins")) < k, size(col("mins")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                ((element_at(col("mins.id"), size(col("mins"))).cast("double")
+                  + lit(math.pow(2, 63))) / lit(math.pow(2, 64))))
+              .as("est_users"))
+          .orderBy("event_type")
+      },
+      Some {
+        val m2 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+        val m3 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        s"""WITH kk AS (SELECT DISTINCT event_type, user_id FROM events),
+           |m1 AS (
+           |  SELECT event_type, (${Batch3.toUnsignedSql("user_id")}
+           |    + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM kk),
+           |m2 AS (SELECT event_type, $m2 AS z FROM m1),
+           |m3 AS (SELECT event_type, $m3 AS z FROM m2),
+           |fh AS (
+           |  SELECT DISTINCT event_type,
+           |    CAST(($fin) - 9223372036854775808 AS BIGINT) AS fh
+           |  FROM m3),
+           |ranked AS (
+           |  SELECT event_type, fh,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY fh) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS nd
+           |  FROM fh),
+           |agg AS (
+           |  SELECT event_type, CAST(least(max(nd), 64) AS INTEGER) AS n_min,
+           |    max(CASE WHEN rn = least(nd, 64) THEN fh END) AS kth_flipped
+           |  FROM ranked GROUP BY event_type)
+           |SELECT event_type, n_min, kth_flipped,
+           |  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+           |  ELSE CAST(63 AS DOUBLE) /
+           |    ((CAST(kth_flipped AS DOUBLE)
+           |      + CAST(9223372036854775808 AS DOUBLE))
+           |     / CAST(18446744073709551616 AS DOUBLE)) END AS est_users
+           |FROM agg ORDER BY event_type""".stripMargin
+      },
+      "KMV bottom-k distinct sketch under the hash gate: splitmix64 minima and the (k-1)/u_k estimate re-derived exactly in DuckDB (the reproducible sibling of the HLL entry)"),
+
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup restricted to
     // k-means clusters — the embedding-space dedup that scales past
     // LSH recall tuning: comparisons are a cluster-keyed self-join

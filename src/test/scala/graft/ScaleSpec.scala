@@ -177,6 +177,25 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("approx_distinct_kmv lands within the KMV error envelope of exact distinct") {
+    // deterministic fixture + deterministic sketch: a drift here means
+    // the estimator or the mix changed, not luck. k=64 gives a ~12.5%
+    // standard error (1/sqrt(k)); assert 3 sigma.
+    val dir = sf("sf0.01")
+    val ev = graft.queries.Catalog.events(spark, dir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.queries.Catalog.queries("approx_distinct_kmv")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) / e <= 3.0 / math.sqrt(64.0),
+        s"$k: KMV estimate $a vs exact $e outside 3/sqrt(k)")
+    }
+  }
+
   test("approx_distinct (HLL++) lands within 10% of exact distinct") {
     val dir = sf("sf0.01")
     val ev = graft.queries.Catalog.events(spark, dir)
