@@ -260,6 +260,46 @@ object Batch10 {
       |SELECT lang, doc_id, toks, cum FROM c
       |WHERE cum - toks < 2000 ORDER BY lang, cum""".stripMargin
 
+  /** approx_distinct_kmv's DuckDB re-derivation — shared verbatim with
+    * the streaming twin's gate entry (single-batch feed ≡ batch
+    * sketch): splitmix64 over the key in HUGEINT mod-2^64 arithmetic,
+    * sign-flip to BIGINT, bottom-64 per group, the (k-1)/u_k
+    * estimator. */
+  private val kmvOracle: String = {
+    val m2 = Batch3.mulMod64Sql(
+      Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+    val m3 = Batch3.mulMod64Sql(
+      Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+    val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+    s"""WITH kk AS (SELECT DISTINCT event_type, user_id FROM events),
+           |m1 AS (
+           |  SELECT event_type, (${Batch3.toUnsignedSql("user_id")}
+           |    + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM kk),
+           |m2 AS (SELECT event_type, $m2 AS z FROM m1),
+           |m3 AS (SELECT event_type, $m3 AS z FROM m2),
+           |fh AS (
+           |  SELECT DISTINCT event_type,
+           |    CAST(($fin) - 9223372036854775808 AS BIGINT) AS fh
+           |  FROM m3),
+           |ranked AS (
+           |  SELECT event_type, fh,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY fh) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS nd
+           |  FROM fh),
+           |agg AS (
+           |  SELECT event_type, CAST(least(max(nd), 64) AS INTEGER) AS n_min,
+           |    max(CASE WHEN rn = least(nd, 64) THEN fh END) AS kth_flipped
+           |  FROM ranked GROUP BY event_type)
+           |SELECT event_type, n_min, kth_flipped,
+           |  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+           |  ELSE CAST(63 AS DOUBLE) /
+           |    ((CAST(kth_flipped AS DOUBLE)
+           |      + CAST(9223372036854775808 AS DOUBLE))
+           |     / CAST(18446744073709551616 AS DOUBLE)) END AS est_users
+           |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- deterministic data mixing: per-language hash sampling.
@@ -528,50 +568,34 @@ object Batch10 {
               .as("est_users"))
           .orderBy("event_type")
       },
-      Some {
-        val m2 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
-        val m3 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
-        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
-        s"""WITH kk AS (SELECT DISTINCT event_type, user_id FROM events),
-           |m1 AS (
-           |  SELECT event_type, (${Batch3.toUnsignedSql("user_id")}
-           |    + 11400714819323198485) % 18446744073709551616 AS z
-           |  FROM kk),
-           |m2 AS (SELECT event_type, $m2 AS z FROM m1),
-           |m3 AS (SELECT event_type, $m3 AS z FROM m2),
-           |fh AS (
-           |  SELECT DISTINCT event_type,
-           |    CAST(($fin) - 9223372036854775808 AS BIGINT) AS fh
-           |  FROM m3),
-           |ranked AS (
-           |  SELECT event_type, fh,
-           |    row_number() OVER (PARTITION BY event_type ORDER BY fh) AS rn,
-           |    count(*) OVER (PARTITION BY event_type) AS nd
-           |  FROM fh),
-           |agg AS (
-           |  SELECT event_type, CAST(least(max(nd), 64) AS INTEGER) AS n_min,
-           |    max(CASE WHEN rn = least(nd, 64) THEN fh END) AS kth_flipped
-           |  FROM ranked GROUP BY event_type)
-           |SELECT event_type, n_min, kth_flipped,
-           |  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
-           |  ELSE CAST(63 AS DOUBLE) /
-           |    ((CAST(kth_flipped AS DOUBLE)
-           |      + CAST(9223372036854775808 AS DOUBLE))
-           |     / CAST(18446744073709551616 AS DOUBLE)) END AS est_users
-           |FROM agg ORDER BY event_type""".stripMargin
-      },
+      Some(kmvOracle),
       "KMV bottom-k distinct sketch under the hash gate: splitmix64 minima and the (k-1)/u_k estimate re-derived exactly in DuckDB (the reproducible sibling of the HLL entry)"),
+
+    // ---- the KMV sketch's STREAMING twin (r14): incremental bottom-k
+    // via flatMapGroupsWithState — O(k) state per group forever, the
+    // streaming-cardinality shape (dropDuplicates-based distinct
+    // counting carries every key seen; this carries 64 longs). The
+    // events feed is materialized through the nanos-aware reader and
+    // replayed as ONE micro-batch, where the carried-state fold equals
+    // the batch sketch exactly — so the twin shares the batch entry's
+    // DuckDB oracle under the full hash compare.
+    "kmv_stream" -> Q(
+      (s, dir) => Catalog.replayFeedToParquet(s,
+          events(s, dir).select(col("event_type"), col("user_id")),
+          xform = st => graft.streaming.Streaming.kmvStream(st))
+        .orderBy("event_type"),
+      Some(kmvOracle),
+      "streaming KMV distinct sketch via flatMapGroupsWithState (bounded O(k) state per group; single-batch replay == batch sketch, hash-compared on the gate)"),
 
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup restricted to
     // k-means clusters — the embedding-space dedup that scales past
     // LSH recall tuning: comparisons are a cluster-keyed self-join
     // (sum c_i^2, bounded by growing k with n), never all-pairs.
-    // k-means centroids are not DuckDB-replicable → rows-only gate;
-    // the drop-rule invariants (exact copies always collapse, kept
-    // set has no same-cluster pair >= tau, deterministic) are
-    // asserted in AnnSpec.
+    // The k-means FIT is not DuckDB-replicable, but its result is
+    // persisted and everything downstream re-runs under the hash gate
+    // (r14, see semanticOracleSql); the drop-rule invariants (exact
+    // copies always collapse, kept set has no same-cluster pair >=
+    // tau, deterministic) are additionally asserted in AnnSpec.
     "dedup_semantic" -> Q(
       (s, dir) => semanticMemo(s, dir).orderBy("vec_id"),
       Some(semanticOracleSql(
@@ -1105,10 +1129,12 @@ object Batch10 {
 
     // ---- SemDeDup through the forced hierarchical fit (see
     // semanticHierMemo): same planted fixture, same tau, same output
-    // shape as dedup_semantic, but buildIvfAuto routes the k-means fit
-    // through the two-level coarse+per-cell-Lloyd machinery. k-means
-    // centroids are not DuckDB-replicable → rows-only gate; hier-fit
-    // drop-rule invariants live in AnnSpec.
+    // shape as dedup_semantic, but the k-means fit runs through the
+    // two-level coarse+per-cell-Lloyd machinery. The fit itself is
+    // not DuckDB-replicable, but its RESULT is persisted (coarse +
+    // flat centroid tables) and everything downstream re-runs under
+    // the hash gate (r14); hier-fit drop-rule invariants additionally
+    // live in AnnSpec.
     "dedup_semantic_hier" -> Q(
       (s, dir) => semanticHierMemo(s, dir).orderBy("vec_id"),
       Some(semanticOracleSql(

@@ -11,8 +11,12 @@ import graft.queries.Catalog.{Q, table}
   * distributed encode that turns documents into token streams, the
   * stage between cleaning/dedup and packing in an LLM data pipeline.
   *
-  * Both entries are rows-only gates (byte-pair merge learning is not
-  * expressible in DuckDB SQL); BpeSpec carries the correctness load:
+  * bpe_train is a rows-only gate (the iterative byte-pair merge
+  * learning loop is not expressible in DuckDB SQL); bpe_token_count
+  * is HASH-MATCHED as of r14 — it persists the merge artifact and
+  * DuckDB re-runs the greedy lowest-rank merge loop itself
+  * ([[Batch13.bpeEncodeOracleSql]]). BpeSpec carries the fit's
+  * correctness load:
   * a hand-derived Sennrich worked example, round-trip detokenization
   * over the fixture corpus, partitioning invariance, the
   * merge-prefix/monotone-token-count properties, and the deterministic

@@ -13,14 +13,16 @@ import graft.queries.Catalog.{Q, table}
   * ([[graft.ops.Ann.tuneNprobe]], promoted from spec-only coverage,
   * r12 verdict task 3).
   *
-  * The entry is a rows-only gate (a binary search driven by measured
-  * recall is not expressible in DuckDB SQL), but it carries its own
-  * teeth: alongside the tuner's reported recall it RE-MEASURES recall
-  * at the chosen nprobe against an INDEPENDENT exact top-k plan (the
-  * brute-force window ranking, not the tuner's exhaustive-IVF
-  * reference), over the same deterministic query panel. AnnRecallSpec
-  * pins `recall_check == recall` (the two exact constructions agree
-  * pair-for-pair) and nprobe monotonicity in the target.
+  * HASH-MATCHED as of r14: the fitted centroids persist per corpus
+  * and DuckDB re-runs assignment, probe ranking, per-level top-k,
+  * recall, and the per-target argmin (equal to the binary search by
+  * recall monotonicity) — see the entry's oracle SQL. The entry also
+  * keeps its original in-JVM teeth: alongside the tuner's reported
+  * recall it RE-MEASURES recall at the chosen nprobe against an
+  * INDEPENDENT exact top-k plan (the brute-force window ranking, not
+  * the tuner's exhaustive-IVF reference), over the same deterministic
+  * query panel. AnnRecallSpec pins `recall_check == recall` and
+  * nprobe monotonicity in the target.
   */
 object Batch13 {
 

@@ -186,6 +186,49 @@ object Streaming {
       .toDF("lang", "doc_id", "toks", "cum")
   }
 
+  /** Streaming KMV (bottom-k) distinct sketch: per group, carry the k
+    * smallest sign-flipped splitmix64 hashes across micro-batches —
+    * O(k) state per group, the streaming-cardinality shape at scale
+    * (the state never grows with the stream; a distinct-count via
+    * dropDuplicates would carry every key seen). Each batch emits the
+    * group's CURRENT sketch row (n_min, k-th minimum, estimate), so a
+    * dashboard reads the latest row per group. Signed order of
+    * (h ^ Long.MinValue) equals unsigned order of h, so `sorted` walks
+    * true unsigned-ascending hashes; the estimator is the batch
+    * entry's expression verbatim — a single-batch feed therefore
+    * equals batch `approx_distinct_kmv` exactly and the twin shares
+    * its DuckDB oracle. Same bootstrap note as [[packSequencesStream]]:
+    * a group's micro-batch slice materializes in its iterator — fine
+    * for tails, wrong for a single 100-TB batch 0 (batch the
+    * snapshot, stream the tail). */
+  def kmvStream(df: DataFrame, k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("event_type"),
+        graft.functions.mix64(col("user_id"))
+          .bitwiseXOR(lit(Long.MinValue)).as("fh"))
+      .filter(col("fh").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (String, Int, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (et, rows, state) =>
+          val cur = state.getOption.getOrElse(Seq.empty[Long])
+          val merged = (cur ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val nMin = merged.length
+          val kth = merged.last
+          // the batch entry's estimator expression, verbatim
+          val est =
+            if (nMin < k) nMin.toDouble
+            else (k - 1).toDouble /
+              ((kth.toDouble + math.pow(2, 63)) / math.pow(2, 64))
+          Iterator.single((et, nMin, kth, est))
+      }
+      .toDF("event_type", "n_min", "kth_flipped", "est_users")
+  }
+
   /** Streaming batched ANN k-NN join — the online-lookup/online-dedup
     * service shape: query vectors STREAM, the IVF index is the frozen
     * build-once artifact, and each micro-batch routes through

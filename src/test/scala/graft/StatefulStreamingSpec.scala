@@ -43,6 +43,48 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(lastPerKey("a")._3 === false) // retraction emitted for DELETE
   }
 
+  test("kmvStream: carried bottom-k state across batches equals the sketch of the union") {
+    // the incremental-merge contract the single-batch gate can't see:
+    // feed two disjoint batches and the FINAL emitted row per group
+    // must equal kmvStream over the union in one batch (bottom-k is a
+    // semilattice: merge(sketch(A), sketch(B)) = sketch(A ∪ B))
+    val dir = tmp()
+    def rows(ids: Range): java.util.List[String] = {
+      import scala.jdk.CollectionConverters._
+      ids.map(i => s"""{"event_type":"t${i % 2}","user_id":$i}""").toList.asJava
+    }
+    Files.write(Paths.get(dir, "b0.jsonl"), rows(0 until 300))
+    val src = spark.readStream.text(dir).select(
+      get_json_object($"value", "$.event_type").as("event_type"),
+      get_json_object($"value", "$.user_id").cast("long").as("user_id"))
+    val q = graft.streaming.Streaming.kmvStream(src)
+      .writeStream.format("memory").queryName("kmv_rows")
+      .outputMode("append").option("checkpointLocation", tmp() + "/ck").start()
+    q.processAllAvailable()
+    Files.write(Paths.get(dir, "b1.jsonl"), rows(300 until 600))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("kmv_rows")
+      .as[(String, Int, Long, Double)].collect()
+    // two batches x two groups = four rows; take the LAST per group
+    assert(emitted.length === 4)
+    val last = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (g, vs) => g -> vs.maxBy(_._2)._1 }
+    // reference: the batch-entry computation over the full union
+    val all = (0 until 600)
+      .map(i => (s"t${i % 2}", graft.functions.HashOps.mix64(i.toLong) ^ Long.MinValue))
+      .groupBy(_._1).map { case (g, vs) =>
+        val mins = vs.map(_._2).distinct.sorted.take(64)
+        g -> ((mins.length, mins.last,
+          63.0 / ((mins.last.toDouble + math.pow(2, 63)) / math.pow(2, 64))))
+      }
+    all.foreach { case (g, (n, kth, est)) =>
+      val (_, ln, lkth, lest) = last(g)
+      assert(ln === n, s"$g n_min")
+      assert(lkth === kth, s"$g kth")
+      assert(lest === est, s"$g est")
+    }
+  }
+
   test("stateful KV with TTL: idle keys expire with a retraction (roadmap state TTL)") {
     val dir = tmp()
     Files.write(Paths.get(dir, "b0.jsonl"), java.util.List.of(
