@@ -627,6 +627,88 @@ object Batch10 {
       None,
       "Greenwald-Khanna approximate quantiles per event type (mergeable sketch; rows-only gate)"),
 
+    // ---- deterministic quantile sketch, HASH-MATCHED (r14): the
+    // reproducible sibling of the GK entry above, built on the same
+    // bottom-k idea as approx_distinct_kmv — the k rows with the
+    // smallest mix64(event_id) ARE a uniform fixed-size sample
+    // without replacement (mergeable: bottom-k is a semilattice), and
+    // quantiles of the sample estimate quantiles of the group with
+    // ~1/sqrt(k) rank error. Selection and estimator re-derive
+    // exactly in DuckDB: the sample is the bounded aggregate's
+    // (double(fh) ASC, event_id ASC) cut, the estimator is pinned
+    // linear interpolation v_lo*(1-frac) + v_hi*frac at
+    // pos = q*(n-1) — plain IEEE in both engines. At 100 TB: one
+    // map-side-combinable O(k) aggregate for the sample ids, one
+    // broadcast-able semi-join back for the values, no global sort.
+    "approx_quantiles_kmv" -> Q(
+      (s, dir) => {
+        val k = 256
+        val ev = events(s, dir)
+        val flipped = graft.functions.mix64(col("event_id"))
+          .bitwiseXOR(lit(Long.MinValue))
+        val sampleIds = ev
+          .select(col("event_type"), col("event_id"), flipped.as("fh"))
+          .groupBy("event_type")
+          .agg(graft.functions.BoundedTopK.top_k_by(
+            negate(col("fh").cast("double")), col("event_id"), k).as("mins"))
+          .select(col("event_type"), explode(col("mins.id")).as("event_id"))
+        val vs = sampleIds
+          .join(ev.select(col("event_type"), col("event_id"), col("value")),
+            Seq("event_type", "event_id"))
+          .groupBy("event_type")
+          .agg(sort_array(collect_list(col("value"))).as("vs"))
+        def qc(q: Double): org.apache.spark.sql.Column = {
+          val n = size(col("vs"))
+          val pos = lit(q) * (n - 1).cast("double")
+          val lo = floor(pos).cast("int")
+          val frac = pos - floor(pos)
+          (element_at(col("vs"), lo + 1) * (lit(1.0) - frac)
+            + element_at(col("vs"), least(lo + lit(2), n)) * frac)
+        }
+        vs.select(col("event_type"), size(col("vs")).as("n_sample"),
+            qc(0.5).as("p50"), qc(0.95).as("p95"), qc(0.99).as("p99"))
+          .orderBy("event_type")
+      },
+      Some {
+        val m2 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+        val m3 = Batch3.mulMod64Sql(
+          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        def q(p: String): String =
+          s"""(vs[CAST(floor($p * (n - 1)) AS INTEGER) + 1]
+             |      * (1.0 - ($p * (n - 1) - floor($p * (n - 1))))
+             |    + vs[least(CAST(floor($p * (n - 1)) AS INTEGER) + 2, CAST(n AS INTEGER))]
+             |      * ($p * (n - 1) - floor($p * (n - 1))))""".stripMargin
+        s"""WITH m1 AS (
+           |  SELECT event_type, event_id, value,
+           |    (${Batch3.toUnsignedSql("event_id")}
+           |      + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM events),
+           |m2 AS (SELECT event_type, event_id, value, $m2 AS z FROM m1),
+           |m3 AS (SELECT event_type, event_id, value, $m3 AS z FROM m2),
+           |fh AS (
+           |  SELECT event_type, event_id, value,
+           |    CAST(($fin) - 9223372036854775808 AS BIGINT) AS fh
+           |  FROM m3),
+           |sampled AS (
+           |  SELECT event_type, value FROM (
+           |    SELECT event_type, value, row_number() OVER (
+           |      PARTITION BY event_type
+           |      ORDER BY CAST(fh AS DOUBLE) ASC, event_id ASC) AS rn
+           |    FROM fh) WHERE rn <= 256),
+           |agg AS (
+           |  SELECT event_type, list_sort(list(value)) AS vs,
+           |    CAST(len(list(value)) AS DOUBLE) AS n
+           |  FROM sampled GROUP BY event_type)
+           |SELECT event_type, CAST(n AS INTEGER) AS n_sample,
+           |  ${q("0.5")} AS p50,
+           |  ${q("0.95")} AS p95,
+           |  ${q("0.99")} AS p99
+           |FROM agg ORDER BY event_type""".stripMargin
+      },
+      "deterministic sampling-based quantile sketch under the hash gate: bottom-k-by-hash uniform sample + pinned linear interpolation, re-derived exactly in DuckDB (the reproducible sibling of the GK entry)"),
+
     // ---- pure range join (no equi key): every click within 10
     // minutes BEFORE any purchase, across all users — written as the
     // naive inequality join. Spark's native plan for a no-equi-key

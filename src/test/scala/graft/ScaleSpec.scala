@@ -196,6 +196,32 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("approx_quantiles_kmv: estimated quantiles land at the right RANK in the exact distribution") {
+    // rank-error assertion, not value-error: a sampling quantile's
+    // guarantee is on the rank (sd = sqrt(q(1-q)/k)); value error is
+    // distribution-dependent and meaningless to bound generically.
+    // 5 sigma at k=256: |rank(est) - q| <= 5*sqrt(q(1-q)/256).
+    val dir = sf("sf0.01")
+    val ev = graft.queries.Catalog.events(spark, dir)
+      .select($"event_type", $"value".as[Double])
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val est = graft.queries.Catalog.queries("approx_quantiles_kmv")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3), 0.99 -> r.getDouble(4)))
+      .toMap
+    assert(est.keySet === ev.keySet)
+    est.foreach { case (g, qs) =>
+      val sorted = ev(g)
+      qs.foreach { case (q, v) =>
+        val rank = sorted.count(_ <= v).toDouble / sorted.length
+        val tol = 5.0 * math.sqrt(q * (1 - q) / 256.0)
+        assert(math.abs(rank - q) <= tol,
+          f"$g p$q: estimate $v sits at rank $rank%.3f (tol ${tol}%.3f)")
+      }
+    }
+  }
+
   test("approx_distinct (HLL++) lands within 10% of exact distinct") {
     val dir = sf("sf0.01")
     val ev = graft.queries.Catalog.events(spark, dir)
