@@ -914,6 +914,25 @@ object Ann {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       nprobeCoarse: Int, topK: Int = 20, targetRecall: Double = 0.9,
       maxSample: Int = 200): (Int, Double) = {
+    val Seq((_, np, rec)) = tuneNprobeHierFrontier(h, embCol, idCol,
+      queries, qIdCol, qVecCol, nprobeCoarse, topK, Seq(targetRecall),
+      maxSample)
+    (np, rec)
+  }
+
+  /** [[tuneNprobeHier]] for a whole frontier of targets in one pass —
+    * the hier twin of [[tuneNprobeFrontier]]: the TRUE-exact reference
+    * (full coarse cut, all clusters) builds once and recall
+    * measurements memoize by nprobe across the per-target searches.
+    * Per target the hier tuner's contract is preserved exactly: if
+    * even the full fixed cut misses the target, return
+    * (cutMax, recall(cutMax)) — the documented raise-nprobeCoarse
+    * signal — else the smallest nprobe meeting it. */
+  def tuneNprobeHierFrontier(h: HierIvf, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobeCoarse: Int, topK: Int, targets: Seq[Double],
+      maxSample: Int = 200): Seq[(Double, Int, Double)] = {
+    require(targets.nonEmpty, "tuneNprobeHierFrontier: no targets")
     val k = h.index.centers.length
     val cutMax = math.min(k, nprobeCoarse * h.k2)
     // sample pinned on the driver — see [[tuneNprobe]]'s rationale
@@ -930,27 +949,30 @@ object Ann {
       .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def recallAt(nprobe: Int): Double = {
+      val cache = scala.collection.mutable.Map.empty[Int, Double]
+      def recallAt(nprobe: Int): Double = cache.getOrElseUpdate(nprobe, {
         val approx = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
             "__tune_qvec", topK, nprobeCoarse = nprobeCoarse, nprobe = nprobe)
           .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
         exact.join(approx, Seq("__tq", "__tid")).count().toDouble / (nq * topK)
-      }
-      val recMax = recallAt(cutMax)
-      if (recMax < targetRecall) (cutMax, recMax)
-      else {
-        var lo = 1; var hi = cutMax
-        var recHi = recMax
-        val recLo = recallAt(lo)
-        if (recLo >= targetRecall) (lo, recLo)
+      })
+      targets.map { target =>
+        val recMax = recallAt(cutMax)
+        if (recMax < target) (target, cutMax, recMax)
         else {
-          while (hi - lo > 1) {
-            val mid = lo + (hi - lo) / 2
-            val r = recallAt(mid)
-            if (r >= targetRecall) { hi = mid; recHi = r }
-            else lo = mid
+          var lo = 1; var hi = cutMax
+          var recHi = recMax
+          val recLo = recallAt(lo)
+          if (recLo >= target) (target, lo, recLo)
+          else {
+            while (hi - lo > 1) {
+              val mid = lo + (hi - lo) / 2
+              val r = recallAt(mid)
+              if (r >= target) { hi = mid; recHi = r }
+              else lo = mid
+            }
+            (target, hi, recHi)
           }
-          (hi, recHi)
         }
       }
     } finally exact.unpersist()

@@ -91,6 +91,8 @@ object Batch13 {
   private[graft] val SemCentersPathToken = "__GRAFT_SEM_CENTERS_PATH__"
   private[graft] val SemHierFlatPathToken = "__GRAFT_SEM_HIER_FLAT_PATH__"
   private[graft] val SemHierCoarsePathToken = "__GRAFT_SEM_HIER_COARSE_PATH__"
+  private[graft] val TuneHierFlatPathToken = "__GRAFT_TUNE_HIER_FLAT_PATH__"
+  private[graft] val TuneHierCoarsePathToken = "__GRAFT_TUNE_HIER_COARSE_PATH__"
 
   /** Persist a fitted centroid table (cluster BIGINT, center
     * ARRAY<FLOAT>) once per corpus: skip the rewrite when the
@@ -123,6 +125,8 @@ object Batch13 {
       .replace(SemCentersPathToken, artifactPath("sem_centers", dir))
       .replace(SemHierFlatPathToken, artifactPath("sem_hier_flat", dir))
       .replace(SemHierCoarsePathToken, artifactPath("sem_hier_coarse", dir))
+      .replace(TuneHierFlatPathToken, artifactPath("tune_hier_flat", dir))
+      .replace(TuneHierCoarsePathToken, artifactPath("tune_hier_coarse", dir))
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -237,6 +241,146 @@ object Batch13 {
               |FROM chosen c JOIN recalls r ON r.n = c.np
               |ORDER BY target_recall""".stripMargin),
       "nprobe calibration under the HASH-MATCHED gate: DuckDB re-runs assignment, probe ranking, per-level top-k, recall, and the per-target argmin from the persisted k-means centroids; the binary search equals the argmin by recall monotonicity"),
+
+    // ---- the HIERARCHICAL tuner on the graded surface (r14): the
+    // two-level twin of ann_tune_nprobe, with REAL coarse pruning —
+    // nprobeCoarse = 3 of the fixture's k1 = 4 cells, so the tuner
+    // may legitimately hit its raise-nprobeCoarse signal (return the
+    // full cut with its honest sub-target recall) for high targets.
+    // Same oracle construction: the two fitted tables (coarse + flat)
+    // persist per corpus and DuckDB re-runs the two-pass assignment,
+    // the per-query coarse-cell cut, the within-cut sub-center probe
+    // ranking, per-level top-k, recall vs the exhaustive reference,
+    // and the per-target choose-or-signal rule. All ranking
+    // similarities carry Spark's [-1,1] clamp mirrored into the SQL.
+    "ann_tune_nprobe_hier" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val h = Batch3.hierIndex(s, dir)
+        persistCentersOnce(s, artifactPath("tune_hier_flat", dir),
+          h.index.centers)
+        persistCentersOnce(s, artifactPath("tune_hier_coarse", dir), h.coarse)
+        val emb = table(s, dir, "embeddings")
+        val topK = 10
+        val nprobeCoarse = 3
+        val q = panel(s, dir, 64)
+        val nq = q.count().toDouble
+        val exact = exactTopK(emb, q, topK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val frontier = graft.ops.Ann.tuneNprobeHierFrontier(h,
+            "embedding", "vec_id", q, "qid", "qvec",
+            nprobeCoarse = nprobeCoarse, topK = topK,
+            targets = Seq(0.5, 0.9, 0.99), maxSample = 64)
+          val rows = frontier.map { case (target, np, rec) =>
+            val approx = graft.ops.Ann.knnJoinIvfHier(h, "embedding",
+                "vec_id", q, "qid", "qvec", topK = topK,
+                nprobeCoarse = nprobeCoarse, nprobe = np)
+              .select(col("qid"), col("vec_id"))
+            val hits = exact.join(approx, Seq("qid", "vec_id")).count()
+            (target, np, rec, hits.toDouble / (nq * topK))
+          }
+          rows.toDF("target_recall", "nprobe", "recall", "recall_check")
+            .orderBy("target_recall")
+        } finally { exact.unpersist(); () }
+      },
+      Some {
+        def cl(e: String) =
+          s"least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), $e))"
+        s"""WITH coarse AS (
+           |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
+           |  FROM read_parquet('$TuneHierCoarsePathToken/*.parquet')),
+           |flat AS (
+           |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
+           |  FROM read_parquet('$TuneHierFlatPathToken/*.parquet')),
+           |k2v AS (
+           |  SELECT (SELECT count(*) FROM flat) // (SELECT count(*) FROM coarse)
+           |    AS k2),
+           |cutv AS (
+           |  SELECT least((SELECT count(*) FROM flat),
+           |    3 * (SELECT k2 FROM k2v)) AS cut),
+           |panel AS (
+           |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id % 7 = 0
+           |  ORDER BY vec_id LIMIT 64),
+           |np_panel AS (SELECT count(*) AS nq FROM panel),
+           |corpus AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+           |  FROM embeddings),
+           |cellasg AS (
+           |  SELECT vec_id, ev, cell FROM (
+           |    SELECT c.vec_id, c.ev, ct.cluster AS cell,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY ${cl("list_cosine_similarity(c.ev, ct.cv)")} DESC,
+           |          ct.cluster) AS rn
+           |    FROM corpus c CROSS JOIN coarse ct) WHERE rn = 1),
+           |asg AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT ca.vec_id, f.cluster,
+           |      row_number() OVER (PARTITION BY ca.vec_id
+           |        ORDER BY ${cl("list_cosine_similarity(ca.ev, f.cv)")} DESC,
+           |          f.cluster) AS rn
+           |    FROM cellasg ca JOIN flat f
+           |      ON f.cluster // (SELECT k2 FROM k2v) = ca.cell)
+           |  WHERE rn = 1),
+           |qcell AS (
+           |  SELECT qid, cell FROM (
+           |    SELECT p.qid, c.cluster AS cell,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY ${cl("list_cosine_similarity(p.qv, c.cv)")} DESC,
+           |          c.cluster) AS rn
+           |    FROM panel p CROSS JOIN coarse c) WHERE rn <= 3),
+           |prank AS (
+           |  SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, cluster) AS pr
+           |  FROM (
+           |    SELECT qc.qid, f.cluster,
+           |      ${cl("list_cosine_similarity(p.qv, f.cv)")} AS sim
+           |    FROM qcell qc
+           |    JOIN flat f ON f.cluster // (SELECT k2 FROM k2v) = qc.cell
+           |    JOIN panel p ON p.qid = qc.qid)),
+           |score AS (
+           |  SELECT p.qid, c.vec_id, pr.pr,
+           |    ${cl("list_cosine_similarity(c.ev, p.qv)")} AS sim
+           |  FROM panel p CROSS JOIN corpus c
+           |  JOIN asg a ON a.vec_id = c.vec_id
+           |  JOIN prank pr ON pr.qid = p.qid AND pr.cluster = a.cluster),
+           |lv AS (SELECT t.range AS n FROM range(1, 4096) t
+           |  WHERE t.range <= (SELECT cut FROM cutv)),
+           |topk AS (
+           |  SELECT n, qid, vec_id FROM (
+           |    SELECT l.n, s.qid, s.vec_id,
+           |      row_number() OVER (PARTITION BY l.n, s.qid
+           |        ORDER BY s.sim DESC, s.vec_id) AS rk
+           |    FROM lv l JOIN score s ON s.pr <= l.n)
+           |  WHERE rk <= 10),
+           |exact AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT p.qid, c.vec_id,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY ${cl("list_cosine_similarity(c.ev, p.qv)")} DESC,
+           |          c.vec_id) AS rk
+           |    FROM panel p CROSS JOIN corpus c) WHERE rk <= 10),
+           |recalls AS (
+           |  SELECT t.n, CAST(count(*) AS DOUBLE) /
+           |    (CAST((SELECT nq FROM np_panel) AS DOUBLE) * CAST(10 AS DOUBLE))
+           |    AS recall
+           |  FROM topk t JOIN exact e
+           |    ON t.qid = e.qid AND t.vec_id = e.vec_id
+           |  GROUP BY t.n),
+           |targets(target) AS (VALUES (CAST(0.5 AS DOUBLE)),
+           |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+           |chosen AS (
+           |  SELECT t.target,
+           |    coalesce(min(r.n), (SELECT cut FROM cutv)) AS np
+           |  FROM targets t LEFT JOIN recalls r ON r.recall >= t.target
+           |  GROUP BY t.target)
+           |SELECT c.target AS target_recall, CAST(c.np AS INTEGER) AS nprobe,
+           |  r.recall AS recall, r.recall AS recall_check
+           |FROM chosen c JOIN recalls r ON r.n = c.np
+           |ORDER BY target_recall""".stripMargin
+      },
+      "hierarchical nprobe calibration under the HASH-MATCHED gate: DuckDB re-runs the two-pass assignment, coarse-cell cut, within-cut probe ranking, per-level recall, and the choose-or-signal rule from the persisted coarse + flat centroid tables"),
 
     // ---- the BPE ENCODE path under the HARD oracle gate (r12 verdict
     // task 5): train (memoized with bpe_train/bpe_token_count) → save

@@ -168,6 +168,25 @@ class AnnRecallSpec extends SparkTestBase {
     assert(nps === nps.sorted)
   }
 
+  test("ann_tune_nprobe_hier gate entry: choose-or-signal rule, independent recall re-measurement agrees") {
+    val rows = graft.queries.Catalog.queries("ann_tune_nprobe_hier")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.length === 3)
+    val cutMax = 12 // nprobeCoarse=3 of k1=4 cells x k2=4 on the fixture
+    rows.foreach { r =>
+      val (target, np) = (r.getDouble(0), r.getInt(1))
+      val (rec, check) = (r.getDouble(2), r.getDouble(3))
+      info(f"target $target%.2f -> nprobe=$np recall $rec%.4f check $check%.4f")
+      assert(np >= 1 && np <= cutMax)
+      // met the target within the cut, OR returned the full cut with
+      // its honest sub-target recall (the raise-nprobeCoarse signal)
+      assert(rec >= target || np == cutMax)
+      assert(check === rec)
+    }
+    val nps = rows.sortBy(_.getDouble(0)).map(_.getInt(1)).toSeq
+    assert(nps === nps.sorted)
+  }
+
   test("ann_tune_nprobe gate entry: monotone frontier, independent recall re-measurement agrees") {
     val rows = graft.queries.Catalog.queries("ann_tune_nprobe")(spark, sf("sf0.01"))
       .collect()
