@@ -266,11 +266,9 @@ object Batch10 {
     * sign-flip to BIGINT, bottom-64 per group, the (k-1)/u_k
     * estimator. */
   private val kmvOracle: String = {
-    val m2 = Batch3.mulMod64Sql(
-      Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
-    val m3 = Batch3.mulMod64Sql(
-      Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
-    val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+    val m2 = Batch3.mixM2Sql
+    val m3 = Batch3.mixM3Sql
+    val fin = Batch3.mixFinSql
     s"""WITH kk AS (SELECT DISTINCT event_type, user_id FROM events),
            |m1 AS (
            |  SELECT event_type, (${Batch3.toUnsignedSql("user_id")}
@@ -670,11 +668,9 @@ object Batch10 {
           .orderBy("event_type")
       },
       Some {
-        val m2 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
-        val m3 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
-        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        val m2 = Batch3.mixM2Sql
+        val m3 = Batch3.mixM3Sql
+        val fin = Batch3.mixFinSql
         def q(p: String): String =
           s"""(vs[CAST(floor($p * (n - 1)) AS INTEGER) + 1]
              |      * (1.0 - ($p * (n - 1) - floor($p * (n - 1))))

@@ -64,6 +64,16 @@ object Batch3 {
   private[queries] def toSignedSql(h: String): String =
     s"CAST($h - CASE WHEN $h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
 
+  /** The three splitmix64 finalizer stages over a HUGEINT column
+    * named `z`, shared by every oracle that re-derives mix64 in SQL
+    * (pixel/audio/resample fixtures, the KMV sketches, the tuner
+    * assignment) — one definition so the five users cannot drift. */
+  private[queries] lazy val mixM2Sql: String =
+    mulMod64Sql(xor64Sql("z", shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
+  private[queries] lazy val mixM3Sql: String =
+    mulMod64Sql(xor64Sql("z", shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
+  private[queries] lazy val mixFinSql: String = xor64Sql("z", shrSql("z", 31))
+
   /** Signed BIGINT → [0,2^64) HUGEINT. */
   private[queries] def toUnsignedSql(x: String): String =
     s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN 18446744073709551616 ELSE 0 END)"
@@ -751,9 +761,9 @@ object Batch3 {
               |  FROM fnv WHERE i <= length(tok)),
               |f0 AS (SELECT tok, h FROM fnv WHERE i = length(tok) + 1),
               |m1 AS (SELECT tok, (h + 11400714819323198485) % 18446744073709551616 AS z FROM f0),
-              |m2 AS (SELECT tok, ${mulMod64Sql(xor64Sql("z", shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))} AS z FROM m1),
-              |m3 AS (SELECT tok, ${mulMod64Sql(xor64Sql("z", shrSql("z", 27)), BigInt("94d049bb133111eb", 16))} AS z FROM m2),
-              |mh AS (SELECT tok, ${xor64Sql("z", shrSql("z", 31))} AS h FROM m3),
+              |m2 AS (SELECT tok, $mixM2Sql AS z FROM m1),
+              |m3 AS (SELECT tok, $mixM3Sql AS z FROM m2),
+              |mh AS (SELECT tok, $mixFinSql AS h FROM m3),
               |pows(b, p) AS (VALUES $powsSql),
               |votes AS (
               |  SELECT t.doc_id, p.b,

@@ -314,11 +314,9 @@ object Batch7 {
       Some {
         // splitmix64 finalizer stages in HUGEINT mod-2^64 arithmetic
         // (the simhash-oracle kernel, re-pointed at (seed, x, y))
-        val m2 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
-        val m3 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
-        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        val m2 = Batch3.mixM2Sql
+        val m3 = Batch3.mixM3Sql
+        val fin = Batch3.mixFinSql
         s"""WITH docs AS (
            |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
            |  FROM documents),
@@ -411,11 +409,9 @@ object Batch7 {
       Some {
         // splitmix64 finalizer stages in HUGEINT mod-2^64 arithmetic
         // (the mm_decode_oracle kernel, re-pointed at (doc_id ^ i))
-        val m2 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
-        val m3 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
-        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        val m2 = Batch3.mixM2Sql
+        val m3 = Batch3.mixM3Sql
+        val fin = Batch3.mixFinSql
         s"""WITH docs AS (
            |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
            |idx AS (
@@ -640,11 +636,9 @@ object Batch7 {
           .orderBy("media_id")
       },
       Some {
-        val m2 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 30)), BigInt("bf58476d1ce4e5b9", 16))
-        val m3 = Batch3.mulMod64Sql(
-          Batch3.xor64Sql("z", Batch3.shrSql("z", 27)), BigInt("94d049bb133111eb", 16))
-        val fin = Batch3.xor64Sql("z", Batch3.shrSql("z", 31))
+        val m2 = Batch3.mixM2Sql
+        val m3 = Batch3.mixM3Sql
+        val fin = Batch3.mixFinSql
         s"""WITH docs AS (
            |  SELECT doc_id, 64 + doc_id % 64 AS n,
            |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 4000
