@@ -116,7 +116,10 @@ object Bench {
         sc.cancelJobGroup(group)
         worker.interrupt()
         worker.join(30000)
-        capped += label
+        // the prewarm run exists only to settle JVM cold-start; a
+        // capped prewarm must not brand the entry "capped" in the JSON
+        // when its real warmup/timed runs succeed later
+        if (phase != "jvm-prewarm") capped += label
         None
       } else {
         result.get().map { sec =>
@@ -353,9 +356,14 @@ object Bench {
     // exact fit_* lines whose cost its warm time excludes.
     val amortized = names.filter(n =>
       graft.queries.MemoTrack.readsOf(n).nonEmpty)
+    // only name fit lines this run actually EMITTED: under
+    // GRAFT_BENCH_ONLY the fit phase is skipped, and a capped/
+    // deadline-cut thunk has no line — a dangling fit_* reference
+    // would point floor parsers at a row that doesn't exist
     val fitDeps = amortized.map(n =>
       n -> graft.queries.MemoTrack.readsOf(n).map(
-        graft.queries.MemoTrack.fitName))
+        graft.queries.MemoTrack.fitName).filter(fits.contains))
+      .filter(_._2.nonEmpty)
     val fitDepsJson = fitDeps.map { case (n, ds) =>
       "\"" + n + "\":" + strArr(ds) }.mkString("{", ",", "}")
     def render(queriesJson: String, extra: String) =

@@ -448,11 +448,16 @@ object Multimodal {
     * sits under the hard hash-matched oracle gate (`mm_audio_oracle`;
     * the synthetic WAV's sample i is mix64(doc_id ^ i) >>> 48 as
     * signed 16-bit, so DuckDB recomputes every sample without parsing
-    * a RIFF container). Aggregates run over the interleaved
-    * channel-sample stream in decode order (for the mono fixtures
-    * that's simply the sample sequence); `zero_crossings` counts
-    * nonzero-sign changes with zeros skipped — the same convention
-    * [[decodeAudio]]'s zcr uses, here as an exact count. */
+    * a RIFF container). Aggregates run over the INTERLEAVED
+    * channel-sample stream in decode order — for mono input that is
+    * simply the sample sequence, but for multi-channel input these
+    * are NOT the exact versions of [[AudioFeature]]'s statistics
+    * (decodeAudio mono-mixes first; e.g. an L=+x/R=-x clip mixes to
+    * silence with zcr 0 while the interleaved stream crosses every
+    * sample). `zero_crossings` counts nonzero-sign changes with zeros
+    * skipped — decodeAudio's convention, applied to the interleaved
+    * stream. The oracle fixtures are mono, where the two views
+    * coincide. */
   final case class AudioExact(
       media_id: Long, decoded: Boolean, sample_rate: Long, channels: Long,
       n_frames: Long, sum_samples: Long, sum_squares: Long, peak_abs: Long,

@@ -117,8 +117,7 @@ object Batch10 {
     * mirrors the clamp wherever a similarity is COMPARED (assignment
     * argmax, the ccos dominance order) — without it a 1-vs-1+ulp pair
     * could order differently across engines. */
-  private def clampSql(e: String): String =
-    s"least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), $e))"
+  private def clampSql(e: String): String = Batch3.clampCosSql(e)
 
   /** Shared SemDeDup oracle scaffolding (r14): DuckDB re-runs
     * everything downstream of the k-means fit from the persisted
@@ -269,7 +268,8 @@ object Batch10 {
     val m2 = Batch3.mixM2Sql
     val m3 = Batch3.mixM3Sql
     val fin = Batch3.mixFinSql
-    s"""WITH kk AS (SELECT DISTINCT event_type, user_id FROM events),
+    s"""WITH kk AS (SELECT DISTINCT event_type, user_id FROM events
+           |  WHERE user_id IS NOT NULL),
            |m1 AS (
            |  SELECT event_type, (${Batch3.toUnsignedSql("user_id")}
            |    + 11400714819323198485) % 18446744073709551616 AS z
@@ -551,7 +551,12 @@ object Batch10 {
         val h = graft.functions.mix64(col("user_id"))
         val flipped = h.bitwiseXOR(lit(Long.MinValue))
         events(s, dir)
-          .select(col("event_type"), flipped.as("fh")).distinct()
+          .select(col("event_type"), flipped.as("fh"))
+          // explicit null cut so all three implementations (this
+          // entry, kmv_stream, the DuckDB oracle) agree on corpora
+          // with null keys — BoundedTopK would drop null ids silently,
+          // but the oracle's window would otherwise count them
+          .filter(col("fh").isNotNull).distinct()
           .groupBy("event_type")
           .agg(graft.functions.BoundedTopK.top_k_by(
             negate(col("fh").cast("double")), col("fh"), k).as("mins"))
@@ -646,6 +651,7 @@ object Batch10 {
           .bitwiseXOR(lit(Long.MinValue))
         val sampleIds = ev
           .select(col("event_type"), col("event_id"), flipped.as("fh"))
+          .filter(col("fh").isNotNull) // null-key contract, see the KMV entry
           .groupBy("event_type")
           .agg(graft.functions.BoundedTopK.top_k_by(
             negate(col("fh").cast("double")), col("event_id"), k).as("mins"))
@@ -680,7 +686,7 @@ object Batch10 {
            |  SELECT event_type, event_id, value,
            |    (${Batch3.toUnsignedSql("event_id")}
            |      + 11400714819323198485) % 18446744073709551616 AS z
-           |  FROM events),
+           |  FROM events WHERE event_id IS NOT NULL),
            |m2 AS (SELECT event_type, event_id, value, $m2 AS z FROM m1),
            |m3 AS (SELECT event_type, event_id, value, $m3 AS z FROM m2),
            |fh AS (

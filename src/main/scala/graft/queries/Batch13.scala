@@ -61,12 +61,8 @@ object Batch13 {
     * cases that occur (same JVM, driver's sequential Verify→DuckDB
     * pipeline); two concurrent FIRST runs on the same dir remain a
     * theoretical race, accepted. */
-  private[graft] def bpeOraclePath(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-    val hex = md.take(6).map(b => f"${b & 0xff}%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_$hex"
-  }
+  private[graft] def bpeOraclePath(dir: String): String =
+    artifactPath("bpe_oracle", dir)
 
   /** Placeholder the oracle SQL carries in place of the artifact path;
     * [[graft.Verify]] substitutes the per-dir path when it
@@ -214,7 +210,8 @@ object Batch13 {
               |  FROM panel p CROSS JOIN corpus c
               |  JOIN assign a ON a.vec_id = c.vec_id
               |  JOIN prank pr ON pr.qid = p.qid AND pr.cluster = a.cluster),
-              |lv AS (SELECT range AS n FROM range(1, 17)),
+              |lv AS (SELECT t.range AS n FROM range(1, 4096) t
+              |  WHERE t.range <= (SELECT count(*) FROM centers)),
               |topk AS (
               |  SELECT n, qid, vec_id FROM (
               |    SELECT l.n, s.qid, s.vec_id,
@@ -222,7 +219,8 @@ object Batch13 {
               |        ORDER BY s.sim DESC, s.vec_id) AS rk
               |    FROM lv l JOIN score s ON s.pr <= l.n)
               |  WHERE rk <= 10),
-              |exact AS (SELECT qid, vec_id FROM topk WHERE n = 16),
+              |exact AS (SELECT qid, vec_id FROM topk
+              |  WHERE n = (SELECT count(*) FROM centers)),
               |recalls AS (
               |  SELECT t.n, CAST(count(*) AS DOUBLE) /
               |    (CAST((SELECT nq FROM np_panel) AS DOUBLE) * CAST(10 AS DOUBLE))
@@ -285,8 +283,7 @@ object Batch13 {
         } finally { exact.unpersist(); () }
       },
       Some {
-        def cl(e: String) =
-          s"least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), $e))"
+        def cl(e: String) = Batch3.clampCosSql(e)
         s"""WITH coarse AS (
            |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
            |  FROM read_parquet('$TuneHierCoarsePathToken/*.parquet')),

@@ -64,6 +64,16 @@ object Batch3 {
   private[queries] def toSignedSql(h: String): String =
     s"CAST($h - CASE WHEN $h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
 
+  /** Clamped cosine both engines share: Spark's cosine kernels clamp
+    * to [-1,1] (float rounding pushes parallel-vector similarity to
+    * 1+2e-16); DuckDB's list_cosine_similarity does not, so oracle
+    * SQL mirrors the clamp wherever a similarity is COMPARED
+    * (assignment argmax, probe/dominance orders) — without it a
+    * 1-vs-1+ulp pair could order differently across engines. One
+    * definition shared by the SemDeDup and tuner oracles. */
+  private[queries] def clampCosSql(e: String): String =
+    s"least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), $e))"
+
   /** The three splitmix64 finalizer stages over a HUGEINT column
     * named `z`, shared by every oracle that re-derives mix64 in SQL
     * (pixel/audio/resample fixtures, the KMV sketches, the tuner
