@@ -31,6 +31,23 @@ class MemoTrackSpec extends SparkTestBase {
     assert(MemoTrack.fitName("bpeModel") === "fit_bpe_model")
   }
 
+  test("no __GRAFT_ placeholder survives substituteOraclePaths in any oracle SQL") {
+    // a token used in SQL but missing from the substitution chain
+    // would reach DuckDB verbatim and fail the driver gate as an
+    // unreadable path — catch the registration gap here instead
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val sub = graft.queries.Batch13.substituteOraclePaths(sql, "/tmp/x")
+      assert(!sub.contains("__GRAFT_"),
+        s"$name: unsubstituted placeholder in oracle SQL: " +
+          sub.split("\n").find(_.contains("__GRAFT_")).getOrElse(""))
+    }
+    // and the substitution is actually dir-sensitive (two dirs must
+    // never share an artifact path — the r13 advice bug)
+    val tok = graft.queries.Batch13.BpeOraclePathToken
+    assert(graft.queries.Batch13.substituteOraclePaths(tok, "/a")
+      !== graft.queries.Batch13.substituteOraclePaths(tok, "/b"))
+  }
+
   test("every fit thunk's name equals fitName(label) of the memo it actually builds") {
     // run each thunk under its own MemoTrack scope on the smallest
     // fixture and check the recorded label round-trips to the thunk's
