@@ -181,7 +181,26 @@ object Bench {
     // floor fit line — adjudicate against BASELINE like any entry.
     // One cheap catalog query runs first, untimed, purely to settle
     // JVM/classloader/codegen cold-start out of the first fit line.
+    // BASELINE floors parse before the fit phase now: the fit-rescue
+    // retry below needs them (the baseline-aware query rescue in
+    // phase 3b reads the same map).
+    val baselineSec: Map[String, Double] = try {
+      val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+      scala.io.Source.fromFile("BASELINE.md").getLines()
+        .collect { case Row(n, v) => n -> v.toDouble }.toMap
+    } catch { case _: Exception => Map.empty }
     val fits = collection.mutable.LinkedHashMap.empty[String, Double]
+    // fit-rescue adjudication (r14 verdict: fit_* lines were one-shot
+    // cold measurements with no rescue path, so a steal burst landing
+    // on one — fit_append_idx at 3.1x floor — was unadjudicable from a
+    // single run). A fit line exceeding 3x its BASELINE floor (and
+    // 1 s absolute) gets ONE retry, made genuinely cold by evicting
+    // the memo behind it (SessionMemo.evictFit; a plain rerun would
+    // read the memo and time ~0); min of the two emits. Both
+    // measurements land in the full JSON line as `fit_retry` so a
+    // still->2x line carries its own evidence: two independent cold
+    // builds agreeing means the floor is the outlier, not the run.
+    val fitRetry = collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     if (only.isEmpty) {
       if (SparkEntry.queries.contains("t1_map_project"))
         runCapped("t1_map_project", "jvm-prewarm")
@@ -198,7 +217,22 @@ object Bench {
         require(fname.matches("fit_[a-z0-9_]+"),
           s"fit thunk name '$fname' must be fit_<snake_case>")
         if (elapsed >= measureDeadline) cut = true
-        else timeCapped(fname, "fit")(thunk()).foreach(fits(fname) = _)
+        else {
+          timeCapped(fname, "fit")(thunk()).foreach(fits(fname) = _)
+          for (first <- fits.get(fname); floor <- baselineSec.get(fname)
+               if first > 3 * floor && first > 1.0 &&
+                 elapsed < measureDeadline) {
+            if (graft.queries.SessionMemo.evictFit(fname)) {
+              System.err.println(
+                f"[bench][fit-retry] $fname $first%.2f s vs floor $floor%.2f s — cold retry")
+              timeCapped(fname, "fit-retry")(thunk()).foreach { second =>
+                fitRetry(fname) = (first, second)
+                fits(fname) = math.min(first, second)
+              }
+            } else System.err.println(
+              s"[bench][fit-retry] $fname has no eviction hook — cannot re-fit cold")
+          }
+        }
       }
     }
     // Phase 1: warm up EVERYTHING next (JIT compilation of Spark's own
@@ -303,11 +337,7 @@ object Bench {
     // (Round-5 driver run: 12 queries landed 2-11x baseline from
     // steal bursts — join_anti 4.16s vs 0.37s — totalling 85.8s
     // against a 59.0s baseline for byte-identical code.)
-    val baselineSec: Map[String, Double] = try {
-      val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
-      scala.io.Source.fromFile("BASELINE.md").getLines()
-        .collect { case Row(n, v) => n -> v.toDouble }.toMap
-    } catch { case _: Exception => Map.empty }
+    // (baselineSec parsed before the fit phase, which shares it.)
     // worst-ratio-first: the queries furthest above their floor claim
     // the reserved rescue window before milder suspects; two rounds so
     // a rescue that ITSELF landed in a burst gets one more chance.
@@ -368,17 +398,22 @@ object Bench {
       "\"" + n + "\":" + strArr(ds) }.mkString("{", ",", "}")
     def render(queriesJson: String, extra: String) =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queriesJson$extra,"sf":"$sfDir","cut":$cut,"warmup_only":${strArr(warmupOnly)},"capped":${strArr(capped.toSeq)},"missing":${strArr(missing)},"amortized":${strArr(amortized)}}"""
-    // fit_deps only rides the full (file) line: ~20 amortized entries
-    // x ~40 bytes would eat half the stdout budget.
-    val json = render(qs, s""","fit_deps":$fitDepsJson""")
+    // fit_deps/fit_retry only ride the full (file) line: ~20 amortized
+    // entries x ~40 bytes would eat half the stdout budget.
+    val fitRetryJson = fitRetry.map { case (n, (a, b)) =>
+      "\"" + n + f"\":{\"first\":$a%.3f,\"retry\":$b%.3f}" }
+      .mkString("{", ",", "}")
+    val json = render(qs,
+      s""","fit_deps":$fitDepsJson,"fit_retry":$fitRetryJson""")
     // Persist the FULL line to a file so the totals stay machine-
     // readable however stdout is captured.
+    val benchOutPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")),
+        java.nio.file.Paths.get(benchOutPath),
         (json + "\n").getBytes("UTF-8"))
     } catch {
-      case e: Exception => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+      case e: Exception => System.err.println(s"[bench] $benchOutPath write failed: ${e.getMessage}")
     }
     // The driver keeps only the LAST 2000 chars of output, and sbt
     // prints "[success] Total time: ..." (~80 chars) after us — a line
@@ -401,9 +436,11 @@ object Bench {
           if (used + e.length + 1 <= stdoutBudget) { entries += e; used += e.length + 1 }
         }
         // `full` points auditors at the committed complete line —
-        // every per-query time AND fit_deps live there
+        // every per-query time AND fit_deps/fit_retry live there.
+        // The RESOLVED path, not a literal: GRAFT_BENCH_OUT redirects
+        // the file and the pointer must follow it (ADVICE r14).
         render(entries.mkString("{", ",", "}"),
-          s""","q_n":${bestAll.size},"q_elided":${bestAll.size - entries.size},"full":"bench_out.json"""")
+          s""","q_n":${bestAll.size},"q_elided":${bestAll.size - entries.size},"full":"$benchOutPath"""")
       }
     println(line)
     spark.stop()

@@ -64,6 +64,10 @@ final class HttpService(
     host: String = "127.0.0.1") {
 
   private val mapper = new ObjectMapper()
+  // JVM-wide request-time belt must be set BEFORE the first HttpServer
+  // of the process is constructed (ServerConfig reads it once) — see
+  // graft.sources.Sources.HttpServerTuning.
+  graft.sources.Sources.HttpServerTuning.ensure()
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   private val stmtQueue = new graft.kv.StmtQueue(kv)
   server.setExecutor(null) // serial dispatch; see class doc

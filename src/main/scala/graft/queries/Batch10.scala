@@ -646,7 +646,15 @@ object Batch10 {
     "approx_quantiles_kmv" -> Q(
       (s, dir) => {
         val k = 256
-        val ev = events(s, dir)
+        // Corpus contract (ADVICE r14): event_id is unique per
+        // event_type (the fixture generator issues globally-unique
+        // ids) — a duplicate id would multiply rows through the
+        // join-back while the oracle's row_number cut takes exactly k
+        // ranked rows. Null values are excluded up front on BOTH
+        // engines: Spark's collect_list drops nulls while DuckDB's
+        // list() keeps them, so an unfiltered null would break the
+        // hash gate.
+        val ev = events(s, dir).filter(col("value").isNotNull)
         val flipped = graft.functions.mix64(col("event_id"))
           .bitwiseXOR(lit(Long.MinValue))
         val sampleIds = ev
@@ -686,7 +694,7 @@ object Batch10 {
            |  SELECT event_type, event_id, value,
            |    (${Batch3.toUnsignedSql("event_id")}
            |      + 11400714819323198485) % 18446744073709551616 AS z
-           |  FROM events WHERE event_id IS NOT NULL),
+           |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
            |m2 AS (SELECT event_type, event_id, value, $m2 AS z FROM m1),
            |m3 AS (SELECT event_type, event_id, value, $m3 AS z FROM m2),
            |fh AS (

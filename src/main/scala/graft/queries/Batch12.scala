@@ -37,6 +37,9 @@ object Batch12 {
     * observationally pure. */
   private val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.ops.Bpe.BpeModel]()
+  // cold-eviction hook for Bench's fit-rescue retry (hand-rolled memo,
+  // so the SessionMemo constructor can't self-register it)
+  SessionMemo.registerEvictor("bpeModel", () => modelMemo.clear())
 
   private[queries] def model(s: org.apache.spark.sql.SparkSession, dir: String,
       merges: Int): graft.ops.Bpe.BpeModel = {

@@ -182,7 +182,14 @@ object Batch13 {
             .orderBy("target_recall")
         } finally { exact.unpersist(); () }
       },
-      Some(s"""WITH centers AS (
+      Some {
+        // Similarities are clamped wherever they are COMPARED, matching
+        // the hier twin and the SemDeDup oracles (Batch3.clampCosSql
+        // rationale: a 1-vs-1+ulp pair — exact-duplicate or
+        // scaled-parallel embeddings — could order differently across
+        // engines without it). ADVICE r14.
+        def cl(e: String) = Batch3.clampCosSql(e)
+        s"""WITH centers AS (
               |  SELECT cluster, CAST(center AS DOUBLE[]) AS cv
               |  FROM read_parquet('$IvfCentersPathToken/*.parquet')),
               |panel AS (
@@ -197,16 +204,16 @@ object Batch13 {
               |  SELECT vec_id, cluster FROM (
               |    SELECT c.vec_id, ct.cluster,
               |      row_number() OVER (PARTITION BY c.vec_id
-              |        ORDER BY list_cosine_similarity(c.ev, ct.cv) DESC,
+              |        ORDER BY ${cl("list_cosine_similarity(c.ev, ct.cv)")} DESC,
               |          ct.cluster) AS rn
               |    FROM corpus c CROSS JOIN centers ct) WHERE rn = 1),
               |prank AS (
               |  SELECT qid, cluster, row_number() OVER (PARTITION BY qid
-              |      ORDER BY list_cosine_similarity(qv, cv) DESC, cluster) AS pr
+              |      ORDER BY ${cl("list_cosine_similarity(qv, cv)")} DESC, cluster) AS pr
               |  FROM panel CROSS JOIN centers),
               |score AS (
               |  SELECT p.qid, c.vec_id, pr.pr,
-              |    list_cosine_similarity(c.ev, p.qv) AS sim
+              |    ${cl("list_cosine_similarity(c.ev, p.qv)")} AS sim
               |  FROM panel p CROSS JOIN corpus c
               |  JOIN assign a ON a.vec_id = c.vec_id
               |  JOIN prank pr ON pr.qid = p.qid AND pr.cluster = a.cluster),
@@ -237,7 +244,8 @@ object Batch13 {
               |SELECT c.target AS target_recall, CAST(c.np AS INTEGER) AS nprobe,
               |  r.recall AS recall, r.recall AS recall_check
               |FROM chosen c JOIN recalls r ON r.n = c.np
-              |ORDER BY target_recall""".stripMargin),
+              |ORDER BY target_recall""".stripMargin
+      },
       "nprobe calibration under the HASH-MATCHED gate: DuckDB re-runs assignment, probe ranking, per-level top-k, recall, and the per-target argmin from the persisted k-means centroids; the binary search equals the argmin by recall monotonicity"),
 
     // ---- the HIERARCHICAL tuner on the graded surface (r14): the

@@ -73,6 +73,8 @@ final class SessionMemo[V](build: (SparkSession, String) => V,
     } catch { case _: Exception => 0L }
   }
 
+  SessionMemo.registerEvictor(label, () => clear())
+
   def apply(s: SparkSession, dir: String): V = {
     // readership ledger (hit or build — a warm read is still a
     // dependency): Bench derives `amortized`/`fit_deps` from this
@@ -96,6 +98,36 @@ final class SessionMemo[V](build: (SparkSession, String) => V,
 }
 
 object SessionMemo {
+  /** Cold-eviction hooks by memo label. Every [[SessionMemo]]
+    * self-registers at construction; hand-rolled memos (the BPE model
+    * map in Batch12) register explicitly. Bench's fit-rescue path
+    * needs this to make a `fit_*` retry GENUINELY cold (r14 verdict):
+    * a plain thunk rerun would read the memo and time ~0, proving
+    * nothing about the build. Labels are unique across the catalog by
+    * the fitThunks naming convention, so last-write-wins is moot. */
+  private val evictors =
+    new ConcurrentHashMap[String, () => Unit]
+
+  private[queries] def registerEvictor(label: String, f: () => Unit): Unit =
+    evictors.put(label, f)
+
+  /** Evict the memo behind bench line `fit_<label>`; false when no
+    * registered memo maps to that line (then a retry cannot be made
+    * cold and the caller must not fake one). Safe only BEFORE any
+    * consumer entry has run — Bench's fit phase precedes warmup, so
+    * downstream entries see exactly one (the retried) build. Cached
+    * blocks of the evicted build that went through a bare
+    * [[Reuse.cache]] are not reclaimed until session end — bounded at
+    * one extra build per retried line, by the one-retry cap. */
+  private[graft] def evictFit(fitLine: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val hit = evictors.asScala.find {
+      case (l, _) => MemoTrack.fitName(l) == fitLine
+    }
+    hit.foreach(_._2())
+    hit.nonEmpty
+  }
+
   /** How long a computed dir fingerprint is trusted before re-walking.
     * 5 s keeps a full catalog run (~100 queries) at a handful of walks
     * while still catching any between-run rewrite. Re-read per access

@@ -162,6 +162,28 @@ object Sources {
     * at-least-once contract every file source carries). 413-caps the
     * body at `maxBodyBytes` — an unbounded webhook body is the HTTP
     * shape of a decompression bomb. */
+  /** One-time JVM belt for every jdk.httpserver surface in graft
+    * (webhook receiver, control-plane HttpService): the documented
+    * `sun.net.httpserver.maxReqTime` request-time bound kills an
+    * exchange whose client stalls inside a single blocking read.
+    * The JDK reads the property ONCE, at `ServerConfig` class-init —
+    * i.e. when the first HttpServer of the JVM is constructed — so
+    * every graft server-creation site calls [[ensure]] first and the
+    * property is set before any graft server can trigger that init
+    * (ADVICE r14: setting it inside one start() path was a silent
+    * no-op if another server came up earlier). First-server-wins
+    * remains for EMBEDDING apps: if host code created an HttpServer
+    * before any graft code ran, this belt is inert — the webhook
+    * drain loop's own 10 s wall-clock deadline still bounds the
+    * drain path regardless. */
+  object HttpServerTuning {
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def ensure(): Unit =
+      if (done.compareAndSet(false, true) &&
+          System.getProperty("sun.net.httpserver.maxReqTime") == null)
+        System.setProperty("sun.net.httpserver.maxReqTime", "30")
+  }
+
   object WebhookSource {
     final class Receiver private[WebhookSource] (
         server: com.sun.net.httpserver.HttpServer, val spoolDir: String) {
@@ -179,10 +201,9 @@ object Sources {
       // belt to the drain loop's braces: the jdk.httpserver-documented
       // request-time bound kills an exchange whose client stalls inside
       // a single blocking read (the in-loop deadline only fires between
-      // reads). Global to the JVM's HttpServer instances; 30 s is far
-      // above any legitimate spool POST.
-      if (System.getProperty("sun.net.httpserver.maxReqTime") == null)
-        System.setProperty("sun.net.httpserver.maxReqTime", "30")
+      // reads). Set via the JVM-wide one-time hook — see
+      // [[HttpServerTuning]] for the first-server-wins caveat.
+      HttpServerTuning.ensure()
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress(host, port), 0)
       server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {

@@ -197,10 +197,11 @@ object Streaming {
     * true unsigned-ascending hashes; the estimator is the batch
     * entry's expression verbatim — a single-batch feed therefore
     * equals batch `approx_distinct_kmv` exactly and the twin shares
-    * its DuckDB oracle. Same bootstrap note as [[packSequencesStream]]:
-    * a group's micro-batch slice materializes in its iterator — fine
-    * for tails, wrong for a single 100-TB batch 0 (batch the
-    * snapshot, stream the tail). */
+    * its DuckDB oracle. The merge folds each arriving hash into a
+    * bounded sorted set (insert only when below the current k-th
+    * minimum, evict the max) — per-batch memory is O(k), never
+    * O(slice), so even a giant batch 0 streams through the group
+    * iterator without materializing it (ADVICE r14). */
   def kmvStream(df: DataFrame, k: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -215,7 +216,15 @@ object Streaming {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (et, rows, state) =>
           val cur = state.getOption.getOrElse(Seq.empty[Long])
-          val merged = (cur ++ rows.map(_._2)).distinct.sorted.take(k)
+          // bounded fold: |buf| <= k at all times; a hash enters only
+          // if the sketch is unfilled or it beats the current max
+          // (signed order == unsigned order of the raw hash, see above)
+          val buf = scala.collection.mutable.TreeSet.empty[Long] ++ cur
+          for ((_, h) <- rows) {
+            if (buf.size < k) buf += h
+            else if (h < buf.max && buf.add(h)) buf -= buf.max
+          }
+          val merged = buf.toIndexedSeq // ascending
           state.update(merged)
           val nMin = merged.length
           val kth = merged.last
