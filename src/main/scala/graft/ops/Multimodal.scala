@@ -883,7 +883,15 @@ object Multimodal {
     * fall back untouched with `resized=false`; images already within
     * bounds skip the raster work (`changed=false`, original bytes
     * pass through — at 100 TB most of a crawl corpus is already small,
-    * and not re-encoding it is the dominant cost win). */
+    * and not re-encoding it is the dominant cost win).
+    *
+    * This is the PERF variant (r14 verdict): `Graphics2D` delegates
+    * to the platform's optimized scaler, but its exact rounding is
+    * JDK-implementation-defined, so it cannot sit under the
+    * zero-tolerance oracle gate. The gated sibling is
+    * [[resizeImageExact]] — a hand-rolled bilinear under a PINNED
+    * rounding contract that DuckDB re-derives bit-for-bit
+    * (`mm_resize_oracle`); `mm_resize_real` keeps this path. */
   def resizeImage(id: Long, bytes: Array[Byte], maxW: Int, maxH: Int): ResizedImage = {
     val b = if (bytes == null) Array.emptyByteArray else bytes
     val img =
@@ -926,6 +934,150 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("media").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => resizeImage(id, bytes, maxW, maxH) })
+  }
+
+  /** Integer-exact resize row: the resized raster's exact per-channel
+    * sums as Longs, plus the re-encoded PNG bytes. The image sibling
+    * of [[AudioExact]]/[[ResampledAudio]]'s exact plane — what lets
+    * the REAL resize kernel sit under the hash-matched oracle gate. */
+  final case class ResizedExact(
+      media_id: Long, resized: Boolean, changed: Boolean,
+      in_width: Int, in_height: Int, out_width: Int, out_height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, out_bytes: Array[Byte])
+
+  /** Hand-rolled bilinear resample of a decoded raster under a PINNED
+    * rounding contract (the [[resampleAudio]] pattern, lifted to 2-D).
+    * The contract — mirrored token-for-token by the `mm_resize_oracle`
+    * SQL, so every step must stay byte-stable:
+    *
+    *  - geometry: `rx = (w-1)/(ow-1)` as one IEEE double division
+    *    (0.0 when ow == 1; same for ry/oh) — corner-aligned mapping,
+    *    `srcX = ox * rx`;
+    *  - corners: `x0 = floor(srcX)` cast to int,
+    *    `x1 = min(x0 + 1, w - 1)`, `fx = srcX - floor(srcX)`;
+    *  - per channel c in {r,g,b}, on RAW 0..255 integer values
+    *    (exactly representable as doubles):
+    *    `v = (c00*(1.0-fx) + c10*fx) * (1.0-fy)
+    *       + (c01*(1.0-fx) + c11*fx) * fy`
+    *    with exactly this association — IEEE ops are correctly rounded,
+    *    so an identical expression tree gives bit-identical doubles in
+    *    any conforming engine;
+    *  - rounding: `floor(v + 0.5)` — v is a convex combination of
+    *    0..255 values, so the result needs no clamp.
+    *
+    * No `Graphics2D` anywhere: the platform scaler's rounding is
+    * implementation-defined and would break the gate. */
+  def bilinearResize(img: java.awt.image.BufferedImage,
+      ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rx = if (ow == 1) 0.0 else (w - 1).toDouble / (ow - 1).toDouble
+    val ry = if (oh == 1) 0.0 else (h - 1).toDouble / (oh - 1).toDouble
+    var oy = 0
+    while (oy < oh) {
+      val srcY = oy * ry
+      val y0 = math.floor(srcY).toInt
+      val y1 = math.min(y0 + 1, h - 1)
+      val fy = srcY - math.floor(srcY)
+      var ox = 0
+      while (ox < ow) {
+        val srcX = ox * rx
+        val x0 = math.floor(srcX).toInt
+        val x1 = math.min(x0 + 1, w - 1)
+        val fx = srcX - math.floor(srcX)
+        val p00 = img.getRGB(x0, y0)
+        val p10 = img.getRGB(x1, y0)
+        val p01 = img.getRGB(x0, y1)
+        val p11 = img.getRGB(x1, y1)
+        def ch(sh: Int): Int = {
+          val c00 = (p00 >>> sh) & 0xff
+          val c10 = (p10 >>> sh) & 0xff
+          val c01 = (p01 >>> sh) & 0xff
+          val c11 = (p11 >>> sh) & 0xff
+          val v = (c00 * (1.0 - fx) + c10 * fx) * (1.0 - fy) +
+            (c01 * (1.0 - fx) + c11 * fx) * fy
+          math.floor(v + 0.5).toInt
+        }
+        out.setRGB(ox, oy, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** REAL resize under the HARD oracle gate: decode (same guarded
+    * ImageIO path), [[fitWithin]] target dims, [[bilinearResize]]
+    * raster, PNG re-encode — and then the exact channel sums are
+    * taken from a RE-DECODE of the output bytes, so the full
+    * decode → interpolate → encode → decode chain sits under the
+    * zero-tolerance hash compare (PNG is lossless; one flipped bit
+    * anywhere breaks the match). Within-bounds images pass through
+    * byte-identical with `changed=false` and their sums taken over
+    * the original raster; undecodable bytes → zeros,
+    * `resized=false`, original bytes untouched (never throws). */
+  def resizeImageExact(id: Long, bytes: Array[Byte],
+      maxW: Int, maxH: Int): ResizedExact = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val img =
+      if (sniffMime(b) == "application/octet-stream") null
+      else
+        try readImageGuarded(b)
+        catch { case _: Exception => null }
+    def sums(im: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      var sr, sg, sb = 0L
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          sr += (rgb >>> 16) & 0xff
+          sg += (rgb >>> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      ResizedExact(id, resized = false, changed = false, 0, 0, 0, 0,
+        0L, 0L, 0L, b)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val (ow, oh) = fitWithin(w, h, maxW, maxH)
+      if (ow == w && oh == h) {
+        val (sr, sg, sb) = sums(img)
+        ResizedExact(id, resized = true, changed = false, w, h, w, h,
+          sr, sg, sb, b)
+      } else {
+        val out = bilinearResize(img, ow, oh)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val outBytes = bos.toByteArray
+        // sums from a RE-DECODE of the emitted bytes, not the raster:
+        // gates the PNG encoder too
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(outBytes))
+        val (sr, sg, sb) = sums(back)
+        ResizedExact(id, resized = true, changed = true, w, h, ow, oh,
+          sr, sg, sb, outBytes)
+      }
+    }
+  }
+
+  /** Batched [[resizeImageExact]]: partition-local, no shuffle — the
+    * gate-able twin of [[resizeImages]]. */
+  def resizeImagesExact(df: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedExact] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        resizeImageExact(id, bytes, maxW, maxH) })
   }
 
   /** Columnar resize ARITHMETIC (aspect-preserving target dims over

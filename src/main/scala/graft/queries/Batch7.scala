@@ -745,7 +745,137 @@ object Batch7 {
           .orderBy("media_id")
       },
       None,
-      "real bilinear raster resize round-tripped through the real decoder (rows-only gate)"),
+      "real bilinear raster resize round-tripped through the real decoder (rows-only gate; perf variant — the hash-gated sibling is mm_resize_oracle)"),
+
+    // ---- the REAL resize kernel under the HARD oracle gate (r14
+    // verdict task 2, closing the last real image kernel without a
+    // hash-green sibling): hand-rolled bilinear under the PINNED
+    // rounding contract documented at Multimodal.bilinearResize —
+    // corner-aligned `rx=(w-1)/(ow-1)`, corners by floor/min, the
+    // exact convex-combination association, floor(v+0.5) — then the
+    // OUTPUT PNG is re-decoded and full-raster channel sums emitted
+    // as exact Longs. DuckDB re-runs the whole chain from the mix64
+    // pixel formula: fitWithin dims, the same IEEE geometry and
+    // interpolation tree (correctly-rounded ops + identical
+    // association = bit-identical doubles), the same rounding — no
+    // PNG parsing, yet one flipped bit anywhere in
+    // decode → interpolate → encode → re-decode breaks the match.
+    // Within-bounds images take the passthrough branch (sums over the
+    // original raster); the 8..23 × 8..19 dim population under the
+    // 12×10 bound exercises both. Same 1-in-5 subsample as
+    // mm_resize_real (~4 ImageIO passes per row).
+    "mm_resize_oracle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, graft.ops.Multimodal.syntheticPng(
+              id, 8 + (id % 16).toInt, 8 + (id % 12).toInt))
+          }).toDF("media_id", "media")
+        graft.ops.Multimodal.resizeImagesExact(media, 12, 10).toDF()
+          .select(col("media_id"), col("resized"), col("changed"),
+            col("in_width"), col("in_height"),
+            col("out_width"), col("out_height"),
+            col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy("media_id")
+      },
+      Some {
+        val m2 = Batch3.mixM2Sql
+        val m3 = Batch3.mixM3Sql
+        val fin = Batch3.mixFinSql
+        // one interpolated channel under the pinned tree — the
+        // association mirrors Multimodal.bilinearResize token-for-token
+        def bl(c: String): String =
+          s"""CAST(floor((p00.$c * (1.0 - c.fx) + p10.$c * c.fx)
+             |      * (1.0 - c.fy)
+             |    + (p01.$c * (1.0 - c.fx) + p11.$c * c.fx) * c.fy
+             |    + 0.5) AS BIGINT)""".stripMargin
+        s"""WITH docs AS (
+           |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |od AS (
+           |  SELECT doc_id, w, h,
+           |    greatest(CAST(floor(CAST(w AS DOUBLE) * s) AS INTEGER), 1) AS ow,
+           |    greatest(CAST(floor(CAST(h AS DOUBLE) * s) AS INTEGER), 1) AS oh
+           |  FROM (SELECT doc_id, w, h,
+           |      least(least(CAST(12 AS DOUBLE) / CAST(w AS DOUBLE),
+           |        CAST(10 AS DOUBLE) / CAST(h AS DOUBLE)),
+           |        CAST(1.0 AS DOUBLE)) AS s
+           |    FROM docs)),
+           |grid AS (
+           |  SELECT t1.range AS x, t2.range AS y
+           |  FROM range(0, 23) t1 CROSS JOIN range(0, 19) t2),
+           |m1 AS (
+           |  SELECT d.doc_id, g.x, g.y,
+           |    (CAST(xor(xor(d.doc_id, g.x * 4294967296), g.y) AS HUGEINT)
+           |      + 11400714819323198485) % 18446744073709551616 AS z
+           |  FROM od d JOIN grid g ON g.x < d.w AND g.y < d.h),
+           |m2 AS (SELECT doc_id, x, y, $m2 AS z FROM m1),
+           |m3 AS (SELECT doc_id, x, y, $m3 AS z FROM m2),
+           |px AS (
+           |  SELECT doc_id, x, y,
+           |    p // 65536 AS r, (p // 256) % 256 AS g, p % 256 AS b
+           |  FROM (SELECT doc_id, x, y, ($fin) % 16777216 AS p FROM m3)),
+           |pass AS (
+           |  SELECT d.doc_id,
+           |    CAST(sum(p.r) AS BIGINT) AS sum_r,
+           |    CAST(sum(p.g) AS BIGINT) AS sum_g,
+           |    CAST(sum(p.b) AS BIGINT) AS sum_b
+           |  FROM od d JOIN px p USING (doc_id)
+           |  WHERE d.ow = d.w AND d.oh = d.h GROUP BY d.doc_id),
+           |og AS (
+           |  SELECT d.doc_id, d.w, d.h, g.x AS ox, g.y AS oy,
+           |    CASE WHEN d.ow = 1 THEN CAST(0.0 AS DOUBLE)
+           |      ELSE CAST(d.w - 1 AS DOUBLE) / CAST(d.ow - 1 AS DOUBLE)
+           |    END AS rx,
+           |    CASE WHEN d.oh = 1 THEN CAST(0.0 AS DOUBLE)
+           |      ELSE CAST(d.h - 1 AS DOUBLE) / CAST(d.oh - 1 AS DOUBLE)
+           |    END AS ry
+           |  FROM od d JOIN grid g ON g.x < d.ow AND g.y < d.oh
+           |  WHERE d.ow <> d.w OR d.oh <> d.h),
+           |geo AS (
+           |  SELECT doc_id, ox, oy, w, h,
+           |    CAST(ox AS DOUBLE) * rx AS sx,
+           |    CAST(oy AS DOUBLE) * ry AS sy
+           |  FROM og),
+           |corners AS (
+           |  SELECT doc_id, ox, oy,
+           |    CAST(floor(sx) AS INTEGER) AS x0,
+           |    least(CAST(floor(sx) AS INTEGER) + 1, w - 1) AS x1,
+           |    CAST(floor(sy) AS INTEGER) AS y0,
+           |    least(CAST(floor(sy) AS INTEGER) + 1, h - 1) AS y1,
+           |    sx - floor(sx) AS fx, sy - floor(sy) AS fy
+           |  FROM geo),
+           |ip AS (
+           |  SELECT c.doc_id,
+           |    ${bl("r")} AS r, ${bl("g")} AS g, ${bl("b")} AS b
+           |  FROM corners c
+           |  JOIN px p00 ON p00.doc_id = c.doc_id
+           |    AND p00.x = c.x0 AND p00.y = c.y0
+           |  JOIN px p10 ON p10.doc_id = c.doc_id
+           |    AND p10.x = c.x1 AND p10.y = c.y0
+           |  JOIN px p01 ON p01.doc_id = c.doc_id
+           |    AND p01.x = c.x0 AND p01.y = c.y1
+           |  JOIN px p11 ON p11.doc_id = c.doc_id
+           |    AND p11.x = c.x1 AND p11.y = c.y1),
+           |rs AS (
+           |  SELECT doc_id, CAST(sum(r) AS BIGINT) AS sum_r,
+           |    CAST(sum(g) AS BIGINT) AS sum_g,
+           |    CAST(sum(b) AS BIGINT) AS sum_b
+           |  FROM ip GROUP BY doc_id),
+           |u AS (SELECT * FROM pass UNION ALL SELECT * FROM rs)
+           |SELECT d.doc_id AS media_id, TRUE AS resized,
+           |  (d.ow <> d.w OR d.oh <> d.h) AS changed,
+           |  CAST(d.w AS INTEGER) AS in_width,
+           |  CAST(d.h AS INTEGER) AS in_height,
+           |  d.ow AS out_width, d.oh AS out_height,
+           |  u.sum_r, u.sum_g, u.sum_b
+           |FROM od d JOIN u USING (doc_id)
+           |ORDER BY media_id""".stripMargin
+      },
+      "real hand-rolled bilinear resize under the hash-matched gate: DuckDB re-runs fitWithin, the pinned IEEE interpolation tree, and floor(v+0.5) over mix64 pixels and compares exact channel sums of the re-decoded output PNG"),
 
     // ---- corpus bigram-LM scoring: mean log P(w2|w1) per document,
     // with P = c(bigram)/c(unigram w1) over the whole corpus (history

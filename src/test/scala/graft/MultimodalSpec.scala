@@ -205,6 +205,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("bilinearResize: pinned contract on a hand-checkable raster") {
+    // 3x1 grayscale ramp 0,100,200 → 2x1: rx = (3-1)/(2-1) = 2.0, so
+    // output samples land exactly on x=0 and x=2 (fx=0): 0 and 200.
+    val img = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for ((x, v) <- Seq((0, 0), (1, 100), (2, 200)))
+      img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+    val out = Multimodal.bilinearResize(img, 2, 1)
+    assert(((out.getRGB(0, 0) >>> 16) & 0xff) === 0)
+    assert(((out.getRGB(1, 0) >>> 16) & 0xff) === 200)
+    // 2x1 (0, 255) → 1x1: ow==1 pins rx=0.0 → source x=0 exactly
+    val img2 = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img2.setRGB(0, 0, 0); img2.setRGB(1, 0, 0xffffff)
+    val one = Multimodal.bilinearResize(img2, 1, 1)
+    assert((one.getRGB(0, 0) & 0xffffff) === 0)
+    // fractional case: 5x1 ramp 0,10,20,30,40 → 3x1: rx = 2.0 → x=0,2,4
+    val img3 = new java.awt.image.BufferedImage(
+      5, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 5) img3.setRGB(x, 0, (x * 10) << 16)
+    val tri = Multimodal.bilinearResize(img3, 3, 1)
+    assert((0 until 3).map(x => (tri.getRGB(x, 0) >>> 16) & 0xff)
+      === Seq(0, 20, 40))
+    // genuinely fractional: 4x1 (0,30,60,90) → 3x1: rx = 3/2 = 1.5 →
+    // srcX = 0, 1.5, 3 → middle = 30*(0.5) + 60*(0.5) = 45
+    val img4 = new java.awt.image.BufferedImage(
+      4, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for ((x, v) <- Seq((0, 0), (1, 30), (2, 60), (3, 90)))
+      img4.setRGB(x, 0, v << 16)
+    val frac = Multimodal.bilinearResize(img4, 3, 1)
+    assert((0 until 3).map(x => (frac.getRGB(x, 0) >>> 16) & 0xff)
+      === Seq(0, 45, 90))
+  }
+
+  test("resizeImageExact: sums survive the encode/decode roundtrip; branches behave") {
+    val src = Multimodal.syntheticPng(9L, 20, 16)
+    val r = Multimodal.resizeImageExact(9L, src, 12, 10)
+    assert(r.resized && r.changed)
+    assert((r.out_width, r.out_height) === Multimodal.fitWithin(20, 16, 12, 10))
+    // the emitted bytes decode to a raster whose full-pixel sums equal
+    // the reported Longs (the oracle's exact plane)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.out_bytes))
+    var sr = 0L
+    for (y <- 0 until back.getHeight; x <- 0 until back.getWidth)
+      sr += (back.getRGB(x, y) >>> 16) & 0xff
+    assert(sr === r.sum_r)
+    // passthrough: byte-identical, sums over the ORIGINAL raster
+    val small = Multimodal.syntheticPng(4L, 8, 8)
+    val p = Multimodal.resizeImageExact(4L, small, 12, 10)
+    assert(p.resized && !p.changed && (p.out_bytes sameElements small))
+    assert(p.sum_r > 0L)
+    // junk: never throws, zeros, bytes untouched
+    val junk = Multimodal.resizeImageExact(5L, "junk".getBytes("UTF-8"), 12, 10)
+    assert(!junk.resized && junk.sum_r === 0L)
+  }
+
   // ---- REAL video frame sampling (round 12, MJPEG via ImageIO) ----
 
   test("mjpegFrameOffsets: finds every concatenated JPEG frame exactly") {
