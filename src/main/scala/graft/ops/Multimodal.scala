@@ -1196,15 +1196,31 @@ object Multimodal {
   /** Deterministic synthetic MJPEG: `n` concatenated JPEG frames whose
     * pixels derive from (seed, frame, x, y) hashes — the fixture the
     * real frame sampler is tested against. */
-  def syntheticMjpeg(seed: Long, n: Int, w: Int, h: Int): Array[Byte] = {
+  def syntheticMjpeg(seed: Long, n: Int, w: Int, h: Int): Array[Byte] =
+    syntheticMjpegWithLayout(seed, n, w, h)._1
+
+  /** [[syntheticMjpeg]] plus the GENERATOR-declared frame layout: the
+    * encoded byte length of each frame, in frame order, captured at
+    * write time (each frame's contribution to the stream). The layout
+    * is the fixture's ground truth for the `mm_frames_oracle` gate —
+    * the marker walker must re-derive exactly these boundaries from
+    * the concatenated bytes alone, so a walker bug (miscounted
+    * segment, payload FFD8 mistaken for a frame start, off-by-one
+    * offset) breaks the hash match against offsets DuckDB computes
+    * from the persisted layout by pure prefix-sum arithmetic. */
+  def syntheticMjpegWithLayout(seed: Long, n: Int, w: Int,
+      h: Int): (Array[Byte], IndexedSeq[Int]) = {
     val bos = new java.io.ByteArrayOutputStream()
+    val lens = IndexedSeq.newBuilder[Int]
     (0 until n).foreach { f =>
+      val before = bos.size()
       val img = hashImage(w, h)((x, y) =>
         (HashOps.mix64(
           seed ^ (f.toLong << 48) ^ (x.toLong << 24) ^ y.toLong) & 0xffffff).toInt)
       javax.imageio.ImageIO.write(img, "jpg", bos)
+      lens += bos.size() - before
     }
-    bos.toByteArray
+    (bos.toByteArray, lens.result())
   }
 
   /** STUB frame sampling: a video becomes `n` evenly-spaced "frames"

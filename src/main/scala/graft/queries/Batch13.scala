@@ -89,6 +89,7 @@ object Batch13 {
   private[graft] val SemHierCoarsePathToken = "__GRAFT_SEM_HIER_COARSE_PATH__"
   private[graft] val TuneHierFlatPathToken = "__GRAFT_TUNE_HIER_FLAT_PATH__"
   private[graft] val TuneHierCoarsePathToken = "__GRAFT_TUNE_HIER_COARSE_PATH__"
+  private[graft] val MjpegLayoutPathToken = "__GRAFT_MJPEG_LAYOUT_PATH__"
 
   /** Persist a fitted centroid table (cluster BIGINT, center
     * ARRAY<FLOAT>) once per corpus: skip the rewrite when the
@@ -123,6 +124,7 @@ object Batch13 {
       .replace(SemHierCoarsePathToken, artifactPath("sem_hier_coarse", dir))
       .replace(TuneHierFlatPathToken, artifactPath("tune_hier_flat", dir))
       .replace(TuneHierCoarsePathToken, artifactPath("tune_hier_coarse", dir))
+      .replace(MjpegLayoutPathToken, artifactPath("mjpeg_layout", dir))
 
   val entries: Seq[(String, Q)] = Seq(
 

@@ -17,6 +17,29 @@ object Batch7 {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(d4)
   private def decSql(c: String) = s"CAST($c AS DECIMAL(18,4))"
 
+  /** Persist the generator-declared MJPEG frame layout once per
+    * corpus dir (media_id, frame_no, frame_len) — the
+    * [[Batch13.persistCentersOnce]] contract: skip the rewrite when
+    * the persisted rows already match, so repeat runs never delete
+    * part files out from under a concurrent reader. */
+  private val mjpegLayoutPersisted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  private def persistMjpegLayoutOnce(s: org.apache.spark.sql.SparkSession,
+      path: String, rows: IndexedSeq[(Long, Long, Long)]): Unit = {
+    import s.implicits._
+    val key = (path, rows.hashCode)
+    if (mjpegLayoutPersisted.contains(key)) return
+    val upToDate = try {
+      s.read.parquet(path).orderBy("media_id", "frame_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toIndexedSeq == rows
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      rows.toDF("media_id", "frame_no", "frame_len")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    mjpegLayoutPersisted.add(key)
+  }
+
   val entries: Seq[(String, Q)] = Seq(
 
     // ---- per-group z-score normalization. Mean and variance come from
@@ -563,7 +586,68 @@ object Batch7 {
           .orderBy("media_id", "frame_no")
       },
       None,
-      "real MJPEG frame sampling (marker scan + per-frame ImageIO decode; rows-only gate)"),
+      "real MJPEG frame sampling (marker scan + per-frame ImageIO decode; rows-only: JPEG entropy coding is engine-specific, so pixel stats can't cross-derive — the segmentation itself is hash-gated by mm_frames_oracle)"),
+
+    // ---- the MJPEG SEGMENTATION under the HARD oracle gate (r14
+    // verdict task 3): frame count, byte offsets, and sampled-frame
+    // byte lengths are deterministic byte arithmetic over the fixture,
+    // so they gate exactly — the GENERATOR-declared per-frame encoded
+    // lengths persist as a per-corpus-dir artifact (the persisted-fit
+    // pattern the tuner oracles use), and DuckDB re-derives count /
+    // offsets / the every-2nd sampling cut from them by prefix-sum
+    // arithmetic, while the Spark side runs the REAL segment walker
+    // over the CONCATENATED bytes. Any walker defect — a payload FFD8
+    // miscounted as a frame start, a skipped-segment length misread,
+    // an off-by-one boundary — shifts an offset or the count and
+    // breaks the hash. Per-frame PIXEL stats stay rows-only in
+    // mm_frames_real: JPEG is lossy and the decoder's IDCT rounding is
+    // engine-specific, so no cross-engine pixel derivation exists.
+    "mm_frames_oracle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def gen(id: Long) = graft.ops.Multimodal.syntheticMjpegWithLayout(
+          id, 2 + (id % 4).toInt, 8 + (id % 8).toInt, 8)
+        val ids = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+        // generator ground truth, driver-side (bounded by the 1-in-5
+        // subsample; the same deliberate bounded-collect contract as
+        // the persisted centroid fits)
+        val layout = ids.collect().sorted.toIndexedSeq.flatMap { id =>
+          gen(id)._2.zipWithIndex.map { case (l, f) =>
+            (id, f.toLong, l.toLong) }
+        }
+        persistMjpegLayoutOnce(s, Batch13.artifactPath("mjpeg_layout", dir),
+          layout)
+        val media = ids.mapPartitions(_.map(id => (id, gen(id)._1)))
+          .toDF("media_id", "media")
+        graft.ops.Multimodal.extractMjpegFrames(media, every = 1).toDF()
+          .withColumn("n_frames",
+            count(lit(1)).over(Window.partitionBy(col("media_id"))))
+          .filter(col("frame_no") % 2 === 0) // the every=2 sampling cut
+          .select(col("media_id"), col("n_frames").cast("long"),
+            col("frame_no").cast("long"),
+            col("byte_offset").cast("long"),
+            col("n_bytes").cast("long").as("frame_len"))
+          .orderBy("media_id", "frame_no")
+      },
+      Some(s"""WITH layout AS (
+             |  SELECT media_id, frame_no, frame_len
+             |  FROM read_parquet('${Batch13.MjpegLayoutPathToken}/*.parquet')),
+             |ofs AS (
+             |  SELECT media_id, frame_no, frame_len,
+             |    CAST(count(*) OVER (PARTITION BY media_id) AS BIGINT)
+             |      AS n_frames,
+             |    CAST(coalesce(sum(frame_len) OVER (PARTITION BY media_id
+             |      ORDER BY frame_no
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS byte_offset
+             |  FROM layout)
+             |SELECT media_id, n_frames, frame_no, byte_offset,
+             |  CAST(frame_len AS BIGINT) AS frame_len
+             |FROM ofs WHERE frame_no % 2 = 0
+             |ORDER BY media_id, frame_no""".stripMargin),
+      "MJPEG segmentation under the hash-matched gate: the real marker walker's frame count/offsets/lengths must equal prefix sums over the generator-declared layout artifact"),
 
     // ---- REAL audio resample (round 12): synthesize per-doc WAVs at
     // mixed rates/channels (some already mono@8k -> byte-identical

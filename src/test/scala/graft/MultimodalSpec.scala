@@ -262,6 +262,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(!junk.resized && junk.sum_r === 0L)
   }
 
+  test("syntheticMjpegWithLayout: declared lengths equal the walker's boundaries") {
+    val (bytes, lens) = Multimodal.syntheticMjpegWithLayout(11L, 4, 10, 8)
+    assert(lens.length === 4 && lens.sum === bytes.length)
+    val offs = Multimodal.mjpegFrameOffsets(bytes)
+    assert(offs.length === 4)
+    // walker boundaries == prefix sums of the generator layout — the
+    // mm_frames_oracle invariant, pinned here at unit scale
+    val expected = lens.scanLeft(0)(_ + _)
+    assert(offs.map(_._1) === expected.init)
+    assert(offs.map { case (s, e) => e - s } === lens)
+  }
+
   // ---- REAL video frame sampling (round 12, MJPEG via ImageIO) ----
 
   test("mjpegFrameOffsets: finds every concatenated JPEG frame exactly") {
