@@ -590,6 +590,44 @@ object Batch10 {
       Some(kmvOracle),
       "streaming KMV distinct sketch via flatMapGroupsWithState (bounded O(k) state per group; single-batch replay == batch sketch, hash-compared on the gate)"),
 
+    // ---- the MULTI-BATCH twin (r14 verdict task 4): the same feed
+    // replayed as 3 micro-batches (maxFilesPerTrigger=1), putting the
+    // CROSS-BATCH state merge under the hash gate — the bottom-k
+    // union is deterministic and order-insensitive, so the FINAL
+    // sketch per group must still equal the batch oracle exactly.
+    // Per-batch emissions carry no batch marker; the final row is
+    // selected by the sketch's own monotonicity: under union-merge
+    // n_min never decreases, and once n_min == k the k-th minimum
+    // only falls, so (n_min DESC, kth_flipped ASC) ranks the last
+    // emission first (ties are byte-identical rows — any survivor is
+    // THE final state). A dropped or unmerged state row anywhere
+    // yields a smaller final sketch and breaks the compare.
+    "kmv_stream_multi" -> Q(
+      (s, dir) => {
+        val res = Catalog.replayFeedToParquetMulti(s,
+          events(s, dir).select(col("event_type"), col("user_id")),
+          nFiles = 3,
+          xform = st => graft.streaming.Streaming.kmvStream(st))
+        // degeneracy guard: some group must have emitted in >=2
+        // batches, else this entry silently collapsed to the
+        // single-batch twin (every event_type appears in every hash
+        // split at fixture scale, so this only fires on a genuine
+        // replay regression)
+        val emissions = res.count()
+        val groups = res.select("event_type").distinct().count()
+        require(emissions > groups,
+          s"kmv_stream_multi: $emissions emissions over $groups groups " +
+            "— the replay ran as a single micro-batch")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("n_min").desc, col("kth_flipped").asc)
+        res.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .orderBy("event_type")
+      },
+      Some(kmvOracle),
+      "cross-batch KMV state merge under the hash gate: a 3-micro-batch replay's final sketch per group must equal the batch oracle (bottom-k union is order-insensitive and monotone)"),
+
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup restricted to
     // k-means clusters — the embedding-space dedup that scales past
     // LSH recall tuning: comparisons are a cluster-keyed self-join
