@@ -525,7 +525,7 @@ object Batch10 {
           .orderBy("event_type")
       },
       None,
-      "HLL++ approximate distinct users per event type (mergeable sketch; rows-only gate)"),
+      "HLL++ approximate distinct users per event type (rows-only: register layout and bias correction are engine-specific, so no external engine reproduces the estimate bit-for-bit; the same capability — a mergeable bounded-memory distinct sketch — is hash-gated by the deterministic KMV sibling approx_distinct_kmv)"),
 
     // ---- KMV (bottom-k) distinct sketch, HASH-MATCHED (r14): the
     // deterministic alternative to the HLL entry above — k minimum
@@ -666,7 +666,7 @@ object Batch10 {
           .orderBy("event_type")
       },
       None,
-      "Greenwald-Khanna approximate quantiles per event type (mergeable sketch; rows-only gate)"),
+      "Greenwald-Khanna approximate quantiles per event type (rows-only: the GK tuple-compression schedule is engine-specific, so no external engine reproduces the estimates bit-for-bit; the same capability — bounded-memory mergeable quantiles — is hash-gated by the deterministic sampling sibling approx_quantiles_kmv)"),
 
     // ---- deterministic quantile sketch, HASH-MATCHED (r14): the
     // reproducible sibling of the GK entry above, built on the same

@@ -72,7 +72,7 @@ object Batch12 {
           .orderBy("rank")
       },
       None,
-      "BPE merge learning over the corpus word-frequency table (Sennrich-style greedy fit, bounded driver collect; rows-only gate)"),
+      "BPE merge learning over the corpus word-frequency table (rows-only: the greedy fit is a stateful driver loop no SQL engine replays; the fitted model IS hash-gated end-to-end — bpe_encode_oracle re-derives every encoded token from the persisted merge table, and bpe_token_count gates counts over the same model)"),
 
     // ---- distributed encode: learned-subword token count per doc —
     // the budgeting input for pack_sequences/corpus_budget_* once a

@@ -303,7 +303,7 @@ object Batch7 {
           .orderBy("media_id")
       },
       None,
-      "real JDK ImageIO decode kernel over synthesized PNGs (mime sniff + dims + grid pixel stats; rows-only gate)"),
+      "real JDK ImageIO decode kernel over synthesized PNGs (rows-only: the float feature vector re-rounds per op and DuckDB cannot parse PNG; the decode itself is hash-gated by the integer-exact twin mm_decode_oracle)"),
 
     // ---- the REAL ImageIO decode kernel under the HARD oracle gate
     // (r12 verdict task 4): the synthetic PNG's pixel (x,y) is
@@ -399,7 +399,7 @@ object Batch7 {
           .orderBy("media_id")
       },
       None,
-      "real JDK PCM audio decode kernel over synthesized WAVs (container sniff + streamed frame stats; rows-only gate)"),
+      "real JDK PCM audio decode kernel over synthesized WAVs (rows-only: float signal stats re-round per op and DuckDB cannot parse RIFF; the decode itself is hash-gated by the integer-exact twin mm_audio_oracle)"),
 
     // ---- the REAL audio decode kernel under the HARD oracle gate
     // (r13 verdict task 2, the exact generalization of
@@ -676,7 +676,7 @@ object Batch7 {
           .orderBy("media_id")
       },
       None,
-      "real streaming audio resample round-tripped through the real decoder (rows-only gate)"),
+      "real streaming audio resample round-tripped through the real decoder (rows-only: this view reports float-domain round-trip stats; the resample kernel itself is hash-gated by the integer-exact twin mm_resample_oracle)"),
 
     // ---- the REAL resample kernel under the HARD oracle gate (r13
     // verdict task 4): mono hash-sample WAVs at 4k/8k/16k resampled to
