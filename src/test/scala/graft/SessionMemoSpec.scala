@@ -38,6 +38,22 @@ class SessionMemoSpec extends SparkTestBase {
     assert(builds === 3)
   }
 
+  test("evictFit makes the next access a genuinely cold rebuild") {
+    val dir = Files.createTempDirectory("graftmemoevict").toString
+    Files.write(Paths.get(dir, "f"), "data".getBytes)
+    var builds = 0
+    val memo = new SessionMemo[Int]((_, _) => { builds += 1; builds },
+      "evictProbe")
+    assert(memo(spark, dir) === 1)
+    assert(memo(spark, dir) === 1 && builds === 1)
+    // the bench fit-retry path: fit_<snake_case(label)> resolves the
+    // registered evictor; the next access rebuilds
+    assert(SessionMemo.evictFit("fit_evict_probe"))
+    assert(memo(spark, dir) === 2 && builds === 2)
+    // unknown fit line: no evictor — the caller must not fake a retry
+    assert(!SessionMemo.evictFit("fit_no_such_memo"))
+  }
+
   test("distinct dirs memoize independently") {
     val d1 = Files.createTempDirectory("graftmemo1").toString
     val d2 = Files.createTempDirectory("graftmemo2").toString
