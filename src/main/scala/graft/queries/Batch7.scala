@@ -21,7 +21,12 @@ object Batch7 {
     * corpus dir (media_id, frame_no, frame_len) — the
     * [[Batch13.persistCentersOnce]] contract: skip the rewrite when
     * the persisted rows already match, so repeat runs never delete
-    * part files out from under a concurrent reader. */
+    * part files out from under a concurrent reader. The check-then-
+    * overwrite is serialized per JVM only (the memo set below): fine
+    * under the single-process bench/verify contract this shares with
+    * persistCentersOnce; if multi-process runs over one corpus dir
+    * ever become possible, switch to write-temp-then-atomic-rename
+    * (ADVICE r15). */
   private val mjpegLayoutPersisted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
   private def persistMjpegLayoutOnce(s: org.apache.spark.sql.SparkSession,

@@ -110,7 +110,8 @@ object Catalog {
     * the replay runs as `nFiles` MICRO-BATCHES — the multi-batch gate
     * path (r14 verdict: a single-batch replay never exercises the
     * cross-batch state merge). Which rows land in which batch is NOT
-    * pinned (repartition hashes), and doesn't need to be: the entries
+    * pinned (column-less repartition(n) round-robins from a
+    * per-partition offset), and doesn't need to be: the entries
     * using this select a batch-order-insensitive final state. */
   private[queries] def replayFeedToParquetMulti(s: SparkSession,
       feed: DataFrame, nFiles: Int,
