@@ -334,6 +334,11 @@ object Bench {
     // pattern for catalog lines. A line still >2x floor after the
     // recorded attempts is self-adjudicating: independent reruns
     // agreeing means the floor is the outlier, not the run.
+    // A capped rescue/rerun attempt records the sentinel -1 (ADVICE
+    // r16: capped attempts are exempt from `capped` — the first
+    // measurement stands — so without the sentinel a failed rescue
+    // left no trace at all, silent exactly when adjudication failed
+    // hardest; a still->2x line must show its failed attempts).
     val rescued = collection.mutable.LinkedHashMap.empty[String, List[Double]]
     def recordAttempt(name: String, before: Double, attempt: Double): Unit =
       rescued(name) = rescued.getOrElse(name, List(before)) :+ attempt
@@ -341,9 +346,11 @@ object Bench {
     for (name <- names) {
       (warm.get(name), timed.get(name)) match {
         case (Some(w), Some(t)) if t > 5 * w && t > 2.0 && elapsed < deadlineSec =>
-          runCapped(name, "rerun").foreach { s =>
-            recordAttempt(name, t, s)
-            if (s < timed(name)) timed(name) = s
+          runCapped(name, "rerun") match {
+            case Some(s) =>
+              recordAttempt(name, t, s)
+              if (s < timed(name)) timed(name) = s
+            case None => recordAttempt(name, t, -1.0) // capped attempt
           }
         case _ => ()
       }
@@ -386,9 +393,11 @@ object Bench {
       rescues += 1
       System.err.println(
         f"[bench][rescue$round] $name $v%.2f s vs baseline $b%.2f s — rerunning")
-      runCapped(name, "rescue").foreach { s =>
-        recordAttempt(name, v, s)
-        if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
+      runCapped(name, "rescue") match {
+        case Some(s) =>
+          recordAttempt(name, v, s)
+          if (s < timed.getOrElse(name, Double.MaxValue)) timed(name) = s
+        case None => recordAttempt(name, v, -1.0) // capped attempt
       }
     }
     val best = names.flatMap { n =>
@@ -435,7 +444,9 @@ object Bench {
       .mkString("{", ",", "}")
     // per-attempt rescue evidence: name -> [before, attempt...]; the
     // emitted per-query value is min over these, so a line still >2x
-    // floor here carries the reruns that failed to bring it down
+    // floor here carries the reruns that failed to bring it down.
+    // An attempt of -1.0 is the capped-attempt sentinel (the rerun
+    // itself hit the wall cap; the pre-rescue value stands).
     val rescuedJson = rescued.map { case (n, xs) =>
       "\"" + n + "\":" + xs.map(x => f"$x%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")

@@ -111,6 +111,19 @@ object SessionMemo {
   private[queries] def registerEvictor(label: String, f: () => Unit): Unit =
     evictors.put(label, f)
 
+  /** Evict the memo registered under `label` (the raw memo label, as
+    * recorded by [[MemoTrack]] readership — NOT the `fit_` bench-line
+    * name); false when no memo carries that label. ScaleGrowthSpec
+    * uses this to make every timed point of a growth measurement
+    * genuinely cold (ADVICE r16: a settle run warming the smallest
+    * scale's memo while sf0.1 paid the cold fit made the slope check
+    * asymmetric and its rescue rerun vacuous). */
+  private[graft] def evict(label: String): Boolean = {
+    val f = evictors.get(label)
+    if (f != null) f()
+    f != null
+  }
+
   /** Evict the memo behind bench line `fit_<label>`; false when no
     * registered memo maps to that line (then a retry cannot be made
     * cold and the caller must not fake one). Safe only BEFORE any

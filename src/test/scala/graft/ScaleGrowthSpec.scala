@@ -26,6 +26,13 @@ package graft
   *    nothing in the healthy catalog comes within an order of
   *    magnitude of it (slowest observed ~10 s at local[4]).
   *
+  * Memo regime (r16 ADVICE): every timed point — and the rescue rerun
+  * — is memo-COLD. The entry's [[graft.queries.SessionMemo]] labels
+  * (discovered from the settle run's MemoTrack readership) are evicted
+  * before each timed run, so SessionMemo-backed entries (e.g.
+  * ann_ivf_knn_join's IVF fit) pay their full build cost at every
+  * scale and fit growth is measured INSIDE the slope, not warmed away.
+  *
   * Noise handling mirrors Bench's rescue discipline: a slope at or
   * past the bound earns the top-scale point one rerun (min-folds) —
   * a steal burst can inflate one measurement but not two — and each
@@ -62,7 +69,9 @@ class ScaleGrowthSpec extends SparkTestBase {
   /** One full run of a catalog entry through the noop sink (the whole
     * plan executes, no count()-style pruning), watchdogged: past the
     * cap the job group is cancelled and the test fails — the absolute
-    * tripwire for overhead-masked quadratics. */
+    * tripwire for overhead-masked quadratics. Runs inside a
+    * [[graft.queries.MemoTrack]] scope so the entry's memo readership
+    * is recorded — [[cold]] evicts exactly those labels. */
   private def runCapped(name: String, dir: String): Double = {
     val group = s"growth-$name-$dir"
     val out = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
@@ -71,8 +80,10 @@ class ScaleGrowthSpec extends SparkTestBase {
     val worker = new Thread(() => {
       try {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        graft.queries.MemoTrack.within(name) {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
         out.set(Some((System.nanoTime() - t0) / 1e9))
       } catch { case e: Throwable => err.set(e) }
     }, group)
@@ -102,15 +113,35 @@ class ScaleGrowthSpec extends SparkTestBase {
       assert(rows.max / rows.min >= 4,
         s"fixture degenerate: $tableName rows ${rows.mkString("/")}")
       // one untimed run at the smallest scale settles JIT/classloader/
-      // codegen cold-start out of the measured points
+      // codegen cold-start out of the measured points — and, via the
+      // MemoTrack scope in runCapped, records which SessionMemo labels
+      // the entry reads, so the timed runs below can evict them
       runCapped(name, sf(sfs.head))
-      val times = sfs.map(s => math.max(0.05, runCapped(name, sf(s))))
+      // every timed point (and the rescue rerun) is memo-COLD: evict
+      // the entry's memos first, so SessionMemo-backed entries pay
+      // their full fit cost at every scale. ADVICE r16: without this
+      // the settle run warmed the smallest scale's memo (tHead = query
+      // path only, floored at 0.05) while the first sf0.1 run paid the
+      // cold fit, and the rescue rerun then read the memo warmed by
+      // that first run — min-folding tTop down regardless of real fit
+      // growth. Uniform eviction makes head, top, and rescue measure
+      // the same (cold) cost, so fit growth is inside the slope.
+      def cold(s: String): Double = {
+        graft.queries.MemoTrack.readsOf(name)
+          .foreach(graft.queries.SessionMemo.evict)
+        math.max(0.05, runCapped(name, sf(s)))
+      }
+      val times = sfs.map(cold)
       val tHead = times.zip(rows).filter(_._2 == rows.min).map(_._1).min
       def slope(tTop: Double): Double =
         math.log(tTop / tHead) / math.log(rows.max / rows.min)
-      var tTop = times.last
-      if (slope(tTop) >= 2.0) // one rescue: min-fold a rerun of the top point
-        tTop = math.min(tTop, runCapped(name, sf(sfs.last)))
+      // tTop selected by rows.max (as tHead is by rows.min) — ADVICE
+      // r16: `times.last` silently measured the wrong point if a
+      // fixture change ever made the top tier row-flat
+      val topSf = sfs(rows.lastIndexOf(rows.max))
+      var tTop = times.zip(rows).filter(_._2 == rows.max).map(_._1).min
+      if (slope(tTop) >= 2.0) // one rescue: min-fold a cold rerun of the top point
+        tTop = math.min(tTop, cold(topSf))
       val sl = slope(tTop)
       info(f"rows ${rows.map(_.toLong).mkString("/")}  " +
         f"times ${times.map(t => f"$t%.2f").mkString("/")}s  slope $sl%.2f")
