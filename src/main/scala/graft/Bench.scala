@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every catalog query against
   * SPARK_GRAFT_SF_DIR, one warmup pass (JIT + codegen + file-listing
-  * caches) then GRAFT_BENCH_PASSES timed passes (default 1),
+  * caches) then GRAFT_BENCH_PASSES timed passes (default 2),
   * materializing through the noop sink so the full plan executes
   * without count()-style column pruning. Prints ONE JSON line on raw
   * stdout (build.sbt routes forked output through un-prefixed).
@@ -59,7 +59,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "1").toInt
+    // Default 2 timed passes (3 samples per query with warmup in the
+    // min-fold): the r16 run finished warmup + 1 pass + fits + rescue
+    // at t=315 s against the 900 s deadline, so a second ~135 s pass
+    // fits with >250 s to spare even before the measure-window cut —
+    // and min-of-3 pulls the per-run total toward the floor-sum (the
+    // 1.25x r16 gap was noise, not plan cost: zero lines >2x floor).
+    // The interleaved loop completes pass 1 for every query before
+    // pass 2 starts, so a deadline cut mid-pass-2 degrades to the
+    // r16 behavior, never to missing values.
+    val passes = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt
     val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "900").toLong
     val capSec = sys.env.getOrElse("GRAFT_BENCH_QUERY_CAP_SEC", "90").toLong
     // reserved tail window for the rescue phases (3/3b): the measuring
