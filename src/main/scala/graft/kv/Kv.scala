@@ -159,7 +159,11 @@ object KvEngine {
     new KvEngine(spark, state)
 
   /** One-shot distributed merge of a write batch into a keyed state
-    * table. Exposed for direct use over arbitrary state DataFrames. */
+    * table. Exposed for direct use over arbitrary state DataFrames.
+    * The Seq shape is the HTTP Execute path (statements arrive at the
+    * driver); for high-volume loads use [[applyBatchDf]] — a driver
+    * Seq re-encodes every row on the driver per action, which caps
+    * throughput and cannot hold a 100 TB-scale restore. */
   def applyBatch(spark: SparkSession, state: DataFrame,
       writes: Seq[Statement]): DataFrame = {
     import spark.implicits._
@@ -168,19 +172,38 @@ object KvEngine {
       case (DeleteStmt(k), i)  => (i.toLong, k, null: String, "delete")
       case (GetStmt(k), i)     => (i.toLong, k, null: String, "get")
     }
+    applyBatchDf(state, rows.toDF("seq", "key", "value", "op"))
+  }
+
+  /** The bulk-load twin of [[applyBatch]]: the same last-write-wins +
+    * broadcast-anti-join merge, with the statement batch arriving as
+    * a DataFrame `(seq BIGINT, key STRING, value STRING, op STRING
+    * in 'set'|'delete'|'get')` instead of a driver-side Seq. This is
+    * the reference's chunked bulk-load shape (`internal/command/
+    * chunking/chunker.go:17,30` streams 1 MiB gzip chunks into the
+    * same FSM apply) re-expressed scale-first: statements stay
+    * distributed end-to-end (never a driver Seq), and ties within
+    * the batch still resolve by `seq` (statement order), exactly as
+    * the Seq path. The forced broadcast sizes this for incremental
+    * batches (touched keys fit a broadcast); a FULL restore replaces
+    * state wholesale via [[KvEngine.replaceState]]/[[load]] instead
+    * of merging, so the broadcast bound is never the restore path's
+    * bottleneck. */
+  def applyBatchDf(state: DataFrame, writes: DataFrame): DataFrame = {
     // Last write per key within the batch wins (statement order = seq).
-    val w = Window.partitionBy($"key").orderBy($"seq".desc)
-    val last = rows.toDF("seq", "key", "value", "op")
-      .filter($"op" =!= "get")
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    val last = writes
+      .filter(col("op") =!= "get")
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"key", $"value", $"op")
+      .filter(col("rn") === 1)
+      .select(col("key"), col("value"), col("op"))
     // Merge = drop every touched key from state (broadcast anti join —
     // a full-outer join could NOT broadcast and would sort-merge-shuffle
     // the entire state table per batch), then union the surviving SETs
     // back in. Both halves keep the huge state side shuffle-free.
-    val touched = last.select($"key")
-    val setRows = last.filter($"op" === "set").select($"key", $"value")
+    val touched = last.select(col("key"))
+    val setRows = last.filter(col("op") === "set")
+      .select(col("key"), col("value"))
     state.join(broadcast(touched), Seq("key"), "left_anti")
       .unionByName(setRows)
   }
