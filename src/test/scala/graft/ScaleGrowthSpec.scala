@@ -2,9 +2,10 @@ package graft
 
 /** Measured scale-growth tripwire (r15 verdict item 3): the 100x-scale
   * judgment was previously a manual plan audit per round; this spec
-  * makes the core claim mechanical. For eight scale-sensitive catalog
-  * entries — the ones whose plans would degrade first if a banded
-  * join lost its skew guard or a bounded candidate set went all-pairs
+  * makes the core claim mechanical. For the scale-sensitive catalog
+  * entries below (nine as of r17) — the ones whose plans would degrade
+  * first if a banded join lost its skew guard or a bounded candidate
+  * set went all-pairs
   * — it runs the full entry at sf0.001/sf0.01/sf0.1 and asserts the
   * wall-time growth exponent in input rows stays sub-quadratic:
   *
@@ -62,6 +63,11 @@ class ScaleGrowthSpec extends SparkTestBase {
     "tf_idf"               -> "documents",
     "asof_sharded"         -> "events",
     "q9_profit"            -> "lineitem",
+    // r17: the bulk KV merge (window last-write-wins over the batch +
+    // broadcast anti-join into state) — the batch side grows with
+    // lineitem, and a lost broadcast hint here would shuffle the
+    // state side per batch
+    "kv_bulk_apply"        -> "lineitem",
   )
 
   private val capSec = 120L
