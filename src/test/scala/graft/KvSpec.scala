@@ -89,6 +89,44 @@ class KvSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("applyBatchDf: seq ties-break within batch, get rows ignored, delete wins over earlier set") {
+    // the bulk twin must resolve exactly like the Seq path: last
+    // write per key by seq (statement order), 'get' ops inert,
+    // deletes dropping the key even when a set precedes them
+    val state = Seq(("a", "old"), ("b", "keep"), ("c", "gone"))
+      .toDF("key", "value")
+    val writes = Seq(
+      (0L, "a", "first", "set"),
+      (5L, "a", "last", "set"),    // higher seq wins
+      (1L, "a", null: String, "get"),  // inert, any seq
+      (2L, "c", "resurrect", "set"),
+      (3L, "c", null: String, "delete"), // later delete wins
+      (4L, "d", "new", "set"),
+      (6L, "nosuch", null: String, "delete") // idempotent on missing
+    ).toDF("seq", "key", "value", "op")
+    val got = KvEngine.applyBatchDf(state, writes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "last", "b" -> "keep", "d" -> "new"))
+  }
+
+  test("applyBatchDf and applyBatch agree on the same statement batch") {
+    val state = Seq.tabulate(50)(i => (s"k$i", s"v$i")).toDF("key", "value")
+    val stmts = Seq(SetStmt("k1", "x"), DeleteStmt("k2"),
+      SetStmt("k1", "y"), SetStmt("zz", "q"), DeleteStmt("absent"))
+    val viaSeq = KvEngine.applyBatch(spark, state, stmts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rows = stmts.zipWithIndex.map {
+      case (SetStmt(k, v), i)   => (i.toLong, k, v, "set")
+      case (DeleteStmt(k), i)   => (i.toLong, k, null: String, "delete")
+      case (s, i)               => (i.toLong, "", null: String, "get")
+    }
+    val viaDf = KvEngine.applyBatchDf(state,
+      rows.toDF("seq", "key", "value", "op"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaSeq === viaDf)
+    assert(viaSeq("k1") === "y" && !viaSeq.contains("k2"))
+  }
+
   test("state round-trips through parquet persistence") {
     val eng = KvEngine.empty(spark)
     eng.execute(Seq(SetStmt("a", "1"), SetStmt("b", "2")))
