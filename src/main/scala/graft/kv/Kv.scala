@@ -192,11 +192,25 @@ object KvEngine {
   def applyBatchDf(state: DataFrame, writes: DataFrame): DataFrame = {
     // Last write per key within the batch wins (statement order = seq).
     val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    // `last` feeds BOTH merge branches (the broadcast of touched keys
+    // and the union of surviving SETs); without materialization the
+    // batch scan+shuffle+window subtree executes once per branch —
+    // column pruning makes the two exchanges non-identical, so
+    // ReuseExchange cannot deduplicate them (measured: 2 un-reused
+    // hashpartitioning exchanges). A LAZY localCheckpoint computes
+    // the window once (the broadcast branch runs first and caches the
+    // blocks; the union branch reads them) without an eager job at
+    // call time. Size is bounded by the batch's distinct keys — the
+    // same bound the broadcast already imposes — and the
+    // truncated-lineage tradeoff is the one KvEngine's compaction
+    // already accepts for this state (rebuilt from the statement log
+    // on failure).
     val last = writes
       .filter(col("op") =!= "get")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("key"), col("value"), col("op"))
+      .localCheckpoint(false)
     // Merge = drop every touched key from state (broadcast anti join —
     // a full-outer join could NOT broadcast and would sort-merge-shuffle
     // the entire state table per batch), then union the surviving SETs
