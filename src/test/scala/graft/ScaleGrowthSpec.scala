@@ -135,6 +135,15 @@ class ScaleGrowthSpec extends SparkTestBase {
       def cold(s: String): Double = {
         graft.queries.MemoTrack.readsOf(name)
           .foreach(graft.queries.SessionMemo.evict)
+        // evicting the memo map is not enough for builders that end in
+        // a bare Reuse.cache: the CacheManager keys entries by
+        // CANONICAL PLAN, and a deterministic rebuild produces the
+        // identical plan — persist() then silently re-hits the
+        // previous build's warm blocks (the r17 review caught
+        // ann_ivf_knn_join's assignment staying warm through evict).
+        // Clearing the session cache makes the rebuild materialize
+        // for real; other suites just lazily re-persist.
+        spark.sharedState.cacheManager.clearCache()
         math.max(0.05, runCapped(name, sf(s)))
       }
       val times = sfs.map(cold)
