@@ -141,6 +141,21 @@ object SessionMemo {
     hit.nonEmpty
   }
 
+  /** Clear EVERY registered memo. Pairs with a session-global
+    * `cacheManager.clearCache()`: that wipe strips cached blocks out
+    * from under memoized values whose builders ended in a bare
+    * [[Reuse.cache]], and any memo NOT evicted afterwards keeps
+    * serving a DataFrame whose persist entry is gone — the optimizer
+    * then collapses the materialization boundary and downstream plans
+    * lose the pruning the cache encoded (the r17 PlanSpec
+    * ann_ivf_hier_topk failure). After clearAll, every memo rebuilds
+    * lazily on next access and re-persists — correct in any suite
+    * order. */
+  private[graft] def clearAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    evictors.asScala.values.foreach(_())
+  }
+
   /** How long a computed dir fingerprint is trusted before re-walking.
     * 5 s keeps a full catalog run (~100 queries) at a handful of walks
     * while still catching any between-run rewrite. Re-read per access

@@ -133,8 +133,14 @@ class ScaleGrowthSpec extends SparkTestBase {
       // growth. Uniform eviction makes head, top, and rescue measure
       // the same (cold) cost, so fit growth is inside the slope.
       def cold(s: String): Double = {
-        graft.queries.MemoTrack.readsOf(name)
-          .foreach(graft.queries.SessionMemo.evict)
+        // a memo without an eviction hook silently stays warm — the
+        // exact "must not fake a cold run" failure evictFit's doc
+        // warns about (ADVICE r17) — so surface it instead of
+        // discarding evict's return
+        graft.queries.MemoTrack.readsOf(name).foreach { label =>
+          if (!graft.queries.SessionMemo.evict(label))
+            info(s"memo '$label' has no evictor — timed point NOT cold for it")
+        }
         // evicting the memo map is not enough for builders that end in
         // a bare Reuse.cache: the CacheManager keys entries by
         // CANONICAL PLAN, and a deterministic rebuild produces the
@@ -142,8 +148,15 @@ class ScaleGrowthSpec extends SparkTestBase {
         // previous build's warm blocks (the r17 review caught
         // ann_ivf_knn_join's assignment staying warm through evict).
         // Clearing the session cache makes the rebuild materialize
-        // for real; other suites just lazily re-persist.
+        // for real. That wipe is SESSION-GLOBAL in a test JVM where
+        // every suite shares one session, so memos this entry does
+        // NOT read would be left holding cache-stripped DataFrames
+        // (the r17 red-suite bug: hierIndex survived with its persist
+        // entry gone and PlanSpec lost cluster pruning). clearAll
+        // evicts every registered memo so rebuilds stay lazy, cheap,
+        // and cache-consistent in any suite order.
         spark.sharedState.cacheManager.clearCache()
+        graft.queries.SessionMemo.clearAll()
         math.max(0.05, runCapped(name, sf(s)))
       }
       val times = sfs.map(cold)
