@@ -691,8 +691,14 @@ object Ann {
       q: DataFrame, embCol: String, idCol: String, qIdCol: String,
       qEmbCol: String, topK: Int, excludeSelf: Boolean): DataFrame = {
     val withVec = probes.join(q, qIdCol) // carry the query vector
+    // the probe ids ride the LongType BoundedTopK struct but cluster
+    // ids are ints (argmax over k centers) — cast the SMALL probe side
+    // so the assignment side keys on the bare partition column: the
+    // equi-join and its DPP pruning key then align castless on the
+    // scan, whether the assignment is in-memory or the loaded
+    // partitionBy(cluster) artifact (whose directory values infer int)
     val scored = withVec.join(index.assigned,
-        withVec("__graft_probe") === index.assigned("cluster"))
+        withVec("__graft_probe").cast("int") === index.assigned("cluster"))
       .withColumn("__graft_score", cosine_sim(col(embCol), col(qEmbCol)))
     val kept =
       if (excludeSelf) scored.filter(col(idCol) =!= col(qIdCol)) else scored

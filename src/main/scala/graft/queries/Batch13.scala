@@ -83,6 +83,24 @@ object Batch13 {
   private[graft] def ivfCentersPath(dir: String): String =
     artifactPath("ivf_centers", dir)
 
+  /** Stable fingerprint-keyed scratch dir for a rebuildable index
+    * artifact, cleared before reuse: memo-cold rebuilds (e.g.
+    * ScaleGrowthSpec's clearAll-per-timed-point) overwrite ONE path per
+    * (tag, corpus dir) instead of accumulating fresh temp dirs — and
+    * the pre-delete also clears applied-batch markers a previous JVM's
+    * append lifecycle left behind, so idempotence asserts stay valid.
+    * Rebuilds only happen memo-cold, so no reader holds the old epoch. */
+  private[graft] def freshIdxPath(tag: String, dir: String): String = {
+    val p = artifactPath(tag, dir)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+      x.delete(); ()
+    }
+    val f = new java.io.File(p)
+    if (f.exists) rm(f)
+    p
+  }
+
   private[graft] val IvfCentersPathToken = "__GRAFT_IVF_CENTERS_PATH__"
   private[graft] val SemCentersPathToken = "__GRAFT_SEM_CENTERS_PATH__"
   private[graft] val SemHierFlatPathToken = "__GRAFT_SEM_HIER_FLAT_PATH__"

@@ -350,8 +350,7 @@ object Batch3 {
     * append/compact entries already use. */
   private val ivfMemo = new SessionMemo[graft.ops.Ann.IvfIndex]((s, dir) => {
     val idx = graft.ops.Ann.buildIvf(table(s, dir, "embeddings"), "embedding", k = 16)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_idx_").toString
+    val path = Batch13.freshIdxPath("ivf_idx", dir)
     graft.ops.Ann.persistIvf(idx, path)
     graft.ops.Ann.loadIvf(s, path)
   }, "ivfIndex")
@@ -368,8 +367,7 @@ object Batch3 {
   private val hierMemo = new SessionMemo[graft.ops.Ann.HierIvf]((s, dir) => {
     val h = graft.ops.Ann.buildIvfHierarchical(
       table(s, dir, "embeddings"), "embedding", k = 16)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_hier_idx_").toString
+    val path = Batch13.freshIdxPath("hier_idx", dir)
     graft.ops.Ann.persistIvfHier(h, path)
     graft.ops.Ann.loadIvfHier(s, path)
   }, "hierIndex")

@@ -41,8 +41,7 @@ object Batch9 {
     val even = emb.filter(col("vec_id") % 2 === 0)
     val odd = emb.filter(col("vec_id") % 2 === 1)
     val idx = graft.ops.Ann.buildIvf(even, "embedding", k = 16)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_append_idx_").toString
+    val path = Batch13.freshIdxPath("append_idx", dir)
     graft.ops.Ann.persistIvf(idx, path)
     require(graft.ops.Ann.appendBatchIdempotent(idx, odd, "embedding", path, 0L),
       "ann_append_search: first append unexpectedly skipped")
@@ -63,8 +62,7 @@ object Batch9 {
     val emb = table(s, dir, "embeddings")
     val idx = graft.ops.Ann.buildIvf(
       emb.filter(col("vec_id") % 2 === 0), "embedding", k = 16)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_compact_idx_").toString
+    val path = Batch13.freshIdxPath("compact_idx", dir)
     graft.ops.Ann.persistIvf(idx, path)
     graft.ops.Ann.appendBatchIdempotent(idx,
       emb.filter(col("vec_id") % 4 === 1), "embedding", path, 0L)

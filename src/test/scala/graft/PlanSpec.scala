@@ -223,8 +223,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
     // the ONLY nested-loop is the |Q| x k1 coarse ranking against the
     // broadcast coarse table; the sub-center and cluster joins are
-    // equi-joins (a second nested-loop would mean the corpus side)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan.take(4000))
+    // equi-joins (a second nested-loop would mean the corpus side).
+    // The partitioned assignment scan carries a DPP subquery that
+    // re-prints the whole probe subtree (including this same coarse
+    // ranking), so count only the main tree above the subquery marker.
+    val mainTree = plan.split("SubqueryAdaptiveBroadcast").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(mainTree).size <= 1, plan.take(4000))
+    // the assignment scan must be dynamically pruned at the directory
+    // level — the build-once partitionBy(cluster) layout's whole point
+    assert(plan.contains("dynamicpruningexpression"), plan.take(4000))
     // both center tables ship as broadcasts (coarse + flat sub-center)
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan.take(4000))
     // three bounded top-k cuts (coarse cells, sub-clusters, final k-NN),
