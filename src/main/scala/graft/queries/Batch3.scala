@@ -186,12 +186,44 @@ object Batch3 {
     * advice). */
   def minePairCounts(s: SparkSession, dir: String,
       maxDf: Option[Int] = None): DataFrame = {
-    val docs = table(s, dir, "documents")
+    val docs = shingleDocs(s, dir)
+    val inv = shingleInv(docs, maxDf)
+    val sizes = docs.select(col("doc_id"), col("n_sh"))
+    // Σdf² skew guard: a boilerplate shingle shared by df documents
+    // puts df² candidate pairs on ONE reducer key in the plain
+    // self-join — the first thing to die on a boilerplate-heavy corpus
+    // at 100×. blockedSelfJoinPairs fans a hot shash's triangle over
+    // group-pair tasks (per-task candidates ≤ ~cap²) and provably
+    // emits the IDENTICAL doc_a < doc_b pair multiset, so the DuckDB
+    // oracle stays the plain join. Unskewed shingles degenerate to the
+    // plain equi-join plan. maxDf remains the semantic knob on top
+    // (drop stop-shingles entirely); the guard is the exactness-
+    // preserving backstop when maxDf is off.
+    graft.ops.Scale.blockedSelfJoinPairs(inv.select("doc_id", "shash"),
+        "shash", "doc_id")
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+  }
+
+  /** Per-doc shingle sets + counts the miner and its inverted index
+    * both derive from. */
+  private[graft] def shingleDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+
+  /** The miner's inverted index `(doc_id, shash)` — exposed
+    * private[graft] so the scale specs can assert the skew-guard's
+    * per-task candidate bound against the REAL join input, not a
+    * re-derivation. */
+  private[graft] def shingleInv(docs: DataFrame,
+      maxDf: Option[Int]): DataFrame = {
     val invAll = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
-    val inv = maxDf.fold(invAll) { cap =>
+    maxDf.fold(invAll) { cap =>
       // df = docs-per-shingle (shingles are array_distinct'd upstream);
       // the keep-list is shingle-distinct — small — and joins back on
       // the 8-byte hash key.
@@ -199,14 +231,6 @@ object Batch3 {
         .filter(col("df") <= cap).select("shash")
       invAll.join(keep, "shash")
     }.transform(Reuse.cacheFresh("batch3.minePairCounts.inv", _))
-    val sizes = docs.select(col("doc_id"), col("n_sh"))
-    inv.select(col("doc_id").as("doc_a"), col("shash"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
   }
 
   /** The memoized pair-count subtree; same mining shape (and hash

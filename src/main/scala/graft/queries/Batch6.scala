@@ -83,9 +83,16 @@ object Batch6 {
         val weighted = inv.join(idf2, "shash")
         val norms = weighted.groupBy("doc_id")
           .agg(sqrt(sum(col("idf2")).cast("double")).as("norm"))
-        weighted.select(col("doc_id").as("doc_a"), col("shash"), col("idf2"))
-          .join(inv.select(col("doc_id").as("doc_b"), col("shash")), "shash")
-          .filter(col("doc_a") < col("doc_b"))
+        // Σdf² skew guard (same discipline as minePairCounts): the dot
+        // product is a shash self-join of `weighted`, and idf² rides
+        // the shingle, so carrying the a-side weight through
+        // blockedSelfJoinPairs yields the IDENTICAL (doc_a, doc_b,
+        // idf2) multiset as the plain join — one hot boilerplate
+        // shingle never lands df² candidates on a single reducer.
+        graft.ops.Scale.blockedSelfJoinPairs(
+            weighted.select("doc_id", "shash", "idf2"), "shash", "doc_id")
+          .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+            col("idf2_a").as("idf2"))
           .groupBy("doc_a", "doc_b")
           .agg(sum(col("idf2")).cast("double").as("dot"))
           .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")), "doc_a")

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial boilerplate corpus for the Σdf² skew-guard specs (r16
+  * verdict orders #1/#2): every 10th document shares one 4-token
+  * boilerplate sentence, so the shingle inverted index gets two hot
+  * keys with df = n/10 while every other shingle is doc-unique. The
+  * plain shash self-join would put df² candidate pairs on ONE reducer
+  * key — the exact shape `Scale.blockedSelfJoinPairs` exists to
+  * defuse. Schema mirrors the driver fixtures' documents table. */
+object BoilerplateCorpus {
+  val BoilerSentence = "please call us now"
+
+  /** Write an n-doc documents.parquet under java.io.tmpdir (stable
+    * per-n path, overwritten on rerun) and return the corpus dir. */
+  def write(spark: SparkSession, n: Long): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_boiler_$n"
+    val uniq = (0 until 18).map(j => format_string(s"d%dt$j", col("doc_id")))
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("text", concat_ws(" ",
+        uniq :+ when(col("doc_id") % 10 === 0, lit(BoilerSentence))
+          .otherwise(format_string("tail%d alpha beta", col("doc_id"))): _*))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+}

@@ -178,4 +178,40 @@ class ScaleGrowthSpec extends SparkTestBase {
           f"${rows.min.toLong}→${rows.max.toLong} rows " +
           f"($tHead%.2f s → $tTop%.2f s)")
     }
+
+  // ---- adversarial boilerplate corpus (r16 order #2): the fixture
+  // docs are near-duplicate-free, so the Σdf² exposure the skew guard
+  // defuses never shows up in the fixture-driven slopes above. These
+  // corpora plant a shared 4-token paragraph in 10% of docs — two
+  // shingles with df = n/10 — across a genuine 100× doc span, so an
+  // unguarded miner re-concentrates df² candidates on one reducer key
+  // (3000² ≈ 9M single-task candidates at the top tier, spilling the
+  // partial-agg map) while the guarded plan fans it over group-pair
+  // tasks. ScaleSpec proves the bound and exactness on the real join
+  // input; this measures that the guarded WALL TIME stays
+  // sub-quadratic where the guard is actually load-bearing.
+  for (entry <- Seq("dedup_ngram_jaccard", "shingle_cosine_pairs"))
+    test(s"$entry: sub-quadratic on an adversarial boilerplate corpus (10% shared paragraph, 100x)") {
+      val tiers = Seq(300L, 3000L, 30000L)
+      val dirs = tiers.map(n => BoilerplateCorpus.write(spark, n))
+      runCapped(entry, dirs.head) // settle JIT/codegen out of the timed points
+      def cold(d: String): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        graft.queries.SessionMemo.clearAll()
+        math.max(0.05, runCapped(entry, d))
+      }
+      val times = dirs.map(cold)
+      def slope(tTop: Double): Double =
+        math.log(tTop / times.head) /
+          math.log(tiers.last.toDouble / tiers.head.toDouble)
+      var tTop = times.last
+      if (slope(tTop) >= 2.0) // same one-rerun rescue as the fixture slopes
+        tTop = math.min(tTop, cold(dirs.last))
+      val sl = slope(tTop)
+      info(f"docs ${tiers.mkString("/")}  " +
+        f"times ${times.map(t => f"$t%.2f").mkString("/")}s  slope $sl%.2f")
+      assert(sl < 2.0,
+        f"$entry grew super-quadratically on the boilerplate corpus: " +
+          f"slope $sl%.2f (${times.head}%.2f s → $tTop%.2f s)")
+    }
 }

@@ -364,6 +364,48 @@ class ScaleSpec extends SparkTestBase {
     assert(small.filter($"__lo" =!= 0 || $"__hi" =!= 0).count() === 0)
   }
 
+  test("Σdf² pair miner rides the skew guard: hot shingle splits, bound holds, counts exact") {
+    // 13k docs, 10% sharing the boilerplate sentence → two shingles
+    // with df = 1300 > the miner's default cap (1024), so the guard's
+    // triangle split must actually engage on the REAL join input
+    val dir = BoilerplateCorpus.write(spark, 13000)
+    val docs = graft.queries.Batch3.shingleDocs(spark, dir)
+    val inv = graft.queries.Batch3.shingleInv(docs, None)
+    val cap = 1024 // blockedSelfJoinPairs' default, what minePairCounts uses
+    val repl = Scale.triangleReplicate(inv, "shash", "doc_id", cap, 64)
+    val perTask = repl.groupBy($"shash", $"__lo", $"__hi")
+      .agg(count(lit(1)).as("n"))
+    val worst = perTask.agg(max($"n" * $"n")).collect()(0).getLong(0)
+    // naive would put 1300² ≈ 1.7M candidates on one key; guarded every
+    // task key stays ≤ ~(2·cap)² with 4x hash-imbalance slack
+    assert(worst <= 4L * (2L * cap) * (2L * cap),
+      s"worst per-task candidates $worst — skew guard not bounding the miner's join")
+    assert(perTask.filter($"__hi" > 0).count() > 0,
+      "hot shingle did not split — corpus no longer adversarial or guard reverted")
+    // exactness at skew: the guarded miner's (doc_a, doc_b, inter)
+    // multiset equals the plain self-join's (the DuckDB-oracle shape)
+    val naive = inv.select($"doc_id".as("doc_a"), $"shash")
+      .join(inv.select($"doc_id".as("doc_b"), $"shash"), "shash")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    val mined = graft.queries.Batch3.minePairCounts(spark, dir)
+      .select($"doc_a", $"doc_b", $"inter")
+    assert(mined.count() === naive.count())
+    assert(mined.except(naive).count() === 0)
+    assert(naive.except(mined).count() === 0)
+    // a revert to the plain self-join keeps exactness and, at test
+    // scale, timing — only the plan shape betrays it, so pin the
+    // guard's triangle markers in BOTH miners' plans
+    assert(minedHasGuard(mined), "minePairCounts no longer rides blockedSelfJoinPairs")
+    val cosine = graft.queries.Catalog.queries("shingle_cosine_pairs")(spark, dir)
+    assert(minedHasGuard(cosine), "shingle_cosine_pairs no longer rides blockedSelfJoinPairs")
+  }
+
+  private def minedHasGuard(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = df.queryExecution.analyzed.toString
+    p.contains("__lo") && p.contains("__hi")
+  }
+
   test("blockedSelfJoinPairs: verify predicate runs AFTER the cheap dedup conjuncts") {
     // the r12 bench regression: an expensive predicate stacked as a
     // .filter on the result is pushed into the join condition ahead of
