@@ -1,7 +1,6 @@
 package graft.kv
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -190,8 +189,18 @@ object KvEngine {
     * of merging, so the broadcast bound is never the restore path's
     * bottleneck. */
   def applyBatchDf(state: DataFrame, writes: DataFrame): DataFrame = {
-    // Last write per key within the batch wins (statement order = seq).
-    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    // Last write per key within the batch wins (statement order =
+    // seq). max_by instead of a window + row_number: the aggregate
+    // gets MAP-SIDE partial aggregation, so a hot-key batch collapses
+    // to one row per key per input partition BEFORE the shuffle — the
+    // window shuffled and sorted every write row. (The var-length
+    // struct buffer makes this a SortAggregate, not HashAggregate —
+    // local key-sorts on already-collapsing inputs; the shuffle-volume
+    // win is the partial combine, pinned in KvSpec.) CONTRACT: `seq`
+    // must be unique per key within a batch (it is the statement
+    // order; the Seq path derives it from position) — with duplicate
+    // seqs "the last write" is ill-defined and either plan picks one
+    // nondeterministically.
     // `last` feeds BOTH merge branches (the broadcast of touched keys
     // and the union of surviving SETs); without materialization the
     // batch scan+shuffle+window subtree executes once per branch —
@@ -205,12 +214,7 @@ object KvEngine {
     // truncated-lineage tradeoff is the one KvEngine's compaction
     // already accepts for this state (rebuilt from the statement log
     // on failure).
-    val last = writes
-      .filter(col("op") =!= "get")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("key"), col("value"), col("op"))
-      .localCheckpoint(false)
+    val last = lastWrites(writes).localCheckpoint(false)
     // Merge = drop every touched key from state (broadcast anti join —
     // a full-outer join could NOT broadcast and would sort-merge-shuffle
     // the entire state table per batch), then union the surviving SETs
@@ -221,6 +225,16 @@ object KvEngine {
     state.join(broadcast(touched), Seq("key"), "left_anti")
       .unionByName(setRows)
   }
+
+  /** The batch's last-write set, pre-checkpoint — exposed
+    * private[graft] so KvSpec can pin the plan shape (partial+final
+    * hash aggregate, never a sort-based window). */
+  private[graft] def lastWrites(writes: DataFrame): DataFrame =
+    writes
+      .filter(col("op") =!= "get")
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("value"), col("op")), col("seq")).as("__lw"))
+      .select(col("key"), col("__lw.value").as("value"), col("__lw.op").as("op"))
 
   /** Persist / reload state between batches (parquet round-trip). */
   def save(state: DataFrame, path: String): Unit =

@@ -109,6 +109,24 @@ class KvSpec extends SparkTestBase {
     assert(got === Map("a" -> "last", "b" -> "keep", "d" -> "new"))
   }
 
+  test("applyBatchDf's last-write set is a partial+final aggregate, never a window") {
+    // max_by gives the LWW map-side partial aggregation: a hot-key
+    // batch collapses per input partition BEFORE the shuffle, where
+    // the old window shuffled and sorted every write row. (The struct
+    // buffer plans as SortAggregate — local key-sorts — which is fine;
+    // the window's full-row shuffle is what must never come back.)
+    val writes = Seq.tabulate(1000)(i => (i.toLong, s"k${i % 7}", s"v$i", "set"))
+      .toDF("seq", "key", "value", "op")
+    val lw = KvEngine.lastWrites(writes)
+    lw.write.format("noop").mode("overwrite").save()
+    val plan = lw.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_max_by"), plan.take(2000))
+    // exactly one exchange, fed by the partial (collapsed) side
+    assert("Exchange".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
   test("applyBatchDf and applyBatch agree on the same statement batch") {
     val state = Seq.tabulate(50)(i => (s"k$i", s"v$i")).toDF("key", "value")
     val stmts = Seq(SetStmt("k1", "x"), DeleteStmt("k2"),
