@@ -21,7 +21,7 @@ import sys
 MARK = "<!-- graft-bench-table -->"
 
 
-def main(path: str, replace: bool = False) -> None:
+def main(path: str, replace: bool = False, refloor: set = frozenset()) -> None:
     d = json.load(open(path))
     merged = dict(d["queries"])
     md = open("BASELINE.md").read()
@@ -36,12 +36,16 @@ def main(path: str, replace: bool = False) -> None:
         dropped = []
         for m in re.finditer(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", block):
             q, f = m.group(1), float(m.group(2))
+            if q in refloor:
+                continue  # deliberate re-floor: this run's value stands
             if q in merged:
                 merged[q] = min(merged[q], f)
             else:
                 dropped.append(q)
         if dropped:
             print(f"dropped stale floors (not in this run): {', '.join(dropped)}")
+        if refloor:
+            print(f"re-floored from this run: {', '.join(sorted(refloor & set(merged)))}")
     total = sum(merged.values())
     rows = sorted(merged.items())
     lines = [
@@ -66,4 +70,14 @@ def main(path: str, replace: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], replace="--replace" in sys.argv[2:])
+    # --refloor q1,q2,... : reset the named queries' floors to THIS
+    # run's values instead of min-folding — the deliberate escape hatch
+    # for a code change that makes an old floor structurally
+    # unreachable (e.g. the r18 persisted-index layout made the
+    # cache-path fit floors meaningless). Never use it to launder a
+    # slow run: name only queries whose measured path changed.
+    refloor: set = set()
+    for a in sys.argv[2:]:
+        if a.startswith("--refloor="):
+            refloor |= set(a.split("=", 1)[1].split(","))
+    main(sys.argv[1], replace="--replace" in sys.argv[2:], refloor=refloor)
