@@ -472,8 +472,10 @@ object Bench {
     val rescuedJson = rescued.map { case (n, xs) =>
       "\"" + n + "\":" + xs.map(x => f"$x%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // floors_parsed documents that the rescue gates were LIVE this run
+    // (0 = both gates silently off — the r18/r19 charset regression)
     val json = render(qs,
-      s""","fit_deps":$fitDepsJson,"fit_retry":$fitRetryJson,"rescued":$rescuedJson""")
+      s""","fit_deps":$fitDepsJson,"fit_retry":$fitRetryJson,"rescued":$rescuedJson,"floors_parsed":${baselineSec.size}""")
     // Persist the FULL line to a file so the totals stay machine-
     // readable however stdout is captured.
     val benchOutPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
