@@ -228,7 +228,8 @@ object KvEngine {
 
   /** The batch's last-write set, pre-checkpoint — exposed
     * private[graft] so KvSpec can pin the plan shape (partial+final
-    * hash aggregate, never a sort-based window). */
+    * max_by aggregate — a SortAggregate, the struct buffer is
+    * var-length — never a window). */
   private[graft] def lastWrites(writes: DataFrame): DataFrame =
     writes
       .filter(col("op") =!= "get")

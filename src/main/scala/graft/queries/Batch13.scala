@@ -98,6 +98,10 @@ object Batch13 {
     }
     val f = new java.io.File(p)
     if (f.exists) rm(f)
+    // a silently failed delete would leave stale applied-batch markers
+    // / mixed-epoch files in the stable path — fail HERE with the
+    // cause, not downstream as an inexplicable idempotence assert
+    require(!f.exists, s"freshIdxPath: could not clear stale artifact dir $p")
     p
   }
 

@@ -153,9 +153,13 @@ object Catalog {
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = s.conf.get(partsKey)
     s.conf.set(partsKey, math.min(8, prevParts.toInt).toString)
-    val q = graft.ops.Ann.idempotentForeachBatch(streamed, out, "") { batch =>
-      perBatch(batch).write.mode("append").parquet(s"$out/results")
-    }.start()
+    // a throwing start() must still restore the conf, or every later
+    // query in the shared session silently runs at 8 partitions
+    val q =
+      try graft.ops.Ann.idempotentForeachBatch(streamed, out, "") { batch =>
+        perBatch(batch).write.mode("append").parquet(s"$out/results")
+      }.start()
+      catch { case e: Throwable => s.conf.set(partsKey, prevParts); throw e }
     // cleanup rides the SAME finally as stop so a failing replay
     // doesn't leak its fixture copy; the conf restore waits for
     // processAllAvailable because micro-batches plan ASYNC after

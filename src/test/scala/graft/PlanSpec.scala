@@ -226,8 +226,11 @@ class PlanSpec extends SparkTestBase {
     // equi-joins (a second nested-loop would mean the corpus side).
     // The partitioned assignment scan carries a DPP subquery that
     // re-prints the whole probe subtree (including this same coarse
-    // ranking), so count only the main tree above the subquery marker.
-    val mainTree = plan.split("SubqueryAdaptiveBroadcast").head
+    // ranking), so strip the subquery BLOCK (marker line + its deeper-
+    // indented body) and count over the REMAINING main tree — a plain
+    // split-at-marker would also discard main-tree branches printed
+    // after the scan, blinding the count to regressions there.
+    val mainTree = stripSubqueryBlocks(plan)
     assert("BroadcastNestedLoopJoin".r.findAllIn(mainTree).size <= 1, plan.take(4000))
     // the assignment scan must be dynamically pruned at the directory
     // level — the build-once partitionBy(cluster) layout's whole point
@@ -238,6 +241,28 @@ class PlanSpec extends SparkTestBase {
     // each a partial+final ObjectHashAggregate pair — map-side bounded,
     // ids-only through every exchange
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 6, plan.take(4000))
+  }
+
+  /** Remove every `SubqueryAdaptiveBroadcast` block (the marker line
+    * plus all deeper-indented lines under it) from an executed-plan
+    * string: DPP subqueries re-print the whole probe subtree, so node
+    * counts over the raw string double-count the pruned scan's
+    * planning subquery. */
+  private def stripSubqueryBlocks(plan: String): String = {
+    def indentOf(l: String): Int = {
+      val i = l.indexOf("+-"); val j = l.indexOf(":-")
+      if (i < 0 && j < 0) l.takeWhile(_ == ' ').length
+      else if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    var skipIndent = -1
+    for (l <- plan.split("\n")) {
+      val ind = indentOf(l)
+      if (skipIndent >= 0 && ind > skipIndent) () // inside the block
+      else if (l.contains("SubqueryAdaptiveBroadcast")) skipIndent = ind
+      else { skipIndent = -1; out += l }
+    }
+    out.mkString("\n")
   }
 
   test("split_by_cluster: stateless hash past the memoized label subtree, no extra exchange") {

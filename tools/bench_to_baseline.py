@@ -24,6 +24,13 @@ MARK = "<!-- graft-bench-table -->"
 def main(path: str, replace: bool = False, refloor: set = frozenset()) -> None:
     d = json.load(open(path))
     merged = dict(d["queries"])
+    # a refloor name absent from this run would silently DELETE its
+    # floor row (disabling both rescue gates for that query) — and a
+    # typo would silently min-fold the real row instead; both must err
+    missing_refloor = refloor - set(merged)
+    if missing_refloor:
+        sys.exit(f"--refloor names not measured in this run: "
+                 f"{', '.join(sorted(missing_refloor))}")
     md = open("BASELINE.md").read()
     start = md.find(MARK)
     if not replace and start >= 0:
