@@ -56,6 +56,21 @@ import org.apache.spark.sql.SparkSession
   *    above their BASELINE.md floor get the reserved window first.
   */
 object Bench {
+  /** BASELINE.md's floor table as name -> seconds; empty map on any
+    * read/parse failure (rescue gates then run disabled — main logs
+    * the parsed count so that state is visible). Explicit UTF-8:
+    * BASELINE.md carries multibyte prose (×, Σ) and the forked JVM
+    * runs under LANG=C, so charset-default fromFile threw
+    * MalformedInputException into the catch — floors parsed as EMPTY
+    * and both rescue gates were silently disabled for several rounds
+    * (the r18/r19 ">2x line with no rescue evidence" mystery).
+    * Extracted + spec-pinned so that regression cannot return silently. */
+  private[graft] def parseFloors(path: String): Map[String, Double] = try {
+    val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+    scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .collect { case Row(n, v) => n -> v.toDouble }.toMap
+  } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -197,16 +212,7 @@ object Bench {
     // BASELINE floors parse before the fit phase now: the fit-rescue
     // retry below needs them (the baseline-aware query rescue in
     // phase 3b reads the same map).
-    val baselineSec: Map[String, Double] = try {
-      val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
-      // explicit UTF-8: BASELINE.md carries multibyte prose (×, Σ) and
-      // the forked JVM runs under LANG=C, so charset-default fromFile
-      // threw MalformedInputException into the catch below — floors
-      // parsed as EMPTY and both rescue gates were silently disabled
-      // (the r18/r19 ">2x line with no rescue evidence" mystery)
-      scala.io.Source.fromFile("BASELINE.md", "UTF-8").getLines()
-        .collect { case Row(n, v) => n -> v.toDouble }.toMap
-    } catch { case _: Exception => Map.empty }
+    val baselineSec: Map[String, Double] = parseFloors("BASELINE.md")
     // an empty parse silently disables BOTH rescue gates (fit-retry
     // and phase 3b) — surface it so a >2x line with no rescue
     // evidence is attributable
