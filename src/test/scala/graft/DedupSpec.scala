@@ -142,4 +142,30 @@ class DedupSpec extends SparkTestBase {
     assert(capped === uncapped,
       s"df-cap $cap changed the pair set: lost ${uncapped -- capped}, gained ${capped -- uncapped}")
   }
+
+  test("tune_lsh: grid math sound, chosen banding meets its recall target on the corpus") {
+    val rows = Catalog.queries("tune_lsh")(spark, dir).collect()
+    assert(rows.length === 8)
+    // b*r = 128 on every grid row; detection probability monotone
+    // DECREASING in r at fixed b*r (more rows per band = sharper cut)
+    rows.foreach(r => assert(r.getInt(0) * r.getInt(1) === 128))
+    val byR = rows.sortBy(_.getInt(1))
+    byR.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) >= b.getDouble(2),
+        s"detection not monotone: r=${a.getInt(1)}→${b.getInt(1)}")
+    }
+    // exactly one chosen config; it's the LARGEST r predicting >= 0.9
+    val chosen = rows.filter(_.getInt(3) == 1)
+    assert(chosen.length === 1)
+    val rC = chosen.head.getInt(1)
+    assert(chosen.head.getDouble(2) >= 0.9)
+    assert(rows.filter(_.getDouble(2) >= 0.9).map(_.getInt(1)).max === rC)
+    // the entry's teeth: the chosen banding's MEASURED recall on the
+    // corpus meets the target it was chosen for
+    assert(chosen.head.getDouble(4) >= 0.9,
+      s"chosen (b=${chosen.head.getInt(0)}, r=$rC) measured recall " +
+        s"${chosen.head.getDouble(4)} below the 0.9 target")
+    // sentinel discipline: non-chosen rows carry -1.0, never null
+    rows.filter(_.getInt(3) == 0).foreach(r => assert(r.getDouble(4) === -1.0))
+  }
 }
