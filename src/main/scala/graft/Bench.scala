@@ -243,7 +243,8 @@ object Bench {
         graft.queries.Batch4.fitThunks(spark, sfDir) ++
         graft.queries.Batch9.fitThunks(spark, sfDir) ++
         graft.queries.Batch10.fitThunks(spark, sfDir) ++
-        graft.queries.Batch12.fitThunks(spark, sfDir)
+        graft.queries.Batch12.fitThunks(spark, sfDir) ++
+        graft.queries.Batch13.fitThunks(spark, sfDir)
       for ((fname, thunk) <- allFitThunks) {
         // snake_case is load-bearing: every floor parser in the
         // pipeline matches table rows with [a-z0-9_]+ — a camelCase
