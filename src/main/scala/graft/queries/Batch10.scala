@@ -338,6 +338,80 @@ object Batch10 {
               |ORDER BY doc_id""".stripMargin),
       "deterministic per-language hash sampling (training-data mixing; retry-stable, shuffle-free)"),
 
+    // ---- temperature mixing: sample_weighted with the rates DERIVED
+    // from corpus statistics instead of pinned constants — the
+    // multilingual data-mixing op (sample sources ∝ p^(1/T); T=2
+    // upsamples low-resource languages relative to their share). The
+    // sampling itself is the same shuffle-free salted-FNV bucket
+    // filter; what's new is the rate table: per-lang doc shares →
+    // p^(1/T) weights → normalized to an expected 50%-of-corpus budget
+    // → per-lang keep thresholds out of 16384 buckets. The control
+    // read is one row per LANGUAGE (bounded by construction); all rate
+    // math happens once on the driver and enters the plan as integer
+    // CASE literals, so the distributed filter carries no float math.
+    //
+    // Engine parity (the idf² discipline): the p^(1/T) weights are
+    // quantized to DECIMAL(18,8) BEFORE the normalizing sum (pow can
+    // differ in the last ulp; an unordered double sum would not), the
+    // sum is exact decimal, the normalization division runs on the
+    // identical doubles in both engines, and the final rate re-
+    // quantizes before the ×16384 (exact — power of two) and floor.
+    "mix_temperature" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def d8(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+        val counts = docs.groupBy("lang").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        val nn = counts.map(_._2).sum.toDouble
+        val w = counts.map { case (l, nl) => (l, nl, d8(math.pow(nl / nn, 0.5))) }
+        val swD = w.map(_._3).reduce(_.add(_)).doubleValue // exact decimal sum
+        val thr = w.map { case (l, nl, wl) =>
+          val r = math.min(1.0, 0.5 * nn * (wl.doubleValue / swD) / nl)
+          l -> math.floor(d8(r).doubleValue * 16384).toLong
+        }
+        val caseSql = thr.map { case (l, t) => s"WHEN '$l' THEN $t" }
+          .mkString("CASE lang ", " ", " ELSE 0 END")
+        graft.streaming.Streaming
+          .sampleWeighted(docs, "doc_id", caseSql, salt = "temp:")
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE n AS (
+             |  SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(nl) AS DOUBLE) AS nn FROM n),
+             |w AS (
+             |  SELECT lang, nl,
+             |    CAST(pow(CAST(nl AS DOUBLE) / (SELECT nn FROM tot), 0.5)
+             |      AS DECIMAL(18,8)) AS wl
+             |  FROM n),
+             |z AS (SELECT CAST(sum(wl) AS DOUBLE) AS sw FROM w),
+             |r AS (
+             |  SELECT lang,
+             |    CAST(floor(CAST(least(1.0,
+             |        0.5 * (SELECT nn FROM tot)
+             |          * (CAST(wl AS DOUBLE) / (SELECT sw FROM z))
+             |          / CAST(nl AS DOUBLE))
+             |      AS DECIMAL(18,8)) * 16384) AS BIGINT) AS thr
+             |  FROM w),
+             |k AS (SELECT DISTINCT 'temp:' || doc_id AS s FROM documents),
+             |fnv(s, i, h) AS (
+             |  SELECT s, 1, CAST(14695981039346656037 AS HUGEINT) FROM k
+             |  UNION ALL
+             |  SELECT s, i+1,
+             |    ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT),
+             |        CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS HUGEINT))
+             |      * 1099511628211) % 18446744073709551616
+             |  FROM fnv WHERE i <= length(s)),
+             |final AS (SELECT s, h FROM fnv WHERE i = length(s) + 1)
+             |SELECT d.doc_id, d.lang, CAST(f.h % 16384 AS BIGINT) AS bucket
+             |FROM documents d
+             |JOIN final f ON f.s = 'temp:' || d.doc_id
+             |JOIN r ON r.lang = d.lang
+             |WHERE CAST(f.h % 16384 AS BIGINT) < r.thr
+             |ORDER BY doc_id""".stripMargin),
+      "temperature mixing (p^(1/T), T=2): corpus-derived per-language rates, decimal-exact normalization, same shuffle-free salted-FNV bucket sampling as sample_weighted"),
+
     // ---- sequence packing: GPT-style document concatenation into
     // fixed token-budget packs. pack_id = starting-token-offset div
     // budget, from a running token sum — one window, no driver loop,
