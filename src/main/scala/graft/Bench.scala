@@ -68,7 +68,13 @@ object Bench {
   private[graft] def parseFloors(path: String): Map[String, Double] = try {
     val Row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
     scala.io.Source.fromFile(path, "UTF-8").getLines()
-      .collect { case Row(n, v) => n -> v.toDouble }.toMap
+      .collect { case Row(n, v) => (n, v) }
+      // per-row tolerance: [0-9.]+ admits junk like "1.2.3" — one
+      // malformed cell must drop ITS row, not empty the whole map
+      // (which would silently disable both rescue gates)
+      .flatMap { case (n, v) =>
+        scala.util.Try(v.toDouble).toOption.map(n -> _) }
+      .toMap
   } catch { case _: Exception => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -312,6 +318,7 @@ object Bench {
             graft.queries.Batch9.touchMemos(spark, sfDir)
             graft.queries.Batch10.touchMemos(spark, sfDir)
             graft.queries.Batch12.touchMemos(spark, sfDir)
+            graft.queries.Batch13.touchMemos(spark, sfDir)
             System.err.println(
               f"[bench] $phase memo pre-touch ${(System.nanoTime() - m0) / 1e9}%.2f s (t=$elapsed%.0f s)")
           } catch {

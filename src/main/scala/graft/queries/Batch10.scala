@@ -361,7 +361,11 @@ object Batch10 {
         val docs = table(s, dir, "documents")
         def d8(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)
           .setScale(8, java.math.RoundingMode.HALF_UP)
-        val counts = docs.groupBy("lang").count()
+        // NULL langs drop on BOTH sides by construction: the oracle's
+        // equi-join on r.lang never matches NULL, and the CASE's
+        // ELSE 0 keeps no bucket — but they must also not NPE the
+        // driver-side rate table, hence the isNotNull cut here
+        val counts = docs.filter(col("lang").isNotNull).groupBy("lang").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
         val nn = counts.map(_._2).sum.toDouble
         val w = counts.map { case (l, nl) => (l, nl, d8(math.pow(nl / nn, 0.5))) }
@@ -370,7 +374,10 @@ object Batch10 {
           val r = math.min(1.0, 0.5 * nn * (wl.doubleValue / swD) / nl)
           l -> math.floor(d8(r).doubleValue * 16384).toLong
         }
-        val caseSql = thr.map { case (l, t) => s"WHEN '$l' THEN $t" }
+        // SQL-escape the corpus-derived literals (a lang value carrying
+        // a quote must not break the CASE the rate table rides in on)
+        val caseSql = thr.map { case (l, t) =>
+          s"WHEN '${l.replace("'", "''")}' THEN $t" }
           .mkString("CASE lang ", " ", " ELSE 0 END")
         graft.streaming.Streaming
           .sampleWeighted(docs, "doc_id", caseSql, salt = "temp:")

@@ -484,8 +484,11 @@ object Batch13 {
       "LSH band/row calibration under the hash gate: divisor-grid detection math, largest-r-meeting-target choice, and measured recall of the persisted banding vs the exact >=0.5-Jaccard pair set"))
 
   /** Memoized tune_lsh result (8-row local relation; the counts run
-    * once per (session, dir)). Reads the ngramPairs memo, so bench
-    * marks the entry `amortized` with fit_pair_counts as its dep. */
+    * once per (session, dir)). The shared ngramPairs/pairCounts
+    * subtree is read INSIDE this builder — i.e. during the fit phase,
+    * outside any MemoTrack entry scope — so bench attributes tune_lsh
+    * only fit_tune_lsh as its dep; the pairCounts cost itself is
+    * timed by fit_pair_counts, which the fit phase runs first. */
   private val tuneLshMemo = new SessionMemo[DataFrame]((s, dir) => {
     import s.implicits._
     val n = 128; val t = 0.5; val pTarget = 0.9
@@ -498,6 +501,10 @@ object Batch13 {
     // target — r=1 predicts ~1.0, so the set is never empty
     val rC = predicted.filter(_._3 >= pTarget).map(_._2).max
     val bC = n / rC
+    // cached: the sig/banding subtree feeds the persist-once checksum
+    // AND (on first contact) the artifact write; released below once
+    // the candidate counts are in hand — a session-lifetime persist
+    // would hold the fattest frame in this file for one-shot work
     val docs = Reuse.cacheFresh("batch13.tuneLshSig",
       table(s, dir, "documents")
         .select(col("doc_id"), Batch3.shingles(col("text"), 3).as("sh"))
@@ -506,7 +513,7 @@ object Batch13 {
       xxhash64(concat_ws("_", slice(col("sig"), i * rC + 1, rC))))
     val banded = docs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-    banded.write.mode("overwrite").parquet(artifactPath("lsh_bands", dir))
+    persistBandsOnce(s, artifactPath("lsh_bands", dir), banded)
     val bandedStable = s.read.parquet(artifactPath("lsh_bands", dir))
     // candidate generation rides the same triangle skew guard as
     // dedup_minhash_lsh (bit-identical pair set; boilerplate buckets
@@ -522,11 +529,45 @@ object Batch13 {
     require(total > 0, "tune_lsh: fixture corpus has no >=0.5-Jaccard pairs")
     val hits = exact.join(cands, Seq("doc_a", "doc_b")).count()
     val recall = q8(hits.toDouble / total)
+    // counts are in hand — the result below is an 8-row local
+    // relation, so the sig/banding blocks are pure dead weight now
+    Reuse.unpersistSite("batch13.tuneLshSig", blocking = false)
     predicted.map { case (b, r, p) =>
       (b, r, p, if (r == rC) 1 else 0, if (r == rC) recall else -1.0) }
       .toDF("bands", "rows_per_band", "predicted", "chosen", "measured_recall")
       .orderBy("rows_per_band")
   }, "tuneLsh")
+
+  /** Bench memo pre-touch hook (see [[Batch3.touchMemos]]): forces the
+    * tune_lsh artifact warm outside any timed window. */
+  def touchMemos(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    fitThunks(s, dir).foreach(_._2())
+
+  /** Persist the banding artifact once per corpus under the
+    * no-mid-read-delete contract the other artifacts in this file
+    * follow (see [[persistCentersOnce]]): skip the rewrite when the
+    * persisted rows already checksum-match this build's (banding is a
+    * pure function of the corpus — count + band_hash sum identify it),
+    * so repeat memo-cold builds never delete part files out from under
+    * a concurrent reader. JVM-level memo keyed by path so warm calls
+    * skip even the checksum read. */
+  private val bandsOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def persistBandsOnce(s: org.apache.spark.sql.SparkSession,
+      path: String, banded: DataFrame): Unit = {
+    if (bandsOk.contains(path)) return
+    def sig(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-free AND overflow-free (an ANSI-mode sum of
+      // 64-bit hashes overflows)
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, band, band_hash))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val want = sig(banded)
+    val upToDate = try sig(s.read.parquet(path)) == want
+      catch { case _: Exception => false }
+    if (!upToDate) banded.write.mode("overwrite").parquet(path)
+    bandsOk.add(path)
+  }
 
   /** Bench fit-phase hook (see [[Batch3.fitThunks]]): times the
     * tune_lsh memo build — signature fit, persisted banding artifact,
