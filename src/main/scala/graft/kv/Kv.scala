@@ -196,7 +196,10 @@ object KvEngine {
     // window shuffled and sorted every write row. (The var-length
     // struct buffer makes this a SortAggregate, not HashAggregate —
     // local key-sorts on already-collapsing inputs; the shuffle-volume
-    // win is the partial combine, pinned in KvSpec.) CONTRACT: `seq`
+    // win is the partial combine, pinned in KvSpec.) CONTRACT: a NULL
+    // `seq` ranks below every real one (coalesced to Long.MinValue in
+    // lastWrites, so an all-null key keeps a real row instead of being
+    // silently dropped — see the guard note there); `seq`
     // must be unique per key within a batch (it is the statement
     // order; the Seq path derives it from position) — with duplicate
     // seqs "the last write" is ill-defined and either plan picks one
@@ -234,7 +237,17 @@ object KvEngine {
     writes
       .filter(col("op") =!= "get")
       .groupBy(col("key"))
-      .agg(max_by(struct(col("value"), col("op")), col("seq")).as("__lw"))
+      // NULL-seq guard (ADVICE r20): max_by IGNORES rows whose sort key
+      // is null, so a key whose batch writes all carried null seqs
+      // would yield a (key, null, null) row — dropped from state by the
+      // anti-join with its SET never surviving — where the old
+      // row_number window (seq desc, nulls last) kept a real row.
+      // Coalescing null to Long.MinValue restores that contract: any
+      // real seq outranks a null one, and an all-null key still keeps
+      // one of its actual rows. As with duplicate seqs (documented on
+      // applyBatchDf), WHICH all-null row wins is unspecified.
+      .agg(max_by(struct(col("value"), col("op")),
+        coalesce(col("seq"), lit(Long.MinValue))).as("__lw"))
       .select(col("key"), col("__lw.value").as("value"), col("__lw.op").as("op"))
 
   /** Persist / reload state between batches (parquet round-trip). */

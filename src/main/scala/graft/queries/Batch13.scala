@@ -83,15 +83,30 @@ object Batch13 {
   private[graft] def ivfCentersPath(dir: String): String =
     artifactPath("ivf_centers", dir)
 
+  /** One token per JVM: [[freshIdxPath]] scratch dirs are keyed by it
+    * so two JVMs (a bench run concurrent with a test run — same
+    * java.io.tmpdir, same corpus dir) can never pre-delete parquet
+    * part files under each other's live loaded index (ADVICE r20: the
+    * single stable path was safe only under a strictly sequential
+    * execution model). Within one JVM the path stays stable, so
+    * memo-cold rebuilds still overwrite one dir per (tag, corpus)
+    * instead of accumulating temp dirs. */
+  private val jvmToken: String = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    s"j$pid"
+  }
+
   /** Stable fingerprint-keyed scratch dir for a rebuildable index
     * artifact, cleared before reuse: memo-cold rebuilds (e.g.
     * ScaleGrowthSpec's clearAll-per-timed-point) overwrite ONE path per
-    * (tag, corpus dir) instead of accumulating fresh temp dirs — and
-    * the pre-delete also clears applied-batch markers a previous JVM's
-    * append lifecycle left behind, so idempotence asserts stay valid.
-    * Rebuilds only happen memo-cold, so no reader holds the old epoch. */
+    * (JVM, tag, corpus dir) instead of accumulating fresh temp dirs —
+    * and the pre-delete also clears applied-batch markers a previous
+    * rebuild's append lifecycle left behind, so idempotence asserts
+    * stay valid. Rebuilds only happen memo-cold, so no reader in THIS
+    * JVM holds the old epoch; the per-JVM key (see [[jvmToken]]) keeps
+    * concurrent JVMs out of each other's scratch entirely. */
   private[graft] def freshIdxPath(tag: String, dir: String): String = {
-    val p = artifactPath(tag, dir)
+    val p = artifactPath(s"${tag}_$jvmToken", dir)
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
       x.delete(); ()
@@ -509,29 +524,37 @@ object Batch13 {
       table(s, dir, "documents")
         .select(col("doc_id"), Batch3.shingles(col("text"), 3).as("sh"))
         .withColumn("sig", graft.functions.minhash_sig(col("sh"), n)))
-    val bandCols = (0 until bC).map(i =>
-      xxhash64(concat_ws("_", slice(col("sig"), i * rC + 1, rC))))
-    val banded = docs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-    persistBandsOnce(s, artifactPath("lsh_bands", dir), banded)
-    val bandedStable = s.read.parquet(artifactPath("lsh_bands", dir))
-    // candidate generation rides the same triangle skew guard as
-    // dedup_minhash_lsh (bit-identical pair set; boilerplate buckets
-    // fan out instead of landing b² candidates on one reducer)
-    val cands = graft.ops.Scale.blockedSelfJoinPairs(
-        bandedStable.withColumn("__blk", struct(col("band"), col("band_hash")))
-          .drop("band", "band_hash"),
-        "__blk", "doc_id", cap = 2048)
-      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
-      .distinct()
-    val exact = Batch3.ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val total = exact.count()
-    require(total > 0, "tune_lsh: fixture corpus has no >=0.5-Jaccard pairs")
-    val hits = exact.join(cands, Seq("doc_a", "doc_b")).count()
-    val recall = q8(hits.toDouble / total)
-    // counts are in hand — the result below is an 8-row local
-    // relation, so the sig/banding blocks are pure dead weight now
-    Reuse.unpersistSite("batch13.tuneLshSig", blocking = false)
+    // try/finally (ADVICE r20): a builder failure after the cache call
+    // (empty-pair require, failed persist) must not leave the fattest
+    // frame in this file persisted for the rest of the session — and a
+    // memo retry would then cache a second copy on top.
+    val recall = try {
+      val bandCols = (0 until bC).map(i =>
+        xxhash64(concat_ws("_", slice(col("sig"), i * rC + 1, rC))))
+      val banded = docs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+      persistBandsOnce(s, artifactPath("lsh_bands", dir), banded)
+      val bandedStable = s.read.parquet(artifactPath("lsh_bands", dir))
+      // candidate generation rides the same triangle skew guard as
+      // dedup_minhash_lsh (bit-identical pair set; boilerplate buckets
+      // fan out instead of landing b² candidates on one reducer)
+      val cands = graft.ops.Scale.blockedSelfJoinPairs(
+          bandedStable.withColumn("__blk", struct(col("band"), col("band_hash")))
+            .drop("band", "band_hash"),
+          "__blk", "doc_id", cap = 2048)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+        .distinct()
+      val exact = Batch3.ngramPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val total = exact.count()
+      require(total > 0, "tune_lsh: fixture corpus has no >=0.5-Jaccard pairs")
+      val hits = exact.join(cands, Seq("doc_a", "doc_b")).count()
+      q8(hits.toDouble / total)
+    } finally {
+      // counts are in hand (or the build failed) — the result below is
+      // an 8-row local relation, so the sig/banding blocks are pure
+      // dead weight either way
+      Reuse.unpersistSite("batch13.tuneLshSig", blocking = false)
+    }
     predicted.map { case (b, r, p) =>
       (b, r, p, if (r == rC) 1 else 0, if (r == rC) recall else -1.0) }
       .toDF("bands", "rows_per_band", "predicted", "chosen", "measured_recall")

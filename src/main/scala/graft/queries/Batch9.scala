@@ -100,6 +100,16 @@ object Batch9 {
        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
        |ORDER BY doc_id""".stripMargin
 
+  /** The miner's inverted index `(idc, shash)` for a (doc_id, sh)
+    * frame — exposed private[graft] so the scale specs can assert
+    * the grid guard's per-task candidate bound against the REAL join
+    * input, and so the streaming twin can build the corpus side (and
+    * its per-shingle sizes) ONCE instead of per micro-batch. */
+  private[graft] def incrementalInv(d: org.apache.spark.sql.DataFrame,
+      idc: String): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id").as(idc), explode(col("sh")).as("shingle"))
+      .select(col(idc), xxhash64(col("shingle")).as("shash"))
+
   /** The asymmetric shard-vs-corpus near-dup filter shared by
     * dedup_incremental and its streaming twin: inverted-index
     * equi-join of the (small) shard against the base corpus on
@@ -107,13 +117,28 @@ object Batch9 {
     * then the Jaccard cut and a left-anti keep. Inputs carry
     * (doc_id, sh); at 100 TB the base index is the persisted
     * build-once artifact and each incoming shard re-runs only this
-    * asymmetric join. */
-  private[queries] def incrementalKeeps(shard: org.apache.spark.sql.DataFrame,
-      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def inv(d: org.apache.spark.sql.DataFrame, idc: String) =
-      d.select(col("doc_id").as(idc), explode(col("sh")).as("shingle"))
-        .select(col(idc), xxhash64(col("shingle")).as("shash"))
-    val inter = inv(shard, "sid").join(inv(base, "bid"), "shash")
+    * asymmetric join.
+    *
+    * The shingle join rides [[graft.ops.Scale.gridJoinPairs]] (r20
+    * verdict #1 — this was the last unguarded Σdf·df hot-key join in
+    * the dedup plane): a boilerplate shingle present in b shard docs
+    * and B corpus docs would land b·B candidate rows on ONE reducer
+    * in the plain join; the grid guard splits that key into a gl×gr
+    * task grid with a provably identical pair multiset, so the DuckDB
+    * oracle stays the plain equi-join. Streaming callers pass the
+    * build-once corpus inverted index as `baseInv` and its
+    * per-shingle df table as `baseInvSizes` (`(shash, __rn)`), so a
+    * micro-batch never re-explodes or re-aggregates the corpus. */
+  private[graft] def incrementalKeeps(shard: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      baseInv: Option[org.apache.spark.sql.DataFrame] = None,
+      baseInvSizes: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val inter = graft.ops.Scale.gridJoinPairs(
+        incrementalInv(shard, "sid"),
+        baseInv.getOrElse(incrementalInv(base, "bid")),
+        keyCols = Seq("shash"), leftId = "sid", rightId = "bid",
+        cap = 2048, rightSizes = baseInvSizes)
       .groupBy("sid", "bid").agg(count(lit(1)).as("inter"))
     val sizes = shard.unionByName(base)
       .select(col("doc_id"), size(col("sh")).as("n"))
@@ -535,11 +560,22 @@ object Batch9 {
         val base = table(s, dir, "documents")
           .filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        // the corpus side of the per-batch grid join, built ONCE per
+        // entry run (at 100 TB: loaded from the persisted artifact):
+        // the inverted index and its per-shingle df table are static
+        // across micro-batches, so cache them instead of re-exploding
+        // and re-aggregating the corpus in every batch's plan. Inside
+        // the timed region — this is streaming state, not cross-run
+        // precomputation.
+        val baseInv = Reuse.cacheFresh("batch9.incrBaseInv",
+          incrementalInv(base, "bid"))
+        val baseSizes = Reuse.cacheFresh("batch9.incrBaseSizes",
+          baseInv.groupBy("shash").agg(count(lit(1)).as("__rn")))
         Catalog.replayToParquet(s, dir, "documents.parquet",
             xform = _.filter(col("doc_id") % 10 === 0),
             perBatch = batch => incrementalKeeps(
               batch.select(col("doc_id"), shingles(col("text"), 3).as("sh")),
-              base))
+              base, baseInv = Some(baseInv), baseInvSizes = Some(baseSizes)))
           .orderBy("doc_id")
       },
       Some(incrementalOracle),

@@ -109,6 +109,23 @@ class KvSpec extends SparkTestBase {
     assert(got === Map("a" -> "last", "b" -> "keep", "d" -> "new"))
   }
 
+  test("applyBatchDf: null seq ranks below real seqs; an all-null key keeps a real row") {
+    // ADVICE r20: bare max_by IGNORES null sort keys, so a key whose
+    // writes all carried null seqs yielded (key, null, null) — dropped
+    // from state with its SET never surviving. The coalesce guard
+    // restores the old window's (desc, nulls last) contract: real seqs
+    // outrank nulls, and an all-null key still applies a real write.
+    val state = Seq(("a", "old"), ("b", "old")).toDF("key", "value")
+    val writes = Seq(
+      (java.lang.Long.valueOf(7L), "a", "real", "set"),
+      (null.asInstanceOf[java.lang.Long], "a", "nullseq", "set"), // loses to seq 7
+      (null.asInstanceOf[java.lang.Long], "b", "only", "set")     // all-null: survives
+    ).toDF("seq", "key", "value", "op")
+    val got = KvEngine.applyBatchDf(state, writes)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "real", "b" -> "only"))
+  }
+
   test("applyBatchDf's last-write set is a partial+final aggregate, never a window") {
     // max_by gives the LWW map-side partial aggregation: a hot-key
     // batch collapses per input partition BEFORE the shuffle, where

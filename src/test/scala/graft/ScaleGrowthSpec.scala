@@ -68,6 +68,13 @@ class ScaleGrowthSpec extends SparkTestBase {
     // lineitem, and a lost broadcast hint here would shuffle the
     // state side per batch
     "kv_bulk_apply"        -> "lineitem",
+    // r21 (r20 verdict #6): the per-ingest streaming replay paths get
+    // the same slope guard as their batch twins — the incremental
+    // shard-vs-corpus grid join and the stateful KV feed both ride
+    // micro-batch scaffolding whose per-batch plans would be the
+    // first to regress if a guard or broadcast hint were lost
+    "dedup_incremental_stream" -> "documents",
+    "kv_apply_stream"          -> "events",
   )
 
   private val capSec = 120L
@@ -190,10 +197,17 @@ class ScaleGrowthSpec extends SparkTestBase {
   // tasks. ScaleSpec proves the bound and exactness on the real join
   // input; this measures that the guarded WALL TIME stays
   // sub-quadratic where the guard is actually load-bearing.
-  for (entry <- Seq("dedup_ngram_jaccard", "shingle_cosine_pairs"))
-    test(s"$entry: sub-quadratic on an adversarial boilerplate corpus (10% shared paragraph, 100x)") {
+  // dedup_incremental joins the adversarial set with a period-7
+  // boilerplate (coprime to its doc_id % 10 shard cut) so the hot
+  // shingles land on BOTH sides of its shard-vs-corpus grid join —
+  // with the default period 10 every boilerplate doc would fall in
+  // the shard and the inner join would never meet the skew (r20
+  // verdict #1 done-criteria).
+  for ((entry, period) <- Seq(("dedup_ngram_jaccard", 10),
+      ("shingle_cosine_pairs", 10), ("dedup_incremental", 7)))
+    test(s"$entry: sub-quadratic on an adversarial boilerplate corpus (shared paragraph, 100x)") {
       val tiers = Seq(300L, 3000L, 30000L)
-      val dirs = tiers.map(n => BoilerplateCorpus.write(spark, n))
+      val dirs = tiers.map(n => BoilerplateCorpus.write(spark, n, period))
       runCapped(entry, dirs.head) // settle JIT/codegen out of the timed points
       def cold(d: String): Double = {
         spark.sharedState.cacheManager.clearCache()

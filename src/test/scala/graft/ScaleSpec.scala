@@ -406,6 +406,63 @@ class ScaleSpec extends SparkTestBase {
     p.contains("__lo") && p.contains("__hi")
   }
 
+  test("incrementalKeeps rides the grid guard: hot shingle splits, bound holds, keeps exact") {
+    // 30k docs with the boilerplate sentence in every 7th (coprime to
+    // the entry's doc_id % 10 shard cut, so the hot shingles exist on
+    // BOTH sides): df_shard ≈ 30000/70 ≈ 428, df_base ≈ 9·30000/70 ≈
+    // 3857 > the entry's cap (2048) — the plain join would put
+    // 428·3857 ≈ 1.65M candidates on ONE reducer key; the grid guard
+    // must actually engage on the REAL join input.
+    val dir = BoilerplateCorpus.write(spark, 30000, period = 7)
+    val docs = graft.queries.Batch3.shingleDocs(spark, dir)
+      .select($"doc_id", $"sh")
+    val shard = docs.filter($"doc_id" % 10 === 0)
+    val base = docs.filter($"doc_id" % 10 =!= 0)
+    val cap = 2048 // incrementalKeeps' cap
+    val (l2, r2) = Scale.gridReplicate(
+      graft.queries.Batch9.incrementalInv(shard, "sid"),
+      graft.queries.Batch9.incrementalInv(base, "bid"),
+      Seq("shash"), "sid", "bid", cap, 64, None)
+    val ln = l2.groupBy($"shash", $"__tl", $"__tr").agg(count(lit(1)).as("n"))
+    val rn = r2.groupBy($"shash", $"__tl", $"__tr").agg(count(lit(1)).as("m"))
+    val perTask = ln.join(rn, Seq("shash", "__tl", "__tr"))
+    val worst = perTask.agg(max($"n" * $"m")).collect()(0).getLong(0)
+    assert(worst <= 4L * cap * cap,
+      s"worst per-task candidates $worst — grid guard not bounding the incremental join")
+    assert(perTask.filter($"__tl" > 0 || $"__tr" > 0).count() > 0,
+      "hot shingle did not split — corpus no longer adversarial or guard reverted")
+    // exactness at skew: the guarded keep set equals the plain-join
+    // derivation (the DuckDB-oracle shape)
+    def invOf(d: org.apache.spark.sql.DataFrame, idc: String) =
+      d.select($"doc_id".as(idc), explode($"sh").as("s"))
+        .select(col(idc), xxhash64($"s").as("shash"))
+    val naiveInter = invOf(shard, "sid").join(invOf(base, "bid"), "shash")
+      .groupBy("sid", "bid").agg(count(lit(1)).as("inter"))
+    val sizes = shard.unionByName(base).select($"doc_id", size($"sh").as("n"))
+    val naiveDups = naiveInter
+      .join(sizes.select($"doc_id".as("sid"), $"n".as("ns")), "sid")
+      .join(sizes.select($"doc_id".as("bid"), $"n".as("nb")), "bid")
+      .filter($"inter".cast("double") / ($"ns" + $"nb" - $"inter") >= 0.5)
+      .select($"sid").distinct()
+    val naiveKeeps = shard.select($"doc_id")
+      .join(naiveDups, $"doc_id" === $"sid", "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val guarded = graft.queries.Batch9.incrementalKeeps(shard, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(guarded === naiveKeeps)
+    assert(guarded.nonEmpty)
+    // a revert to the plain join keeps exactness at test scale — only
+    // the plan betrays it: pin the grid markers in the graded batch
+    // entry's plan (the streaming twin calls the same incrementalKeeps
+    // body, whose guarded shape the `guarded` run above already
+    // exercised — its own returned frame is a post-replay parquet
+    // read, so there is no lazy plan to inspect there)
+    val p = graft.queries.Catalog.queries("dedup_incremental")(spark, sf("sf0.001"))
+      .queryExecution.analyzed.toString
+    assert(p.contains("__tl") && p.contains("__tr"),
+      "dedup_incremental no longer rides gridJoinPairs")
+  }
+
   test("blockedSelfJoinPairs: verify predicate runs AFTER the cheap dedup conjuncts") {
     // the r12 bench regression: an expensive predicate stacked as a
     // .filter on the result is pushed into the join condition ahead of

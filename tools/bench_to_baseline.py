@@ -87,4 +87,12 @@ if __name__ == "__main__":
     for a in sys.argv[2:]:
         if a.startswith("--refloor="):
             refloor |= set(a.split("=", 1)[1].split(","))
+        elif a != "--replace":
+            # ADVICE r20: a space-separated "--refloor q1,q2" (or any
+            # typo'd flag) was silently ignored — the named floors then
+            # min-folded as usual while the operator believed they were
+            # re-floored, the exact silent failure the missing-refloor
+            # exit guard exists to prevent. Unknown tokens are fatal.
+            sys.exit(f"unrecognized argument: {a!r} "
+                     "(expected --replace or --refloor=q1,q2,...)")
     main(sys.argv[1], replace="--replace" in sys.argv[2:], refloor=refloor)
