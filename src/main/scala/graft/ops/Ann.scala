@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,14 +35,6 @@ object Ann {
 
   final case class IvfIndex(centers: Array[Array[Float]], assigned: DataFrame)
 
-  /** Fit-side feature prep (at most `maxFitRows` sampled rows):
-    * codegen'd [[graft.functions.unit_vec]] l2-normalization — so the
-    * Euclidean k-means objective on the sample matches the cosine
-    * geometry of the probe — then Spark ML's own array_to_vector
-    * bridge into the VectorUDT KMeans consumes. No Scala UDF. */
-  private def toUnitVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.ml.functions.array_to_vector(graft.functions.unit_vec(c))
-
   /** Assign every row to its max-cosine center via the codegen'd
     * [[graft.functions.ArgMaxCosine]] expression. The centers ride as
     * ONE plan reference object (the pq_adc_score pattern), not k
@@ -58,8 +49,25 @@ object Ann {
       centers: Array[Array[Float]]): DataFrame =
     df.withColumn("cluster", graft.functions.argmax_cosine(col(embCol), centers))
 
-  /** MLlib k-means centers from a bounded sample of `df` (the fit-side
-    * discipline shared by the flat and hierarchical builds). */
+  /** k-means centers from a bounded sample of `df` (the fit-side
+    * discipline shared by the flat and hierarchical builds): collect
+    * the l2-normalized sample to the driver and run a seeded,
+    * DETERMINISTICALLY PARALLEL local Lloyd ([[localKmeansParallel]]).
+    *
+    * Replaced the MLlib distributed KMeans in r21 — measured: the
+    * k-means|| init + per-iteration job rounds cost ~5.8 s on a
+    * 2000-row fixture sample where the actual Lloyd arithmetic is
+    * milliseconds; a bounded-sample fit (≤ maxFitRows, the discipline
+    * both builds already enforce) has no business paying distributed
+    * scheduling per iteration. This is the standard IVF construction
+    * (FAISS trains its coarse quantizer exactly this way: sample to
+    * one machine, local Lloyd). The sample is sorted lexicographically
+    * before the fit, so the centers are bit-identical under ANY input
+    * partitioning — strictly stronger determinism than the MLlib path,
+    * whose treeAggregate reduction order could wobble the last ulp.
+    * The driver already held a same-sized collect on this path (MLlib
+    * k-means|| collects its init candidates); memory is unchanged,
+    * ~maxFitRows·d floats. */
   private def fitCentersMl(df: DataFrame, embCol: String, k: Int,
       seed: Long, maxFitRows: Int): Array[Array[Float]] = {
     // one column-pruned count to size the sample fraction (parquet
@@ -68,12 +76,99 @@ object Ann {
     val frac = math.min(1.0, maxFitRows * 1.2 / math.max(1L, n))
     val sample =
       (if (frac < 1.0) df.sample(withReplacement = false, frac, seed) else df)
-        .select(col(embCol)).limit(maxFitRows)
-    val featured = sample.withColumn("__features", toUnitVec(col(embCol)))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cluster")
-      .fit(featured)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+        .select(graft.functions.unit_vec(col(embCol)).as("__unit"))
+        .limit(maxFitRows)
+    val pts = sample.collect().map(_.getSeq[Double](0).toArray.map(_.toFloat))
+    require(pts.nonEmpty, "fitCenters: empty sample")
+    localKmeansParallel(pts.sorted(vecOrd), k, maxIters = 20, seed = seed)
+  }
+
+  /** [[localKmeans]] scaled to the coarse-fit regime (k1 up to ~1024
+    * over a ≤200k sample): the assignment+partial-sum step fans out
+    * over fixed point ranges on a driver thread pool, partials merge
+    * in RANGE ORDER — so the result is bit-identical to a sequential
+    * pass regardless of thread scheduling — and iteration stops early
+    * once no assignment changes (Lloyd has converged exactly; further
+    * iterations are fixpoint no-ops). Seeded distinct-index init,
+    * same as [[localKmeans]]. */
+  private[ops] def localKmeansParallel(points: Array[Array[Float]], k: Int,
+      maxIters: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val d = points(0).length
+    val init = rnd.shuffle(points.indices.toVector)
+    val centers = Array.tabulate(k)(i =>
+      points(if (points.length >= k) init(i) else i % points.length).clone())
+    val assign = new Array[Int](points.length)
+    java.util.Arrays.fill(assign, -1)
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(),
+      points.length / 1024 + 1))
+    val chunk = (points.length + nThreads - 1) / nThreads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      var it = 0
+      var changed = true
+      while (it < maxIters && changed) {
+        val futures = (0 until nThreads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Array[Array[Double]], Array[Int], Boolean)] {
+            def call() = {
+              val lo = t * chunk
+              val hi = math.min(points.length, lo + chunk)
+              val sums = Array.ofDim[Double](k, d)
+              val counts = new Array[Int](k)
+              var moved = false
+              var p = lo
+              while (p < hi) {
+                val v = points(p)
+                var best = 0; var bestD = Double.MaxValue
+                var c = 0
+                while (c < k) {
+                  var dist = 0.0; var i = 0
+                  val cent = centers(c)
+                  while (i < d) { val df = v(i) - cent(i); dist += df * df; i += 1 }
+                  if (dist < bestD) { bestD = dist; best = c }
+                  c += 1
+                }
+                if (assign(p) != best) { assign(p) = best; moved = true }
+                counts(best) += 1
+                var i = 0
+                while (i < d) { sums(best)(i) += v(i); i += 1 }
+                p += 1
+              }
+              (sums, counts, moved)
+            }
+          })
+        }
+        // merge partials in fixed range order: double addition is
+        // non-associative, so the order must not depend on scheduling
+        val sums = Array.ofDim[Double](k, d)
+        val counts = new Array[Int](k)
+        changed = false
+        futures.foreach { f =>
+          val (ps, pc, moved) = f.get()
+          changed ||= moved
+          var c = 0
+          while (c < k) {
+            counts(c) += pc(c)
+            var i = 0
+            while (i < d) { sums(c)(i) += ps(c)(i); i += 1 }
+            c += 1
+          }
+        }
+        var c = 0
+        while (c < k) {
+          // empty clusters keep their previous center (they simply
+          // never win assignments) — same policy as localKmeans
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < d) { centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+    } finally pool.shutdown()
+    centers
   }
 
   /** Fit a k-means coarse quantizer on a bounded sample, then assign
@@ -669,19 +764,36 @@ object Ann {
     import spark.implicits._
     require(qIdCol != "cluster" && qEmbCol != "cluster",
       "knnJoinIvf: query columns may not be named 'cluster'")
+    val q = queries.select(col(qIdCol), col(qEmbCol))
+    val probes = flatProbesRanked(index, q, qIdCol, qEmbCol, nprobe)
+      .drop("__graft_pr")
+    knnScoreProbes(index, probes, q, embCol, idCol, qIdCol, qEmbCol,
+      topK, excludeSelf)
+  }
+
+  /** The flat probe ranking as (qIdCol, __graft_probe, __graft_pr),
+    * rank 1 = best under [[graft.functions.BoundedTopK]]'s total
+    * order (csim DESC, cluster ASC) — shared by [[knnJoinIvf]] (which
+    * drops the rank) and the all-levels tuner (whose per-level prefix
+    * must be, by construction, exactly the probe set the join at that
+    * nprobe uses). */
+  private def flatProbesRanked(index: IvfIndex, q: DataFrame,
+      qIdCol: String, qEmbCol: String, nprobe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
     val centersDf = broadcast(
       index.centers.toIndexedSeq.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
         .toDF("__graft_cl", "__graft_center"))
-    val q = queries.select(col(qIdCol), col(qEmbCol))
-    val probes = q.crossJoin(centersDf)
+    q.crossJoin(centersDf)
       .withColumn("__graft_csim", cosine_sim(col(qEmbCol), col("__graft_center")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.BoundedTopK.top_k_by(
         col("__graft_csim"), col("__graft_cl"), nprobe).as("__graft_top"))
-      .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_probe"))
-    knnScoreProbes(index, probes, q, embCol, idCol, qIdCol, qEmbCol,
-      topK, excludeSelf)
+      .select(col(qIdCol), posexplode(col("__graft_top.id"))
+        .as(Seq("__graft_pos", "__graft_probe")))
+      .select(col(qIdCol), col("__graft_probe"),
+        (col("__graft_pos") + 1).as("__graft_pr"))
   }
 
   /** The shared scoring tail of the batched joins: equi-join the
@@ -731,10 +843,26 @@ object Ann {
       topK: Int, nprobeCoarse: Int, nprobe: Int,
       excludeSelf: Boolean = false,
       maxCenterBroadcastBytes: Long = 256L << 20): DataFrame = {
-    val spark = h.index.assigned.sparkSession
-    import spark.implicits._
     require(qIdCol != "cluster" && qEmbCol != "cluster",
       "knnJoinIvfHier: query columns may not be named 'cluster'")
+    val q = queries.select(col(qIdCol), col(qEmbCol))
+    val probes = hierProbesRanked(h, q, qIdCol, qEmbCol, nprobeCoarse,
+        nprobe, maxCenterBroadcastBytes)
+      .drop("__graft_pr")
+    knnScoreProbes(h.index, probes, q, embCol, idCol, qIdCol, qEmbCol,
+      topK, excludeSelf)
+  }
+
+  /** The two-level probe ranking as (qIdCol, __graft_probe,
+    * __graft_pr) — the hier twin of [[flatProbesRanked]], shared by
+    * [[knnJoinIvfHier]] and the all-levels hier tuner. Rank is within
+    * the pooled sub-center ranking of the FIXED coarse cut, under the
+    * bounded top-k's total order (ssim DESC, cluster ASC). */
+  private def hierProbesRanked(h: HierIvf, q: DataFrame,
+      qIdCol: String, qEmbCol: String, nprobeCoarse: Int, nprobe: Int,
+      maxCenterBroadcastBytes: Long): DataFrame = {
+    val spark = h.index.assigned.sparkSession
+    import spark.implicits._
     val coarseDf = broadcast(
       h.coarse.toIndexedSeq.zipWithIndex
         .map { case (c, i) => (i.toLong, c.toIndexedSeq) }
@@ -760,7 +888,6 @@ object Ann {
         spark.createDataset(spark.sparkContext.parallelize(subRows, slices))
           .toDF("__graft_cell", "__graft_cl", "__graft_center")
       }
-    val q = queries.select(col(qIdCol), col(qEmbCol))
     val cellProbes = q.crossJoin(coarseDf)
       .withColumn("__graft_csim", cosine_sim(col(qEmbCol), col("__graft_ccenter")))
       .groupBy(col(qIdCol))
@@ -768,14 +895,15 @@ object Ann {
         col("__graft_csim"), col("__graft_cell"), nprobeCoarse).as("__graft_top"))
       .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_cell"))
       .join(q, qIdCol)
-    val probes = cellProbes.join(subDf, "__graft_cell")
+    cellProbes.join(subDf, "__graft_cell")
       .withColumn("__graft_ssim", cosine_sim(col(qEmbCol), col("__graft_center")))
       .groupBy(col(qIdCol))
       .agg(graft.functions.BoundedTopK.top_k_by(
         col("__graft_ssim"), col("__graft_cl"), nprobe).as("__graft_top"))
-      .select(col(qIdCol), explode(col("__graft_top.id")).as("__graft_probe"))
-    knnScoreProbes(h.index, probes, q, embCol, idCol, qIdCol, qEmbCol,
-      topK, excludeSelf)
+      .select(col(qIdCol), posexplode(col("__graft_top.id"))
+        .as(Seq("__graft_pos", "__graft_probe")))
+      .select(col(qIdCol), col("__graft_probe"),
+        (col("__graft_pos") + 1).as("__graft_pr"))
   }
 
   /** Routed batched k-NN join — THE entrypoint when the index came
@@ -836,6 +964,76 @@ object Ann {
     (np, rec)
   }
 
+  /** Past this probe-pool size the all-levels tuner evaluation (one
+    * row per candidate per level ≥ its probe rank — ~cut/2 amplification
+    * of the exhaustive reference) would out-cost the binary search it
+    * replaces; below it, ONE windowed action replaces the reference
+    * build + one join+count action per binary-search step. */
+  private val AllLevelsMax = 64
+
+  /** Per-level hit counts for the all-levels tuner path, ONE action:
+    * `probesRanked` is (qIdCol, __graft_probe, __graft_pr) — the FULL
+    * probe ranking (rank 1 = best) whose prefix of length n is, by
+    * [[graft.functions.BoundedTopK]]'s total order (ord DESC, id ASC),
+    * exactly the probe set a knnJoin at nprobe=n would use. A
+    * candidate row in the cluster ranked pr participates in every
+    * level n ≥ pr, so per-level top-k is one explode + one
+    * row_number window under the SAME total order (score DESC, id
+    * ASC) the bounded top-k aggregate applies — making level n's
+    * top-k bit-identical to the knnJoin's. Hits are counted against
+    * level maxLevel (the exhaustive reference — identical to the
+    * separate exact build the binary search used). Returns
+    * n -> hits(n); recall(n) = hits(n) / (nq·topK), and
+    * hits(maxLevel) = nq·topK exactly (the reference intersected with
+    * itself), preserving the old contract that recall at the top
+    * endpoint is 1.0 by construction. `exactRef` overrides the
+    * reference with an external (qIdCol, idCol) top-k frame — the
+    * hier tuner's TRUE-exact reference spans the whole index, not the
+    * fixed coarse cut these levels probe, so recall(maxLevel) there
+    * is legitimately < 1. */
+  private def hitsByLevel(index: IvfIndex, probesRanked: DataFrame,
+      q: DataFrame, embCol: String, idCol: String, qIdCol: String,
+      qEmbCol: String, topK: Int, maxLevel: Int,
+      exactRef: Option[DataFrame] = None): Map[Int, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val withVec = probesRanked.join(q, qIdCol)
+    val scored = withVec.join(index.assigned,
+        withVec("__graft_probe").cast("int") === index.assigned("cluster"))
+      .withColumn("__graft_score", cosine_sim(col(embCol), col(qEmbCol)))
+      .select(col(qIdCol), col(idCol), col("__graft_score"), col("__graft_pr"))
+    val lev = scored.withColumn("__graft_n",
+      explode(sequence(col("__graft_pr"), lit(maxLevel))))
+    val w = Window.partitionBy(col("__graft_n"), col(qIdCol))
+      .orderBy(col("__graft_score").desc, col(idCol).asc)
+    val top = lev.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= topK)
+      .select(col("__graft_n"), col(qIdCol), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = exactRef.getOrElse(
+          top.filter(col("__graft_n") === maxLevel).select(col(qIdCol), col(idCol)))
+        .select(col(qIdCol).as("__graft_eq"), col(idCol).as("__graft_eid"))
+      top.join(exact, top(qIdCol) === col("__graft_eq") &&
+          top(idCol) === col("__graft_eid"))
+        .groupBy("__graft_n").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    } finally top.unpersist()
+  }
+
+  /** Shared choose-per-target tail of the all-levels tuners: the
+    * smallest level meeting the target (= the binary search's result
+    * by recall monotonicity — level-n candidate sets grow
+    * superset-wise under a total order, so recall never decreases),
+    * else the top endpoint with its measured recall. */
+  private def chooseFromLevels(recalls: Map[Int, Double], maxLevel: Int,
+      targets: Seq[Double]): Seq[(Double, Int, Double)] =
+    targets.map { target =>
+      (1 to maxLevel).find(n => recalls.getOrElse(n, 0.0) >= target) match {
+        case Some(n) => (target, n, recalls(n))
+        case None    => (target, maxLevel, recalls.getOrElse(maxLevel, 0.0))
+      }
+    }
+
   /** [[tuneNprobe]] for a WHOLE frontier of recall targets in one
     * pass: the exhaustive nprobe=k reference — by far the most
     * expensive plan in the tune — is built and persisted ONCE, and
@@ -849,7 +1047,18 @@ object Ann {
     * 1.0 by construction — the approximate plan AT nprobe=k IS the
     * reference — so the search never measures the top endpoint.
     * Returns one (target, nprobe, recall) row per input target, input
-    * order preserved. */
+    * order preserved.
+    *
+    * r21: for k ≤ [[AllLevelsMax]] the whole frontier is measured in
+    * ONE windowed action ([[hitsByLevel]]) — recall at EVERY nprobe
+    * level from a single scored pass, instead of the reference build
+    * plus one join+count job round per binary-search step. The chosen
+    * (nprobe, recall) per target is identical (recall is monotone in
+    * nprobe — candidate sets grow superset-wise — so smallest-n-
+    * meeting-target IS the binary search's answer, and the hit counts
+    * come from the same total orders). Past the bound the binary
+    * search remains — at SemDeDup-scale cuts the level explosion
+    * would out-cost it. */
   def tuneNprobeFrontier(index: IvfIndex, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       topK: Int, targets: Seq[Double],
@@ -871,6 +1080,18 @@ object Ann {
       java.util.Arrays.asList(sampled.collect(): _*), sampled.schema)
     val nq = sample.count().toDouble
     require(nq > 0, "tuneNprobe: empty query sample")
+    if (k <= AllLevelsMax) {
+      // all-levels path: the full probe ranking (the same |Q|·k
+      // map-side cosine stage the exhaustive reference paid anyway),
+      // then every level's recall from one windowed action
+      val probesRanked = flatProbesRanked(index, sample,
+        "__tune_qid", "__tune_qvec", nprobe = k)
+      val hits = hitsByLevel(index, probesRanked, sample, embCol, idCol,
+        "__tune_qid", "__tune_qvec", topK, k)
+      val recalls = (1 to k)
+        .map(n => n -> hits.getOrElse(n, 0L).toDouble / (nq * topK)).toMap
+      chooseFromLevels(recalls, k, targets)
+    } else {
     val exact = knnJoinIvf(index, embCol, idCol, sample, "__tune_qid",
         "__tune_qvec", topK, nprobe = k)
       .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
@@ -900,6 +1121,7 @@ object Ann {
         }
       }
     } finally exact.unpersist()
+    }
   }
 
   /** [[tuneNprobe]] for hierarchical indexes at SemDeDup-scale k,
@@ -955,6 +1177,22 @@ object Ann {
       .select(col("__tune_qid").as("__tq"), col(idCol).as("__tid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cutMax <= AllLevelsMax) {
+        // all-levels path (see [[tuneNprobeFrontier]]): every level of
+        // the FIXED coarse cut measured from one windowed action,
+        // against the persisted TRUE-exact reference (recall(cutMax)
+        // may legitimately miss a target — the raise-nprobeCoarse
+        // signal, preserved by chooseFromLevels' top-endpoint branch)
+        val probesRanked = hierProbesRanked(h, sample, "__tune_qid",
+          "__tune_qvec", nprobeCoarse, cutMax, 256L << 20)
+        val hits = hitsByLevel(h.index, probesRanked, sample, embCol, idCol,
+          "__tune_qid", "__tune_qvec", topK, cutMax,
+          exactRef = Some(exact.select(col("__tq").as("__tune_qid"),
+            col("__tid").as(idCol))))
+        val recalls = (1 to cutMax)
+          .map(n => n -> hits.getOrElse(n, 0L).toDouble / (nq * topK)).toMap
+        chooseFromLevels(recalls, cutMax, targets)
+      } else {
       val cache = scala.collection.mutable.Map.empty[Int, Double]
       def recallAt(nprobe: Int): Double = cache.getOrElseUpdate(nprobe, {
         val approx = knnJoinIvfHier(h, embCol, idCol, sample, "__tune_qid",
@@ -980,6 +1218,7 @@ object Ann {
             (target, hi, recHi)
           }
         }
+      }
       }
     } finally exact.unpersist()
   }

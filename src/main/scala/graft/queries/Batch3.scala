@@ -282,15 +282,19 @@ object Batch3 {
       val nmin = edges
         .join(labels.select(col("doc_id").as("v"), col("rep").as("vrep")), "v")
         .groupBy(col("u")).agg(min(col("vrep")).as("nrep"))
+      // the changed flag rides the checkpointed row (old label is
+      // already on the join's left side), so the convergence count is
+      // a cheap scan of the checkpoint files — the previous shape
+      // re-joined next against labels per round just to compare reps,
+      // one extra shuffle join per propagation round (r21, guide §2.4)
       val next = labels
         .join(nmin.select(col("u").as("doc_id"), col("nrep")), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          (col("nrep").isNotNull && col("nrep") < col("rep")).as("__moved"))
         .transform(Reuse.checkpointReliable)
-      changed = next
-        .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
-        .filter(col("rep") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("__moved")).count()
+      labels = next.select(col("doc_id"), col("rep"))
       rounds += 1
     }
     // never emit silently-wrong components: a diameter > maxRounds

@@ -168,6 +168,47 @@ class AnnRecallSpec extends SparkTestBase {
     assert(nps === nps.sorted)
   }
 
+  test("tuneNprobeFrontier all-levels path: chosen nprobe is minimal and recall matches per-level measurement") {
+    // r21: k <= AllLevelsMax routes the frontier through ONE windowed
+    // all-levels evaluation instead of per-step binary-search joins.
+    // The contract is unchanged: for every target, the chosen nprobe
+    // must be the SMALLEST level whose recall (measured independently
+    // here via public knnJoinIvf at that nprobe vs the exhaustive
+    // reference) meets it, and the reported recall must equal that
+    // independent measurement exactly.
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val idx = Ann.buildIvf(emb, "embedding", k = K)
+    val sample = emb.select(col("vec_id"), col("embedding")).limit(100)
+    val nq = sample.count().toDouble
+    // recall at every level, measured the pre-r21 way (one join each)
+    val exactSet = {
+      val df = Ann.knnJoinIvf(idx, "embedding", "vec_id",
+        sample.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", topK = TOPK, nprobe = K)
+      df.select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def recallRef(np: Int): Double = {
+      val got = Ann.knnJoinIvf(idx, "embedding", "vec_id",
+          sample.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", topK = TOPK, nprobe = np)
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exactSet).size.toDouble / (nq * TOPK)
+    }
+    val recalls = (1 to K).map(n => n -> recallRef(n)).toMap
+    val targets = Seq(0.5, FLOOR, 0.99)
+    val frontier = Ann.tuneNprobeFrontier(idx, "embedding", "vec_id",
+      sample, "vec_id", "embedding", topK = TOPK, targets = targets,
+      maxSample = 100)
+    frontier.foreach { case (t, np, rec) =>
+      val expectNp = (1 to K).find(n => recalls(n) >= t).getOrElse(K)
+      assert(np === expectNp, s"target $t: nprobe $np vs independent $expectNp")
+      assert(math.abs(rec - recalls(np)) < 1e-12,
+        s"target $t: recall $rec vs independent ${recalls(np)}")
+    }
+  }
+
   test("ann_tune_nprobe_hier gate entry: choose-or-signal rule, independent recall re-measurement agrees") {
     val rows = graft.queries.Catalog.queries("ann_tune_nprobe_hier")(spark, sf("sf0.01"))
       .collect()
