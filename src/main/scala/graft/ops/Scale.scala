@@ -119,12 +119,27 @@ object Scale {
   private[graft] def triangleReplicate(df: DataFrame, blockCol: String,
       idCol: String, cap: Int, maxGroups: Int): DataFrame = {
     require(cap > 0 && maxGroups > 0)
-    val sizes = df.groupBy(blockCol).agg(count(lit(1)).as("__bn"))
-    df.join(sizes, blockCol)
-      .withColumn("__g",
-        least(ceil(col("__bn").cast("double") / cap), lit(maxGroups)).cast("int"))
+    // r21 (guide §2.3/§3.1): only HOT blocks (size > cap ⟺ g > 1) need
+    // replication metadata — join the size table FILTERED to them,
+    // LEFT, and coalesce misses to g = 1. The filtered side is tiny on
+    // any real corpus (it is the boilerplate keys), so AQE converts
+    // the join to a runtime broadcast and the DATA side is no longer
+    // shuffled by block just to learn its group count (the previous
+    // inner join of the full size table shuffled every row twice: once
+    // for the sizes join, once for the pair join). On an adversarial
+    // corpus where the hot set itself is huge, AQE simply keeps the
+    // shuffle join — the fallback is automatic and size-based, not a
+    // local[32] tuning. Group assignment for hot blocks is unchanged
+    // and cold blocks get the same g = 1 the full join gave them, so
+    // the emitted pair set is bit-identical (ScaleSpec re-proves it).
+    val hot = df.groupBy(blockCol).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+      .select(col(blockCol),
+        least(ceil(col("__bn").cast("double") / cap), lit(maxGroups))
+          .cast("int").as("__g"))
+    df.join(hot, Seq(blockCol), "left")
+      .withColumn("__g", coalesce(col("__g"), lit(1)))
       .withColumn("__gid", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
-      .drop("__bn")
       .withColumn("__q", explode(sequence(lit(0), col("__g") - 1)))
       .withColumn("__lo", least(col("__gid"), col("__q")))
       .withColumn("__hi", greatest(col("__gid"), col("__q")))
@@ -187,14 +202,30 @@ object Scale {
     val lSizes = left.groupBy(keys: _*).agg(count(lit(1)).as("__ln"))
     val rSizes = rightSizes.getOrElse(
       right.groupBy(keys: _*).agg(count(lit(1)).as("__rn")))
+    // r21: replication metadata only for HOT keys (either side past
+    // cap ⟺ gl·gr > 1) — see [[triangleReplicate]]'s note: the
+    // filtered table is tiny on real corpora, AQE broadcasts it, and
+    // the data sides stop being shuffled by key just to learn their
+    // group counts; misses coalesce to the exact gl = gr = 1 the full
+    // inner join assigned them. A key hot on one side but ABSENT from
+    // the other stays out of the table (inner size join) — it can
+    // produce no pairs, so its replication is irrelevant; its rows
+    // ride to the main join unreplicated and drop there, as they
+    // always did in the plain equi-join. Pair set bit-identical
+    // (ScaleSpec).
     val sizes = lSizes.join(rSizes, keyCols)
       .select(keys :+ groups(col("__ln")).as("__gl")
         :+ groups(col("__rn")).as("__gr"): _*)
-    val l2 = left.join(sizes, keyCols)
+      .filter(col("__gl") > 1 || col("__gr") > 1)
+    val l2 = left.join(sizes, keyCols, "left")
+      .withColumn("__gl", coalesce(col("__gl"), lit(1)))
+      .withColumn("__gr", coalesce(col("__gr"), lit(1)))
       .withColumn("__tl", pmod(xxhash64(col(leftId)), col("__gl")).cast("int"))
       .withColumn("__tr", explode(sequence(lit(0), col("__gr") - 1)))
       .drop("__gl", "__gr")
-    val r2 = right.join(sizes, keyCols)
+    val r2 = right.join(sizes, keyCols, "left")
+      .withColumn("__gl", coalesce(col("__gl"), lit(1)))
+      .withColumn("__gr", coalesce(col("__gr"), lit(1)))
       .withColumn("__tr", pmod(xxhash64(col(rightId)), col("__gr")).cast("int"))
       .withColumn("__tl", explode(sequence(lit(0), col("__gl") - 1)))
       .drop("__gl", "__gr")

@@ -571,6 +571,13 @@ object Batch9 {
           incrementalInv(base, "bid"))
         val baseSizes = Reuse.cacheFresh("batch9.incrBaseSizes",
           baseInv.groupBy("shash").agg(count(lit(1)).as("__rn")))
+        // materialize the corpus-side state EAGERLY, before the stream
+        // starts: the replay scaffold scopes micro-batches to 8
+        // shuffle partitions (state-store sizing), and a lazy cache
+        // would materialize the full corpus explode+agg under that
+        // reduced parallelism inside batch 1 — this one action runs it
+        // at the session's full width instead
+        baseSizes.count()
         Catalog.replayToParquet(s, dir, "documents.parquet",
             xform = _.filter(col("doc_id") % 10 === 0),
             perBatch = batch => incrementalKeeps(
