@@ -585,10 +585,20 @@ object Batch13 {
         expr("bit_xor(xxhash64(doc_id, band, band_hash))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val want = sig(banded)
-    val upToDate = try sig(s.read.parquet(path)) == want
-      catch { case _: Exception => false }
-    if (!upToDate) banded.write.mode("overwrite").parquet(path)
+    // first contact (no artifact on disk): write directly — one
+    // banding materialization instead of checksum-pass + write-pass
+    // (r21; the checksum exists to protect a LIVE artifact from a
+    // mid-read rewrite, and an absent artifact has no readers). The
+    // artifact paths live under java.io.tmpdir by construction
+    // (artifactPath), so the existence probe is a local stat.
+    if (!new java.io.File(path).exists) {
+      banded.write.mode("overwrite").parquet(path)
+    } else {
+      val want = sig(banded)
+      val upToDate = try sig(s.read.parquet(path)) == want
+        catch { case _: Exception => false }
+      if (!upToDate) banded.write.mode("overwrite").parquet(path)
+    }
     bandsOk.add(path)
   }
 
