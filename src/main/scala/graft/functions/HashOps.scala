@@ -68,10 +68,21 @@ object HashOps {
   /** MinHash signature: k minimums over the token set, hash family
     * h_i(t) = mix64(fnv64(t) ^ mix64(i)). Empty input → all
     * Long.MaxValue (no token evidence). */
+  /** mix64(i) for i < k, precomputed once per JVM per k: the seed mix
+    * is loop-invariant across tokens, and the JIT does not hoist it
+    * out of the token loop — recomputing it per (token, i) pair was
+    * measurably half the kernel's multiply work (r21). Values are
+    * unchanged; every minhash signature is bit-identical. */
+  private val idxMixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def idxMixes(k: Int): Array[Long] =
+    idxMixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i => mix64(i.toLong)))
+
   def minHash(tokens: ArrayData, k: Int): ArrayData = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     if (tokens != null) {
+      val im = idxMixes(k)
       val n = tokens.numElements()
       var t = 0
       while (t < n) {
@@ -79,7 +90,7 @@ object HashOps {
           val base = fnv64(tokens.getUTF8String(t))
           var i = 0
           while (i < k) {
-            val h = mix64(base ^ mix64(i.toLong))
+            val h = mix64(base ^ im(i))
             if (h < sig(i)) sig(i) = h
             i += 1
           }
