@@ -35,6 +35,18 @@ import graft.functions.HashOps
   */
 object Multimodal {
 
+  // ImageIO's default useCache=true backs EVERY ImageInputStream /
+  // ImageOutputStream with a temp FILE (FileCacheImageInput/
+  // OutputStream): one file create+write+delete per decode AND per
+  // encode — thousands of filesystem round-trips per media entry, and
+  // a lock/fs convoy if decode ever runs on several threads of one
+  // JVM. All of this object's streams wrap in-memory byte arrays, so
+  // the disk cache buys nothing; memory-backed streams are
+  // byte-identical in behavior (r21, guide §1.2 step 2). Executor-side
+  // too: this runs in the object initializer, which every JVM that
+  // touches a kernel executes before its first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media", BinaryType),
