@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Input-skew guard for UNSPLITTABLE under-partitioned scans (guide
+    * §2.5: "one huge unsplittable file (gzip)… repartition immediately
+    * after the read"): when the plan yields fewer partitions than
+    * `target` (default: the cluster's defaultParallelism), rows are
+    * hash-repartitioned by `idCol` so the per-row kernels downstream
+    * (shingle HOFs, minhash mixes) and any cached blocks they feed run
+    * wide instead of on one task — the sf fixtures arrive as ONE
+    * single-row-group parquet file, so every stage up to the first
+    * exchange (and every stage over a cache built from it) was a
+    * one-task serial chain. A well-partitioned input (any real
+    * multi-file corpus) passes through untouched: the guard is a no-op
+    * exactly where the extra full shuffle would be a real cost at
+    * 100 TB. Hash-by-id (never round-robin/rand) keeps the assignment
+    * deterministic under task retries (§2.5, SPARK-38388). */
+  def spreadScan(df: DataFrame, idCol: String, target: Int = -1): DataFrame = {
+    val t =
+      if (target > 0) target
+      else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < t) df.repartition(t, col(idCol)) else df
+  }
+
   /** Two-phase (salted) sum/count aggregation over possibly-skewed keys.
     * Result equals a direct groupBy(keys).agg(sum/count) exactly for
     * these decomposable aggregates. */

@@ -99,8 +99,11 @@ object Batch11 {
     // hash-match the exact set.
     "dedup_minhash_stream" -> Q(
       (s, dir) => {
+        // spreadScan: see Batch3.shingleDocs (r22, guide §2.5 input
+        // skew) — corpus side only; micro-batches are already tiny
         val corpusSig = Reuse.cacheFresh("batch11.corpusSig", withSig(
-          table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)))
+          graft.ops.Scale.spreadScan(table(s, dir, "documents"), "doc_id")
+            .filter(col("doc_id") % 10 =!= 0)))
         val corpusBanded = Reuse.cacheFresh("batch11.corpusBanded",
           banded(corpusSig))
         // per-bucket sizes are part of the build-once index artifact:

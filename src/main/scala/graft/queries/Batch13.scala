@@ -520,8 +520,9 @@ object Batch13 {
     // AND (on first contact) the artifact write; released below once
     // the candidate counts are in hand — a session-lifetime persist
     // would hold the fattest frame in this file for one-shot work
+    // spreadScan: see Batch3.shingleDocs (r22, guide §2.5 input skew)
     val docs = Reuse.cacheFresh("batch13.tuneLshSig",
-      table(s, dir, "documents")
+      graft.ops.Scale.spreadScan(table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), Batch3.shingles(col("text"), 3).as("sh"))
         .withColumn("sig", graft.functions.minhash_sig(col("sh"), n)))
     // try/finally (ADVICE r20): a builder failure after the cache call

@@ -35,7 +35,7 @@ object Batch3 {
     * (FunctionsSpec pins the equivalence, edge cases included).
     * Docs shorter than k tokens yield an EMPTY array, matching the
     * DuckDB twin's empty `range(1, ...)`. */
-  private[queries] def shingles(text: Column, k: Int): Column =
+  private[graft] def shingles(text: Column, k: Int): Column =
     graft.functions.word_shingles(text, k)
 
   /** DuckDB twin of [[shingles]]. */
@@ -188,7 +188,21 @@ object Batch3 {
       maxDf: Option[Int] = None): DataFrame = {
     val docs = shingleDocs(s, dir)
     val inv = shingleInv(docs, maxDf)
-    val sizes = docs.select(col("doc_id"), col("n_sh"))
+    // per-doc shingle counts DERIVED FROM THE CACHED INDEX: one row per
+    // exploded distinct shingle ⟺ size(sh), so this is bit-identical to
+    // re-projecting n_sh from shingleDocs — but it reads the cached inv
+    // blocks instead of re-running the scan + shingle HOFs as a second
+    // uncached subtree (r22, guide §2.4: the probe showed that subtree
+    // re-executing inside a broadcast build on one task). Docs whose sh
+    // is empty have no inv rows and so no sizes row — irrelevant, since
+    // sizes are only ever joined onto pair rows, whose doc ids are
+    // inv-backed by construction. Under maxDf the na/nb contract is
+    // full-corpus shingle counts while only `inter` shrinks (see
+    // scaladoc above), so the capped path (spec-only) counts from the
+    // un-capped explode subtree instead of the capped cache.
+    val sizes = (if (maxDf.isEmpty) inv
+      else docs.select(col("doc_id"), explode(col("sh")).as("shingle")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Σdf² skew guard: a boilerplate shingle shared by df documents
     // puts df² candidate pairs on ONE reducer key in the plain
     // self-join — the first thing to die on a boilerplate-heavy corpus
@@ -209,9 +223,12 @@ object Batch3 {
   }
 
   /** Per-doc shingle sets + counts the miner and its inverted index
-    * both derive from. */
+    * both derive from. The scan rides [[graft.ops.Scale.spreadScan]]
+    * (guide §2.5 input skew): a single-file corpus otherwise runs the
+    * shingle HOFs — and every later stage over the cache built from
+    * them — on ONE task. */
   private[graft] def shingleDocs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    graft.ops.Scale.spreadScan(table(s, dir, "documents"), "doc_id")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
@@ -704,7 +721,11 @@ object Batch3 {
         // mixes run ONCE; both consumers below (band projection,
         // verify side) read the stored blocks instead of recomputing
         // the signatures.
-        val docs = Reuse.cacheFresh("batch3.minhashSig", table(s, dir, "documents")
+        // spreadScan: see shingleDocs — the k·|sh| minhash mixes and
+        // every stage over this cache otherwise run one-task on a
+        // single-file corpus (r22, guide §2.5)
+        val docs = Reuse.cacheFresh("batch3.minhashSig",
+          graft.ops.Scale.spreadScan(table(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
           .withColumn("n_sh", size(col("sh")))
           .withColumn("sig", minhash_sig(col("sh"), k)))
@@ -765,7 +786,9 @@ object Batch3 {
     // SimHash near-dup pairs (4x16-bit band join, hamming verify)
     "dedup_simhash" -> Q(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
+        // spreadScan: see shingleDocs (r22, guide §2.5 input skew)
+        val docs = graft.ops.Scale
+          .spreadScan(table(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), simhash64(toks(col("text"))).as("fp"))
         // ids-only band join → distinct pairs → verify once (same
         // two-stage shape as minhash-LSH)

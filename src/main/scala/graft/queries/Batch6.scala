@@ -73,14 +73,24 @@ object Batch6 {
         // consumers (idf2, weighted, norms, the b-side) — without the
         // cache the shingle HOFs re-run per consumer whenever the
         // optimizer fails to reuse the exchange (plan-shape luck).
-        val inv = Reuse.cacheFresh("batch6.shingleInv", docs
+        // spreadScan: single-file corpora otherwise run the shingle
+        // HOFs — and every stage over this cache — on ONE task (r22,
+        // guide §2.5 input skew; same guard as Batch3.shingleDocs)
+        val inv = Reuse.cacheFresh("batch6.shingleInv",
+          graft.ops.Scale.spreadScan(docs, "doc_id")
           .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
           .select(col("doc_id"), xxhash64(col("shingle")).as("shash")))
         val idf2 = inv.groupBy("shash").agg(count(lit(1)).as("df"))
           .select(col("shash"),
             (log(lit(n) / col("df")) * log(lit(n) / col("df")))
               .cast(DecimalType(18, 8)).as("idf2"))
-        val weighted = inv.join(idf2, "shash")
+        // cached (r22, guide §2.4): weighted feeds THREE consumers —
+        // the self-join's a and b sides plus norms — and each would
+        // otherwise re-run the inv⋈idf2 join (idf2 aggregation
+        // included) as its own subtree; the cache holds one extra
+        // decimal column over the inv rows it already stores
+        val weighted = Reuse.cacheFresh("batch6.weighted",
+          inv.join(idf2, "shash"))
         val norms = weighted.groupBy("doc_id")
           .agg(sqrt(sum(col("idf2")).cast("double")).as("norm"))
         // Σdf² skew guard (same discipline as minePairCounts): the dot

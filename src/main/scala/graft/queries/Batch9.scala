@@ -537,7 +537,9 @@ object Batch9 {
     // the shard explodes fresh.
     "dedup_incremental" -> Q(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
+        // spreadScan: see Batch3.shingleDocs (r22, guide §2.5 input skew)
+        val docs = graft.ops.Scale
+          .spreadScan(table(s, dir, "documents"), "doc_id")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
         incrementalKeeps(docs.filter(col("doc_id") % 10 === 0),
             docs.filter(col("doc_id") % 10 =!= 0))
@@ -557,7 +559,9 @@ object Batch9 {
     // docs in, emit only the ones that aren't near-dups of the corpus.
     "dedup_incremental_stream" -> Q(
       (s, dir) => {
-        val base = table(s, dir, "documents")
+        // spreadScan: see Batch3.shingleDocs (r22, guide §2.5 input skew)
+        val base = graft.ops.Scale
+          .spreadScan(table(s, dir, "documents"), "doc_id")
           .filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
         // the corpus side of the per-batch grid join, built ONCE per
