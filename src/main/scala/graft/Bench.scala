@@ -29,7 +29,9 @@ import org.apache.spark.sql.SparkSession
   *    bytes — slowest queries kept, `q_elided` counting the rest —
   *    because the driver's tail capture holds only 2000 chars and a
   *    longer line loses its head (r4/r5 both parsed null); the FULL
-  *    line always lands in bench_out.json.
+  *    line always lands in bench_out_c<cpus>.json (GRAFT_BENCH_OUT
+  *    overrides; the default is cpus-suffixed so the driver's 8-core
+  *    scaling run cannot overwrite the 32-core run's evidence).
   *
   * Why min-per-query over passes: min over interleaved passes
   * approximates the uncontended runtime under noise bursts. The
@@ -251,6 +253,30 @@ object Bench {
         graft.queries.Batch10.fitThunks(spark, sfDir) ++
         graft.queries.Batch12.fitThunks(spark, sfDir) ++
         graft.queries.Batch13.fitThunks(spark, sfDir)
+      // Bounded-sample fits: their Spark jobs operate on ≤maxFitRows
+      // samples / driver-held artifacts BY CONSTRUCTION at any corpus
+      // scale, so 32 shuffle partitions on their sub-second jobs is
+      // pure scheduling overhead (r21 verdict: the whole fit family ran
+      // FASTER at local[8]); scope them to GRAFT_FIT_SHUFFLE_PARTITIONS
+      // (default min(8, cpus); 0 disables the scoping — a deployment
+      // whose fit-adjacent jobs are corpus-sized, e.g. a SemDeDup
+      // assignment pass over 10^9 vectors, sets it to cluster width).
+      // The corpus-scale fit lines (pair mining, CC fixpoint, LSH
+      // banding) are deliberately NOT in the set: their joins are the
+      // measured full-corpus operation and keep the session width.
+      val boundedSampleFits = Set(
+        "fit_ivf_index", "fit_sq8_index", "fit_hier_index", "fit_pq_index",
+        "fit_append_idx", "fit_compact_idx", "fit_semantic_dedup",
+        "fit_semantic_dedup_hier", "fit_bpe_model", "fit_keep_bloom")
+      val fitParts = sys.env.getOrElse("GRAFT_FIT_SHUFFLE_PARTITIONS",
+        math.min(8, cpus.toInt).toString).toInt
+      def scopedFit(fname: String)(body: => Unit): Unit =
+        if (fitParts > 0 && boundedSampleFits(fname)) {
+          val key = "spark.sql.shuffle.partitions"
+          val prev = spark.conf.get(key)
+          spark.conf.set(key, fitParts.toString)
+          try body finally spark.conf.set(key, prev)
+        } else body
       for ((fname, thunk) <- allFitThunks) {
         // snake_case is load-bearing: every floor parser in the
         // pipeline matches table rows with [a-z0-9_]+ — a camelCase
@@ -259,14 +285,14 @@ object Bench {
           s"fit thunk name '$fname' must be fit_<snake_case>")
         if (elapsed >= measureDeadline) cut = true
         else {
-          timeCapped(fname, "fit")(thunk()).foreach(fits(fname) = _)
+          timeCapped(fname, "fit")(scopedFit(fname)(thunk())).foreach(fits(fname) = _)
           for (first <- fits.get(fname); floor <- baselineSec.get(fname)
                if first > 2 * floor && first > 1.0 &&
                  elapsed < measureDeadline) {
             if (graft.queries.SessionMemo.evictFit(fname)) {
               System.err.println(
                 f"[bench][fit-retry] $fname $first%.2f s vs floor $floor%.2f s — cold retry")
-              timeCapped(fname, "fit-retry")(thunk()).foreach { second =>
+              timeCapped(fname, "fit-retry")(scopedFit(fname)(thunk())).foreach { second =>
                 fitRetry(fname) = (first, second)
                 fits(fname) = math.min(first, second)
               }
@@ -491,8 +517,15 @@ object Bench {
     val json = render(qs,
       s""","fit_deps":$fitDepsJson,"fit_retry":$fitRetryJson,"rescued":$rescuedJson,"floors_parsed":${baselineSec.size}""")
     // Persist the FULL line to a file so the totals stay machine-
-    // readable however stdout is captured.
-    val benchOutPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
+    // readable however stdout is captured. The DEFAULT path is
+    // cpus-suffixed (r21 verdict #1): the driver runs a 32-core bench
+    // and then an 8-core scaling bench in the same workspace, and with
+    // one shared default the second run overwrote the first's
+    // fit_retry/rescued adjudication evidence — the r21 32-core fit
+    // outliers (fit_bpe_model 10.3x floor) became unadjudicable. The
+    // stdout line's `full` pointer resolves to whichever path was used.
+    val benchOutPath =
+      sys.env.getOrElse("GRAFT_BENCH_OUT", s"bench_out_c$cpus.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(benchOutPath),

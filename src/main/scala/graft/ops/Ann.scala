@@ -85,10 +85,14 @@ object Ann {
 
   /** [[localKmeans]] scaled to the coarse-fit regime (k1 up to ~1024
     * over a ≤200k sample): the assignment+partial-sum step fans out
-    * over fixed point ranges on a driver thread pool, partials merge
-    * in RANGE ORDER — so the result is bit-identical to a sequential
-    * pass regardless of thread scheduling — and iteration stops early
-    * once no assignment changes (Lloyd has converged exactly; further
+    * over FIXED-SIZE point chunks (1024 points — a function of the
+    * sample alone, never of the host's core count) on a driver thread
+    * pool, partials merge in CHUNK-INDEX ORDER — so the result is
+    * bit-identical regardless of thread scheduling AND across machines
+    * with different core counts (r21 advice: the old
+    * availableProcessors-derived grid grouped float additions
+    * differently per host) — and iteration stops early once no
+    * assignment changes (Lloyd has converged exactly; further
     * iterations are fixpoint no-ops). Seeded distinct-index init,
     * same as [[localKmeans]]. */
   private[ops] def localKmeansParallel(points: Array[Array[Float]], k: Int,
@@ -100,15 +104,23 @@ object Ann {
       points(if (points.length >= k) init(i) else i % points.length).clone())
     val assign = new Array[Int](points.length)
     java.util.Arrays.fill(assign, -1)
-    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(),
-      points.length / 1024 + 1))
-    val chunk = (points.length + nThreads - 1) / nThreads
+    // FIXED chunk size, never derived from the host's core count: the
+    // partial sums merge in chunk-index order, and float addition is
+    // non-associative — a core-count-dependent chunk GRID would make
+    // fitted centers differ in the last ulp across machines (r21
+    // advice). With the grid fixed by points.length alone, only the
+    // POOL size varies per host, and the merged result is bit-identical
+    // on any machine (and to a sequential pass over the same chunks).
+    val chunk = 1024
+    val nChunks = (points.length + chunk - 1) / chunk
+    val nThreads = math.max(1,
+      math.min(Runtime.getRuntime.availableProcessors(), nChunks))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     try {
       var it = 0
       var changed = true
       while (it < maxIters && changed) {
-        val futures = (0 until nThreads).map { t =>
+        val futures = (0 until nChunks).map { t =>
           pool.submit(new java.util.concurrent.Callable[
               (Array[Array[Double]], Array[Int], Boolean)] {
             def call() = {

@@ -117,6 +117,12 @@ object Batch13 {
     // / mixed-epoch files in the stable path — fail HERE with the
     // cause, not downstream as an inexplicable idempotence assert
     require(!f.exists, s"freshIdxPath: could not clear stale artifact dir $p")
+    // pid-keyed scratch dirs are invisible to every OTHER JVM's
+    // pre-delete, so without an exit hook each bench/test JVM would
+    // leave its index-sized parquet dirs in tmpdir forever (r21
+    // advice — the cross-run temp accumulation the stable path
+    // existed to avoid)
+    Reuse.deleteOnExit(java.nio.file.Paths.get(p))
     p
   }
 
@@ -591,9 +597,32 @@ object Batch13 {
     // (r21; the checksum exists to protect a LIVE artifact from a
     // mid-read rewrite, and an absent artifact has no readers). The
     // artifact paths live under java.io.tmpdir by construction
-    // (artifactPath), so the existence probe is a local stat.
+    // (artifactPath), so the existence probe is a local stat. The
+    // write lands in a per-JVM temp dir and is RENAMED into place
+    // (r21 advice: a second JVM could observe the directory
+    // mid-creation and read a partial parquet — exists must imply
+    // complete); if another JVM wins the rename race, our copy is
+    // dropped and the checksum branch below adjudicates theirs.
     if (!new java.io.File(path).exists) {
-      banded.write.mode("overwrite").parquet(path)
+      val tmp = s"${path}_w$jvmToken"
+      banded.write.mode("overwrite").parquet(tmp)
+      try {
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost the race (or non-atomic fs): reclaim the temp copy
+          // and fall through to the live-artifact checksum protocol
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally walk.close()
+          val want = sig(banded)
+          val upToDate = try sig(s.read.parquet(path)) == want
+            catch { case _: Exception => false }
+          if (!upToDate) banded.write.mode("overwrite").parquet(path)
+      }
     } else {
       val want = sig(banded)
       val upToDate = try sig(s.read.parquet(path)) == want
