@@ -149,6 +149,14 @@ object Probe {
         val shR = docsR
           .select(col("doc_id"), graft.queries.Batch3.shingles(col("text"), 3).as("sh"))
         t("shingles spread")(noop(shR))
+      case "stream" =>
+        def run(name: String): Unit =
+          t(name)(SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+        run("kmv_stream_multi")
+        run("kmv_stream_multi")
+        run("dedup_incremental_stream")
+        run("dedup_incremental_stream")
       case "pc2" =>
         // candidate minePairCounts shape: scan spread over cores before
         // the HOFs/cache + sizes derived from the cached inv (no second

@@ -140,10 +140,18 @@ object Bpe {
     // word-count shuffle — the expensive pass — runs twice (r12
     // review). The persisted frame is the aggregated word table
     // (|distinct words| rows), not the corpus.
+    //
+    // The word split is the codegen'd explode(split(…)) built-in, not
+    // a typed Dataset.flatMap (r22, guide §1.2 step 2 / §4.1): the
+    // closure path deserialized every row to a java String and broke
+    // whole-stage codegen around the only full-corpus pass in the fit.
+    // split(text, "\\s+") == String.split("\\s+") here modulo the
+    // leading-empty-token edge (the SQL split keeps it, String.split
+    // drops trailing only), which the same nonEmpty filter removes.
     val words = docs.select(col(textCol).cast("string").as("text"))
-      .as[String]
-      .flatMap(splitWords _)
-      .groupBy(col("value").as("word"))
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

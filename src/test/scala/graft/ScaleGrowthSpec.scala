@@ -186,6 +186,67 @@ class ScaleGrowthSpec extends SparkTestBase {
           f"($tHead%.2f s → $tTop%.2f s)")
     }
 
+  // ---- fit-line slopes (r21 verdict #7): fit_pair_counts and
+  // fit_bpe_model are the two heaviest bench lines without a growth
+  // guard, and the sf0.1 fixture cannot demonstrate core scaling — so
+  // their wall-time growth is pinned here instead, across the
+  // boilerplate corpus's genuine 100× doc span. The thunks are the
+  // bench fit phase's own (memoized) builders; every timed point is
+  // memo-cold via the same clearAll discipline as the entries above.
+  private def runCappedThunk(label: String, thunk: () => Unit): Double = {
+    val group = s"growth-$label"
+    val out = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val t0 = System.nanoTime()
+    val worker = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(group, label, interruptOnCancel = true)
+        thunk()
+        out.set(Some((System.nanoTime() - t0) / 1e9))
+      } catch { case e: Throwable => err.set(e) }
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(capSec * 1000)
+    if (worker.isAlive) {
+      spark.sparkContext.cancelJobGroup(group)
+      worker.interrupt()
+      worker.join(30000)
+      fail(s"$label exceeded the ${capSec}s wall cap — growth tripwire")
+    }
+    if (err.get != null) throw err.get
+    out.get().getOrElse(fail(s"$label produced no timing"))
+  }
+
+  for ((fitLine, mkThunk) <- Seq[(String, String => () => Unit)](
+      "fit_pair_counts" ->
+        (d => graft.queries.Batch3.fitThunks(spark, d).toMap.apply("fit_pair_counts")),
+      "fit_bpe_model" ->
+        (d => graft.queries.Batch12.fitThunks(spark, d).toMap.apply("fit_bpe_model"))))
+    test(s"$fitLine: sub-quadratic on the boilerplate corpus (100x doc span)") {
+      val tiers = Seq(300L, 3000L, 30000L)
+      val dirs = tiers.map(n => BoilerplateCorpus.write(spark, n, 10))
+      runCappedThunk(fitLine, mkThunk(dirs.head)) // settle JIT/codegen
+      def cold(d: String): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        graft.queries.SessionMemo.clearAll()
+        math.max(0.05, runCappedThunk(fitLine, mkThunk(d)))
+      }
+      val times = dirs.map(cold)
+      def slope(tTop: Double): Double =
+        math.log(tTop / times.head) /
+          math.log(tiers.last.toDouble / tiers.head.toDouble)
+      var tTop = times.last
+      if (slope(tTop) >= 2.0) // same one-rerun rescue as the entry slopes
+        tTop = math.min(tTop, cold(dirs.last))
+      val sl = slope(tTop)
+      info(f"docs ${tiers.mkString("/")}  " +
+        f"times ${times.map(t => f"$t%.2f").mkString("/")}s  slope $sl%.2f")
+      assert(sl < 2.0,
+        f"$fitLine grew super-quadratically on the boilerplate corpus: " +
+          f"slope $sl%.2f (${times.head}%.2f s → $tTop%.2f s)")
+    }
+
   // ---- adversarial boilerplate corpus (r16 order #2): the fixture
   // docs are near-duplicate-free, so the Σdf² exposure the skew guard
   // defuses never shows up in the fixture-driven slopes above. These
