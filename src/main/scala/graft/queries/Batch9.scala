@@ -537,9 +537,12 @@ object Batch9 {
     // the shard explodes fresh.
     "dedup_incremental" -> Q(
       (s, dir) => {
-        // spreadScan: see Batch3.shingleDocs (r22, guide §2.5 input skew)
-        val docs = graft.ops.Scale
-          .spreadScan(table(s, dir, "documents"), "doc_id")
+        // NO spreadScan here, deliberately (r22 A/B): the entry's two
+        // sides are narrow re-executed subtrees over a tiny shard/base
+        // split, and hash-spreading the scan measured ~0.6 s SLOWER
+        // (1.99 -> 2.58 s) — the repartition re-runs per subtree
+        // instance and every stage gains 32 near-empty tasks
+        val docs = table(s, dir, "documents")
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
         incrementalKeeps(docs.filter(col("doc_id") % 10 === 0),
             docs.filter(col("doc_id") % 10 =!= 0))
@@ -559,9 +562,8 @@ object Batch9 {
     // docs in, emit only the ones that aren't near-dups of the corpus.
     "dedup_incremental_stream" -> Q(
       (s, dir) => {
-        // spreadScan: see Batch3.shingleDocs (r22, guide §2.5 input skew)
-        val base = graft.ops.Scale
-          .spreadScan(table(s, dir, "documents"), "doc_id")
+        // NO spreadScan (r22 A/B) — see dedup_incremental above
+        val base = table(s, dir, "documents")
           .filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
         // the corpus side of the per-batch grid join, built ONCE per
